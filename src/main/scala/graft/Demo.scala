@@ -1,0 +1,39 @@
+package graft
+
+/** Library-surface demo/smoke: runs the flagship engine path on sf0.001,
+  * prints results + the physical plan, and exercises the error surfaces
+  * (parse failure, all-negation rejection). `sbt "runMain graft.Demo"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val eng = search.SearchQueries.engine(spark, dir)
+
+    println("== flagship: TEXT == 'spark' and (TEXT == 'join' or TEXT == 'vector')")
+    val df = eng.run("TEXT == 'spark' and (TEXT == 'join' or TEXT == 'vector')")
+    println(s"rows: ${df.count()}")
+    df.select("docId", "language", "DOCUMENT").show(5, truncate = false)
+
+    println("== physical plan (formatted)")
+    df.explain("formatted")
+
+    println("== content fetch: DOCUMENT:0/es/0 (doc 0, partition 0%8, lang es)")
+    eng.content("DOCUMENT:0/es/0").show(1, truncate = 60)
+
+    println("== probe: malformed query")
+    try eng.run("TEXT == == 'x'")
+    catch { case e: Exception => println(s"rejected: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    println("== probe: all-negation query")
+    try eng.run("TEXT != 'spark'")
+    catch { case e: Exception => println(s"rejected: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    println("== probe: unknown field")
+    val unknown = eng.run("NOSUCHFIELD == 'x'")
+    println(s"unknown-field rows: ${unknown.count()} (full scan, residual false)")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,242 @@
+package graft.ingest
+
+import graft.functions.{TextFunctions, UidListAggregator}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's four logical tables (SURVEY.md §1.4), the Spark-native
+  * re-expression of the reference's `wiki` / `wikiIndex` /
+  * `wikiReverseIndex` / `wikiMetadata` Accumulo tables
+  * (`WikipediaMapper.java:86-89`).
+  *
+  * All are plain DataFrames: at scale each is a partitioned parquet
+  * dataset; here they may also live in memory for tests.
+  */
+case class WikiIndex(
+    docsFields: DataFrame,   // (partition, language, docId, fieldName, fieldValue)
+    documents: DataFrame,    // (partition, language, docId, textB64)
+    globalIndex: DataFrame,  // (fieldValue, fieldName, partition, language, count, uids, ignore)
+    metadata: DataFrame,     // (fieldName, kind, language, normalizer)
+    termPostings: DataFrame  // (term, language, partition, docId, tf, offsets)
+) {
+
+  /** The pivoted per-document event view — one row per doc with
+    * `fields: map<fieldName, array<values>>` (TEXT tokens included).
+    * This IS the reference's `wiki` event table (P1/A8 pivot,
+    * `EvaluatingIterator.fillMap`): materialized once at build time, not
+    * per query. At 100 TB it is stored as partitioned parquet alongside
+    * the other tables; queries semi-join candidates against it with
+    * partition pruning.
+    */
+  lazy val events: DataFrame = {
+    val fieldArrays = docsFields
+      .groupBy("partition", "language", "docId", "fieldName")
+      .agg(collect_list(col("fieldValue")).as("vals"))
+    val textArrays = termPostings
+      .groupBy(col("partition"), col("language"), col("docId"))
+      .agg(collect_list(col("term")).as("vals"))
+      .withColumn("fieldName", lit("TEXT"))
+      .select("partition", "language", "docId", "fieldName", "vals")
+    fieldArrays.unionByName(textArrays)
+      .groupBy("partition", "language", "docId")
+      .agg(map_from_entries(collect_list(struct(col("fieldName"), col("vals")))).as("fields"))
+  }
+
+  /** Reverse index is a derived projection, not a second pipeline
+    * (SURVEY.md §1.4): same rows keyed by reversed value, for
+    * leading-wildcard lookups (`WikipediaMapper.java:193-197`).
+    */
+  def reverseIndex: DataFrame =
+    globalIndex.withColumn("fieldValue", reverse(col("fieldValue")))
+
+  def cacheAll(): WikiIndex = {
+    docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
+    termPostings.cache(); events.cache()
+    this
+  }
+
+  /** Persist as partitioned, sorted parquet — the analogue of the
+    * reference's bulk sorted-RFile load
+    * (`BufferingRFileRecordWriter.java:371-468`): data co-located by
+    * `partition`, sorted within partitions so term scans are contiguous.
+    */
+  def save(dir: String): Unit = {
+    docsFields
+      .repartition(col("partition"))
+      .sortWithinPartitions("language", "docId", "fieldName")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/docs_fields")
+    documents
+      .repartition(col("partition"))
+      .sortWithinPartitions("language", "docId")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/documents")
+    globalIndex
+      .repartition(col("fieldName"))
+      .sortWithinPartitions("fieldValue")
+      .write.mode("overwrite").parquet(s"$dir/global_index")
+    metadata.coalesce(1).write.mode("overwrite").parquet(s"$dir/metadata")
+    termPostings
+      .repartition(col("partition"))
+      .sortWithinPartitions("term", "docId")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/term_postings")
+  }
+}
+
+object WikiIndex {
+  def load(spark: SparkSession, dir: String): WikiIndex = WikiIndex(
+    docsFields = spark.read.parquet(s"$dir/docs_fields"),
+    documents = spark.read.parquet(s"$dir/documents"),
+    globalIndex = spark.read.parquet(s"$dir/global_index"),
+    metadata = spark.read.parquet(s"$dir/metadata"),
+    termPostings = spark.read.parquet(s"$dir/term_postings")
+  )
+}
+
+/** Batch index construction — the Spark shape of the reference's ingest
+  * MR jobs (`WikipediaIngester.java:139-185`, SURVEY.md §3.3): one
+  * DataFrame program; the MR two-phase + LRU combiner + bulk-RFile
+  * machinery is subsumed by shuffle + partial aggregation + sorted writes.
+  */
+object IndexBuilder {
+
+  val LcNormalizer = "graft.functions.TextFunctions.lcNoDiacritics"
+  val NoOpNormalizer = "identity"
+
+  /** Build from MediaWiki articles. `numPartitions` mirrors the
+    * reference's `id % numPartitions` document partitioner
+    * (`WikipediaMapper.java:114-117`) — kept as an explicit column so
+    * joins between index and docs co-partition.
+    */
+  def fromArticles(spark: SparkSession, articles: Dataset[Article], numPartitions: Int): WikiIndex = {
+    import spark.implicits._
+    val base = articles.toDF
+      .withColumn("partition", pmod(col("id"), lit(numPartitions)).cast("int"))
+      .withColumn("docId", col("id").cast("string"))
+    base.cache()
+
+    // Event fields {ID, TITLE, TIMESTAMP, COMMENTS} (ArticleExtractor.java:81-88)
+    val fieldCols = map(
+      lit("ID"), col("id").cast("string"),
+      lit("TITLE"), col("title"),
+      lit("TIMESTAMP"), col("timestamp").cast("string"),
+      lit("COMMENTS"), col("comments"))
+    val docsFields = base
+      .select(col("partition"), col("language"), col("docId"), explode(fieldCols).as(Seq("fieldName", "fieldValue")))
+      .where(col("fieldValue").isNotNull)
+
+    val documents = base.select(
+      col("partition"), col("language"), col("docId"),
+      base64(col("text").cast("binary")).as("textB64"))
+
+    // Index rows: normalized field values + distinct TEXT tokens
+    // (WikipediaMapper.java:155-191).
+    val normalizedFields = docsFields.select(
+      when(col("fieldName") === "TITLE", TextFunctions.normalize(col("fieldValue")))
+        .otherwise(col("fieldValue")).as("fieldValue"),
+      col("fieldName"), col("partition"), col("language"), col("docId"))
+    val tokenRows = base.select(
+      col("partition"), col("language"), col("docId"),
+      explode(array_distinct(TextFunctions.tokenize(col("text")))).as("fieldValue"))
+      .withColumn("fieldName", lit("TEXT"))
+      .select("fieldValue", "fieldName", "partition", "language", "docId")
+
+    val globalIndex = buildGlobalIndex(normalizedFields.unionByName(tokenRows))
+
+    val metadata = {
+      val e = Seq("ID", "TITLE", "TIMESTAMP", "COMMENTS").map(f => (f, "e", null: String))
+      val i = Seq(
+        ("ID", "i", NoOpNormalizer), ("TITLE", "i", LcNormalizer),
+        ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
+      val langs = articles.select("language").distinct().as[String].collect()
+      langs.toSeq.flatMap(l => (e ++ i).map { case (f, k, n) => (f, k, l, n) })
+        .toDF("fieldName", "kind", "language", "normalizer")
+    }
+
+    val termPostings = buildTermPostings(
+      base.select(col("partition"), col("language"), col("docId"),
+        TextFunctions.tokenize(col("text")).as("tokens")))
+
+    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
+  }
+
+  /** Build from the driver's synthetic `documents` table
+    * (doc_id, text, lang, source, n_chars) — same engine surface over the
+    * harness corpus. Whitespace tokenizer for oracle parity.
+    */
+  def fromDocumentsTable(spark: SparkSession, docs: DataFrame, numPartitions: Int): WikiIndex = {
+    import spark.implicits._
+    val base = docs
+      .withColumn("partition", pmod(col("doc_id"), lit(numPartitions)).cast("int"))
+      .withColumn("docId", col("doc_id").cast("string"))
+      .withColumnRenamed("lang", "language")
+
+    val fieldCols = map(
+      lit("ID"), col("doc_id").cast("string"),
+      lit("SOURCE"), col("source"),
+      lit("NCHARS"), col("n_chars").cast("string"))
+    val docsFields = base
+      .select(col("partition"), col("language"), col("docId"),
+        explode(fieldCols).as(Seq("fieldName", "fieldValue")))
+
+    val documents = base.select(
+      col("partition"), col("language"), col("docId"),
+      base64(col("text").cast("binary")).as("textB64"))
+
+    val tokenRows = base.select(
+      col("partition"), col("language"), col("docId"),
+      explode(array_distinct(TextFunctions.tokenizeWs(col("text")))).as("fieldValue"))
+      .withColumn("fieldName", lit("TEXT"))
+      .select("fieldValue", "fieldName", "partition", "language", "docId")
+    val fieldRows = docsFields
+      .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"), col("docId"))
+
+    val globalIndex = buildGlobalIndex(fieldRows.unionByName(tokenRows))
+
+    val metadata = {
+      val langs = base.select("language").distinct().as[String].collect()
+      val fields = Seq(
+        ("ID", "e", null: String), ("SOURCE", "e", null: String), ("NCHARS", "e", null: String),
+        ("ID", "i", NoOpNormalizer), ("SOURCE", "i", NoOpNormalizer),
+        ("NCHARS", "i", NoOpNormalizer), ("TEXT", "i", NoOpNormalizer))
+      langs.toSeq.flatMap(l => fields.map { case (f, k, n) => (f, k, l, n) })
+        .toDF("fieldName", "kind", "language", "normalizer")
+    }
+
+    val termPostings = buildTermPostings(
+      base.select(col("partition"), col("language"), col("docId"),
+        TextFunctions.tokenizeWs(col("text")).as("tokens")))
+
+    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
+  }
+
+  /** (fieldValue, fieldName, partition, language, docId) rows → lossy
+    * global index via the UidList aggregator (A1). GroupBy keys match the
+    * reference's index key layout (`WikipediaMapper.java:186-191`); the
+    * shuffle is the only wide dependency and is keyed by term, so at
+    * 100 TB hot terms degrade to counts (ignore=true) instead of
+    * unbounded arrays.
+    */
+  def buildGlobalIndex(rows: DataFrame): DataFrame = {
+    val uidAgg = udaf(new UidListAggregator())
+    rows
+      .groupBy("fieldValue", "fieldName", "partition", "language")
+      .agg(uidAgg(col("docId")).as("u"))
+      .select(
+        col("fieldValue"), col("fieldName"), col("partition"), col("language"),
+        col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
+  }
+
+  /** (…, tokens: array<string>) → per-(term, doc) postings with positions
+    * and normalized TF (`TermWeight.proto:54-57`). Pure built-ins:
+    * posexplode + collect_list + sort, no UDAF needed on this path.
+    */
+  def buildTermPostings(docsTokens: DataFrame): DataFrame =
+    docsTokens
+      .withColumn("nTokens", size(col("tokens")))
+      .select(col("partition"), col("language"), col("docId"), col("nTokens"),
+        posexplode(col("tokens")).as(Seq("pos", "term")))
+      .groupBy("term", "language", "partition", "docId")
+      .agg(
+        (count(lit(1)) / first(col("nTokens"))).cast("float").as("tf"),
+        array_sort(collect_list(col("pos"))).as("offsets"))
+}

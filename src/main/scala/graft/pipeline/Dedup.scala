@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale corpus deduplication operators: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All are pure DataFrame programs — no driver-side
+  * loops — and each documents its shuffle structure for the 100 TB case.
+  */
+object Dedup {
+
+  /** Whitespace tokens (parity with the harness corpus + oracle). */
+  def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Exact dedup: group by content hash. At 100 TB: hash first (64-byte
+    * key instead of full text in the shuffle), one shuffle on the hash,
+    * map-side partial agg. Output: one row per distinct content.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val tk = toks(col("text"))
+    docs
+      .select(col("doc_id"), explode(
+        array_distinct(filter(
+          transform(tk, (x, i) =>
+            when(i <= size(tk) - n,
+              concat_ws(" ", (0 until n).map(j =>
+                element_at(tk, i + j + 1)): _*))),
+          s => s.isNotNull))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ tau).
+    * Shuffle structure: one shuffle keyed by shingle (bucket sizes are
+    * bounded because n-grams are selective — this is why we shingle
+    * instead of joining on single tokens), one aggregation keyed by the
+    * pair. Hot shingles (boilerplate) would skew the join at 100 TB —
+    * mitigate by dropping shingles with document frequency above a cap,
+    * which cannot create false positives above tau when tau·|shingles| >
+    * dropped count; here the corpus is synthetic and unskewed so no cap
+    * is applied.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_shingles", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_shingles", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Deterministic 64-bit string hash (FNV-1a) — portable, seedable. */
+  def fnv1a(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  val NumHashes = 64
+  val NumBands  = 16 // 16 bands × 4 rows
+
+  /** MinHash signature of a token set: k independent permutations
+    * simulated by k seeded hashes, min per seed.
+    */
+  def minhashSignature(tokens: Seq[String], k: Int = NumHashes): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    tokens.foreach { t =>
+      var i = 0
+      while (i < k) {
+        val h = fnv1a(t, i * 0x9e3779b97f4a7c15L + 1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minhashUdf = udf((ts: Seq[String]) => minhashSignature(ts))
+
+  /** (doc_id, band, band_hash): LSH banding of a MinHash signature over
+    * the given per-doc element sets (doc_id, elems: array<string>).
+    * Candidate pairs are docs sharing any full band. One narrow shuffle
+    * keyed by (band, band_hash).
+    */
+  def minhashBands(sets: DataFrame, bands: Int): DataFrame = {
+    val rows = NumHashes / bands
+    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    sets
+      .select(col("doc_id"), minhashUdf(col("elems")).as("sig"))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+      .select("doc_id", "band", "band_hash")
+  }
+
+  /** MinHash LSH near-dup detection: shingle → minhash → band →
+    * bucket-join for candidates, then exact Jaccard verification on the
+    * candidates only (never all pairs).
+    *
+    * Shingling (word n-grams, n ≥ 2) is what makes Jaccard discriminative
+    * on natural corpora — raw token sets saturate a shared vocabulary and
+    * make ~everything a candidate. Band geometry is the precision/recall
+    * dial: r = 64/bands rows ⇒ P(candidate) = 1-(1-j^r)^bands; the 32×2
+    * default keeps recall ≥95% at j = 0.3 while baseline-dissimilar pairs
+    * (j ≈ 0.005) stay below 1e-3. At 100 TB the only wide ops are the
+    * band shuffle and the candidate join — both keyed, both bounded.
+    */
+  def minhashPairs(docs: DataFrame, tau: Double, bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sets =
+      (if (shingleN <= 1) docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("shingle"))
+       else shingles(docs, shingleN))
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("elems"))
+        .cache()
+    val b = minhashBands(sets, bands)
+    val candidates = b.as("x")
+      .join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("a"), col("elems").as("ta")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("elems").as("tb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))) * lit(1.0) /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a(t, 0x5bd1e995L)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i   = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((ts: Seq[String]) => simhash64(ts))
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(toks(col("text"))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
+    * chunk-banding (pigeonhole: distance ≤ c-1 over c chunks guarantees
+    * one identical chunk), then exact Hamming verification on candidates.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int, chunks: Int = 8): DataFrame = {
+    val width = 64 / chunks
+    val sh    = simhashes(docs).cache()
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+}

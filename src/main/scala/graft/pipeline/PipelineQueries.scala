@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import graft.{NamedQuery, Tables}
+
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable entries for the LLM-data-pipeline operators.
+  * SQL-expressible ops carry a DuckDB oracle that re-derives the result
+  * from raw data; hash-based ops (MinHash/SimHash/LSH — platform hash
+  * functions aren't portable SQL) are rows-only checks, with their exact
+  * counterparts (`dd_ngram_jaccard`, `sim_pairs_brute`) oracled.
+  */
+object PipelineQueries {
+
+  private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- deduplication ---------------------------------------------------
+    NamedQuery(
+      "dd_exact",
+      """SELECT min(doc_id) AS keeper_id, count(*) AS group_size
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"))
+        .select("keeper_id", "group_size").orderBy("keeper_id")
+    },
+
+    NamedQuery(
+      "dd_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, ROUND(j, 4) AS jaccard FROM (
+         |  SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
+         |  FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
+         |WHERE j >= 0.1 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), n = 3, tau = 0.1)
+        .orderBy("a", "b")
+    },
+
+    NamedQuery.rowsOnly("dd_minhash_lsh") { (s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), tau = 0.3)
+        .orderBy("a", "b")
+    },
+
+    NamedQuery.rowsOnly("dd_simhash") { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxDist = 12)
+        .orderBy("a", "b")
+    },
+
+    // ---- similarity search ----------------------------------------------
+    NamedQuery(
+      "sim_pairs_brute",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Similarity.bruteForcePairs(Tables.load(s, dir, "embeddings"), tau = 0.4)
+        .orderBy("a", "b")
+    },
+
+    NamedQuery(
+      "sim_topk",
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.topK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    NamedQuery.rowsOnly("sim_lsh_pairs") { (s, dir) =>
+      Similarity.lshPairs(Tables.load(s, dir, "embeddings"), dim = 64, tau = 0.4)
+        .orderBy("a", "b")
+    },
+
+    // ---- text analysis ---------------------------------------------------
+    NamedQuery(
+      "ta_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) AS INT) AS n_stopwords,
+         |  CAST(coalesce(list_max(list_transform(tk, x -> length(x))), 0) AS INT) AS max_token_len,
+         |  CAST(length(text) AS INT) AS n_chars_text,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha_chars
+         |FROM (SELECT doc_id, text, $toks AS tk FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "ta_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) * 1000 // len(tk) AS BIGINT) AS distinct_permille,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000 // len(tk) AS BIGINT) AS stopword_permille,
+         |  CASE WHEN len(tk) BETWEEN 20 AND 1000
+         |         AND len(list_distinct(tk)) * 2 >= len(tk)
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM (SELECT doc_id, $toks AS tk FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.quality(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "ta_langid",
+      s"""SELECT doc_id,
+         |  CASE WHEN len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 5 >= len(tk)
+         |       THEN 'en_heavy'
+         |       WHEN list_contains(tk, 'the') THEN 'en_lite'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM (SELECT doc_id, $toks AS tk FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "ta_fingerprint",
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(tk, (x, i) ->
+         |    CAST(i AS BIGINT) * (length(x) * 31 + unicode(x[1])))) AS BIGINT) % 1000000007 AS fingerprint
+         |FROM (SELECT doc_id, $toks AS tk FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing --------------------------------------------
+    NamedQuery(
+      "mm_binary_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
+        |  hex(encode(substring(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.asMedia(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          length(col("payload")).as("payload_len"),
+          hex(col("payload").substr(1, 8)).as("head_hex"))
+        .orderBy("doc_id")
+    },
+
+    NamedQuery.rowsOnly("mm_feature_stub") { (s, dir) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.asMedia(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: per-document
+  * statistics, quality signals, heuristic language ID, token counting,
+  * and a portable document fingerprint. Everything is a single narrow
+  * projection over the corpus — no shuffle at all — which is the shape
+  * you want for a 100 TB scoring pass.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Per-document corpus statistics (all integer-valued — exact). */
+  def stats(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(tk).as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct"),
+      size(filter(tk, t => t.isin(Stopwords: _*))).as("n_stopwords"),
+      aggregate(tk, lit(0), (acc, t) => greatest(acc, length(t))).as("max_token_len"),
+      length(col("text")).as("n_chars_text"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha_chars"))
+  }
+
+  /** Quality score signals; the composite stays integer-scaled (×1000,
+    * computed in integer arithmetic) so it is portable across engines.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val nTok = size(tk)
+    val nDis = size(array_distinct(tk))
+    val nStop = size(filter(tk, t => t.isin(Stopwords: _*)))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      // integer per-mille ratios: exact in any engine
+      floor(nDis.cast("bigint") * 1000 / nTok).cast("bigint").as("distinct_permille"),
+      floor(nStop.cast("bigint") * 1000 / nTok).cast("bigint").as("stopword_permille"),
+      when(nTok >= 20 && nTok <= 1000 && nDis * 2 >= nTok, lit("keep"))
+        .otherwise(lit("drop")).as("verdict"))
+  }
+
+  /** Heuristic language ID — stopword-evidence based. (On the synthetic
+    * shared-vocabulary corpus this is a deterministic rule, not a model;
+    * the Spark-side mechanics — scoring per doc over token arrays — are
+    * what transfers to a real n-gram model.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val nStop = size(filter(tk, t => t.isin(Stopwords: _*)))
+    docs.select(
+      col("doc_id"),
+      when(nStop * 5 >= size(tk), lit("en_heavy"))
+        .when(array_contains(tk, "the"), lit("en_lite"))
+        .otherwise(lit("unknown")).as("lang_pred"))
+  }
+
+  /** Portable positional fingerprint: Σ (i+1)·(31·len(tok_i) +
+    * codepoint(tok_i[0])) mod 1e9+7. Deterministic integer arithmetic —
+    * expressible identically in any SQL engine (the oracle re-derives
+    * it), unlike a platform hash. A true rolling hash (used by the
+    * dedup ops) is `Dedup.fnv1a`.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val terms = transform(tk, (t, i) =>
+      (i.cast("bigint") + 1) * (length(t).cast("bigint") * 31 + ascii(substring(t, 1, 1))))
+    docs.select(
+      col("doc_id"),
+      (aggregate(terms, lit(0L), (acc, v) => acc + v) % 1000000007L).as("fingerprint"))
+  }
+}

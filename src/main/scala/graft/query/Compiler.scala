@@ -1,0 +1,91 @@
+package graft.query
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles a normalized query AST into a single Catalyst `Column`
+  * predicate over the pivoted event view
+  * (`fields: map<string, array<string>>`). Replaces the reference's
+  * per-document JEXL evaluation (`query/.../parser/QueryEvaluator.java:208-288`)
+  * with one codegen'd expression evaluated by Tungsten — the per-doc
+  * interpretation loop disappears.
+  *
+  * Semantics preserved (SURVEY.md §2.2, §2.8):
+  *  - any-match multi-value semantics (`QueryEvaluator.rewriteQuery:120-203`)
+  *    via `exists` over the value array;
+  *  - case-insensitive comparison (evaluator lowercases, `QueryEvaluator.java:208-288`);
+  *  - JEXL type coercion: literal that parses as a number ⇒ numeric
+  *    comparison via `try_cast`, else lowercased string comparison
+  *    (`query/.../jexl/Arithmetic.java:136-192`);
+  *  - `=~` is full-string DOTALL match (`Arithmetic.java:108-128`);
+  *  - unevaluated fields (index-verified, e.g. TEXT when configured) are
+  *    replaced with TRUE (`AbstractEvaluatingIterator.java:292-301`).
+  */
+object Compiler {
+
+  private val numericRe = "^-?\\d+(\\.\\d+)?$".r
+  def isNumeric(s: String): Boolean = numericRe.matches(s)
+
+  /** Values array for a field out of the event map (null-safe empty). */
+  private def values(field: String): Column =
+    coalesce(col("fields").getItem(field), array())
+
+  private def leaf(t: Term): Column = {
+    val vs = values(t.field)
+    def anyValue(pred: Column => Column): Column = exists(vs, pred)
+    val lit_ = t.literal
+    t.op match {
+      case Op.EQ =>
+        if (isNumeric(lit_)) anyValue(v => v.try_cast("double") === lit(lit_.toDouble))
+        else anyValue(v => lower(v) === lit(lit_.toLowerCase))
+      case Op.NE =>
+        // Absence semantics: NO value matches. This is what the reference's
+        // negation machinery enforces at the document level (anti-probe J4,
+        // `BooleanLogicIterator.advanceNegatives:1809-1839`): a doc whose
+        // field contains the value anywhere is invalidated. (The literal
+        // JEXL any-match rewrite never sees negated index fields.)
+        if (isNumeric(lit_)) !anyValue(v => v.try_cast("double") === lit(lit_.toDouble))
+        else !anyValue(v => lower(v) === lit(lit_.toLowerCase))
+      case Op.LT => cmp(vs, lit_, (a, b) => a < b)
+      case Op.LE => cmp(vs, lit_, (a, b) => a <= b)
+      case Op.GT => cmp(vs, lit_, (a, b) => a > b)
+      case Op.GE => cmp(vs, lit_, (a, b) => a >= b)
+      case Op.RE  => anyValue(v => TextFunctions.jexlMatches(lower(v), lit_))
+      case Op.NRE => !anyValue(v => TextFunctions.jexlMatches(lower(v), lit_))
+    }
+  }
+
+  private def cmp(vs: Column, literal: String, f: (Column, Column) => Column): Column =
+    if (isNumeric(literal))
+      exists(vs, v => f(v.try_cast("double"), lit(literal.toDouble)))
+    else
+      exists(vs, v => f(lower(v), lit(literal.toLowerCase)))
+
+  private def fn(t: FnTerm): Column = t.name match {
+    // f:between(field, lo, hi) — QueryFunctions.java:26-46: numeric parse,
+    // false on parse failure (try_cast null ⇒ condition null ⇒ filtered).
+    case "between" if t.args.size == 3 =>
+      val Seq(field, lo, hi) = t.args
+      exists(values(field.toUpperCase), v =>
+        v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
+  }
+
+  /** Compile the (normalized, Not-free below boolean nodes) AST.
+    * Terms on `unevaluated` fields compile to TRUE — the index already
+    * verified them (P8).
+    */
+  def compile(e: QExpr, unevaluated: Set[String] = Set.empty): Column = e match {
+    case t: Term if unevaluated.contains(t.field) => lit(true)
+    case t: Term     => leaf(t)
+    case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
+      exists(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
+    case f: FnTerm   => fn(f)
+    case And(cs)     => cs.map(compile(_, unevaluated)).reduce(_ && _)
+    case Or(cs)      => cs.map(compile(_, unevaluated)).reduce(_ || _)
+    case Not(c)      => !compile(c, unevaluated)
+  }
+}

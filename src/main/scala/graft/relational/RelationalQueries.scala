@@ -1,0 +1,272 @@
+package graft.relational
+
+import graft.{NamedQuery, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the driver's TPC-H-ish tables
+  * (TESTDATA.md): scan+pushdown, partial aggregation, broadcast /
+  * shuffle / semi / anti joins, windows, top-k, set ops, scalar
+  * functions, JSON-ish extraction, sessionization.
+  *
+  * Scale notes are per-query; the common rules: dimensions broadcast,
+  * facts shuffle on their join keys once, aggregates are partial
+  * (map-side combine) by construction, filters/projections sit against
+  * the parquet scan so pushdown + column pruning apply.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Exact, order-independent money sum: decimal-cast each addend.
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(14,$scale)"))
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // -- q1: TPC-H Q1 shape — full-scan partial aggregation ---------------
+    NamedQuery(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).cast("decimal(18,2)").cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).cast("decimal(18,2)").cast("double").as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // -- q2: filter + projection pushdown ---------------------------------
+    NamedQuery(
+      "q2_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+        |  AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
+          col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // -- q3: TPC-H Q3 shape — fact-fact shuffle join + broadcast dim ------
+    NamedQuery(
+      "q3_top_orders",
+      """SELECT o_orderkey AS orderkey,
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority AS priority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val li   = t(s, dir, "lineitem")
+      // customer is the small side at any SF (filtered dim) → broadcast;
+      // orders⋈lineitem shuffles once on orderkey.
+      ord.join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey").as("orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority").as("priority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast("decimal(18,4)").cast("double").as("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(col("revenue").desc, col("orderkey")).limit(10)
+    },
+
+    // -- q4: EXISTS → left-semi join --------------------------------------
+    NamedQuery(
+      "q4_semi_join",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      ord.join(li, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // -- q5: NOT EXISTS → left-anti join ----------------------------------
+    NamedQuery(
+      "q5_anti_join",
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // -- q6: star join over broadcast dims --------------------------------
+    NamedQuery(
+      "q6_star_join",
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).cast("decimal(18,2)").cast("double").as("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // -- q7: window function — top-N per group ----------------------------
+    NamedQuery(
+      "q7_window_topn",
+      """SELECT custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey AS custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) q
+        |WHERE rn <= 2 ORDER BY custkey, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy("custkey", "rn")
+    },
+
+    // -- q8: global top-k (sort + limit ≡ TakeOrderedAndProject) ----------
+    NamedQuery(
+      "q8_topk",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 15""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(col("p_retailprice").desc, col("p_partkey")).limit(15)
+    },
+
+    // -- q9: INTERSECT ----------------------------------------------------
+    NamedQuery(
+      "q9_intersect",
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // -- q10: EXCEPT ------------------------------------------------------
+    NamedQuery(
+      "q10_except",
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 5000
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_acctbal") < 5000)
+        .select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // -- q11: scalar function surface -------------------------------------
+    NamedQuery(
+      "q11_scalar_fns",
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  length(o_orderstatus) AS status_len,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class,
+        |  ROUND(o_totalprice / 1000, 2) AS price_k
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+          length(col("o_orderstatus")).as("status_len"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_class"),
+          round(col("o_totalprice") / 1000, 2).as("price_k"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- q12: event-time bucketing (batch shape of a streaming window) ----
+    NamedQuery(
+      "q12_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).cast("decimal(18,2)").cast("double").as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // -- q13: JSON-ish extraction from props ------------------------------
+    NamedQuery(
+      "q13_events_props",
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // -- q14: sessionization via gap windows (exact integer-ns arithmetic)
+    NamedQuery(
+      "q14_sessionize",
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_nanos"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          when(lag(col("ts_nanos"), 1).over(w).isNull ||
+            col("ts_nanos") - lag(col("ts_nanos"), 1).over(w) > 1800000000000L, 1)
+            .otherwise(0).as("new_session"))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+}

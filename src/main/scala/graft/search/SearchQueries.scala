@@ -1,0 +1,151 @@
+package graft.search
+
+import graft.{NamedQuery, Tables}
+import graft.ingest.{IndexBuilder, WikiIndex}
+import graft.query.WikiSearchEngine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** The wikisearch query surface, run end-to-end (index build → JEXL-subset
+  * parse → plan → index joins → residual filter) against the driver's
+  * `documents` table. Each query's DuckDB oracle evaluates the same
+  * predicate directly on the raw text — so the whole engine stack
+  * (parser, planner, lossy index, semi/anti joins, residual compiler) is
+  * what's being verified, not a re-statement of it.
+  */
+object SearchQueries {
+
+  val NumPartitions = 8
+
+  // One index build per (session, dir) — queries share it like the
+  // reference's long-lived Accumulo tables.
+  private val cache = TrieMap.empty[String, (WikiIndex, WikiSearchEngine)]
+
+  def engine(s: SparkSession, dir: String): WikiSearchEngine =
+    cache.getOrElseUpdate(dir, {
+      val ix = IndexBuilder
+        .fromDocumentsTable(s, Tables.load(s, dir, "documents"), NumPartitions)
+        .cacheAll()
+      (ix, new WikiSearchEngine(s, ix))
+    })._2
+
+  def index(s: SparkSession, dir: String): WikiIndex = {
+    engine(s, dir); cache(dir)._1
+  }
+
+  /** Engine results → (doc_id, language) for the driver compare. */
+  private def ids(df: DataFrame): DataFrame =
+    df.select(col("docId").cast("bigint").as("doc_id"), col("language"))
+      .orderBy("doc_id")
+
+  private def q(name: String, jexl: String, duckdbWhere: String): NamedQuery =
+    NamedQuery(
+      name,
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE $duckdbWhere ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(engine(s, dir).run(jexl))
+    }
+
+  private def toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val all: Seq[NamedQuery] = Seq(
+    // J1 — multi-term AND intersection via the global index
+    q("ws_q1_and",
+      "TEXT == 'spark' and TEXT == 'join' and TEXT == 'window'",
+      s"list_contains($toks, 'spark') AND list_contains($toks, 'join') AND list_contains($toks, 'window')"),
+
+    // J2 — OR union + dedup
+    q("ws_q2_or",
+      "TEXT == 'vector' or TEXT == 'stream'",
+      s"(list_contains($toks, 'vector') OR list_contains($toks, 'stream'))"),
+
+    // AND-of-OR (the reference's "fast and (furious or furriest)" shape)
+    q("ws_q3_and_or",
+      "TEXT == 'spark' and (TEXT == 'vector' or TEXT == 'stream')",
+      s"list_contains($toks, 'spark') AND (list_contains($toks, 'vector') OR list_contains($toks, 'stream'))"),
+
+    // J4 — negation anti-probe (absence semantics)
+    q("ws_q4_not",
+      "TEXT == 'spark' and TEXT != 'hash'",
+      s"list_contains($toks, 'spark') AND NOT list_contains($toks, 'hash')"),
+
+    // forward-index prefix wildcard (RangeCalculator trailing-wildcard rule)
+    q("ws_q5_prefix",
+      "TEXT =~ 'str.*'",
+      s"len(list_filter($toks, x -> x LIKE 'str%')) > 0"),
+
+    // reverse-index leading wildcard
+    q("ws_q6_suffix",
+      "TEXT =~ '.*dow'",
+      s"len(list_filter($toks, x -> x LIKE '%dow')) > 0"),
+
+    // f:between function term + indexed field equality
+    q("ws_q7_between",
+      "SOURCE == 'src3' and f:between(NCHARS, 200, 400)",
+      "source = 'src3' AND n_chars BETWEEN 200 AND 400"),
+
+    // J7 — bounded range fused onto the index
+    q("ws_q8_range",
+      "NCHARS >= 100 and NCHARS < 300 and TEXT == 'table'",
+      s"n_chars >= 100 AND n_chars < 300 AND list_contains($toks, 'table')"),
+
+    // mixed fielded + boolean nesting
+    q("ws_q9_mixed",
+      "(SOURCE == 'src1' or SOURCE == 'src2') and TEXT == 'query'",
+      s"(source = 'src1' OR source = 'src2') AND list_contains($toks, 'query')"),
+
+    // unfielded bare term → index-driven field discovery
+    q("ws_q10_unfielded",
+      "'spark'",
+      s"list_contains($toks, 'spark')"),
+
+    // opaque mid-string wildcard → full-scan residual path
+    q("ws_q11_regex_scan",
+      "TEXT =~ 'c.l.mn'",
+      s"len(list_filter($toks, x -> regexp_matches(x, '^c.l.mn$$'))) > 0"),
+
+    // S11/A5 — the global index itself: per-term document frequency
+    NamedQuery(
+      "ws_index_termfreq",
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM (
+         |  SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents) q
+         |GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      index(s, dir).globalIndex
+        .filter(col("fieldName") === "TEXT")
+        .groupBy(col("fieldValue").as("term"))
+        .agg(sum(col("count")).as("doc_freq"))
+        .orderBy("term")
+    },
+
+    // A2 — term postings with positions (TermWeight.Info analogue)
+    NamedQuery(
+      "ws_postings",
+      s"""SELECT doc_id, term,
+         |  CAST(len(list_filter(toks, x -> x = term)) AS INT) AS occurrences,
+         |  CAST(list_position(toks, term) - 1 AS INT) AS first_pos
+         |FROM (SELECT doc_id, $toks AS toks,
+         |        unnest(list_distinct($toks)) AS term FROM documents) q
+         |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      index(s, dir).termPostings
+        .select(col("docId").cast("bigint").as("doc_id"), col("term"),
+          size(col("offsets")).as("occurrences"),
+          col("offsets").getItem(0).as("first_pos"))
+        .orderBy("doc_id", "term")
+    },
+
+    // S12 — document content store round-trip (base64 in, decoded out)
+    NamedQuery(
+      "ws_content_fetch",
+      """SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      index(s, dir).documents
+        .filter(col("docId").cast("bigint") % 97 === 0)
+        .select(col("docId").cast("bigint").as("doc_id"),
+          unbase64(col("textB64")).cast("string").as("text"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
+
+/** Structured Streaming surface. The reference has no streaming framework
+  * (SURVEY.md §2.10) — its analogue is combiner-based incremental index
+  * maintenance; here both that (IncrementalIndex) and the standard
+  * event-stream shapes (windowed aggregation with watermark, stateful
+  * sessionization) are first-class.
+  *
+  * All functions take/return streaming DataFrames — callers plug in any
+  * source (`readStream` Kafka/files; MemoryStream in tests) and sink.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with a watermark for state expiry
+    * and late-data handling. At scale: state is bounded by
+    * (#windows-in-watermark × #event types); partial aggregation applies
+    * before the shuffle.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, session_start: Timestamp, n_events: Long, closed: Boolean)
+
+  /** Per-user sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState — the custom-state path the reference has no
+    * analogue for. State per user is O(1); timeout closes idle sessions.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      // ProcessingTimeTimeout closes idle sessions eagerly but makes the
+      // stream re-trigger on a timer (nondeterministic in tests); off by
+      // default — gap detection alone is complete for bounded replays.
+      useTimeout: Boolean = false): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, new Timestamp(s.startMs), s.nEvents, closed = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur    = state.getOption
+            val out    = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  out += SessionUpdate(userId, new Timestamp(s.startMs), s.nEvents, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+              out += SessionUpdate(userId, new Timestamp(s.startMs), s.nEvents, closed = false)
+            }
+            out.result().iterator
+          }
+        })
+  }
+}

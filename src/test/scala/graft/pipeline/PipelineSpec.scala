@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getAs[Long]("group_size") == 2).get
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("ngram jaccard finds near-dup and exact pairs") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the same near-dup pairs on this corpus") {
+    val pairs = Dedup.minhashPairs(docs, tau = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature of identical sets is identical; fnv1a deterministic") {
+    val s1 = Dedup.minhashSignature(Seq("a", "b", "c"))
+    val s2 = Dedup.minhashSignature(Seq("c", "b", "a"))
+    assert(s1.toSeq == s2.toSeq) // order-invariant (set semantics)
+    assert(Dedup.fnv1a("token", 1L) == Dedup.fnv1a("token", 1L))
+    assert(Dedup.fnv1a("token", 1L) != Dedup.fnv1a("token", 2L))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, rest far") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 16)
+      .select("a", "b", "dist").as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16))
+  }
+
+  test("cosine similarity: identical vectors → 1, orthogonal → 0") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.bruteForcePairs(emb, tau = -1.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(pairs((1L, 3L))) < 1e-9)
+  }
+
+  test("topK ranks by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L && top(2) == 2L)
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val emb = Seq(
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(emb, dim = 8, bits = 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+  }
+
+  test("multimodal stub: features deterministic, frame sampling covers payload") {
+    val media = Multimodal.asMedia(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(f => f.feature.length == 8 && f.width >= 16 && f.n_frames >= 1))
+    val f1 = feats.find(_.doc_id == 1L).get
+    val f4 = feats.find(_.doc_id == 4L).get
+    assert(f1.width == f4.width && f1.feature.toSeq == f4.feature.toSeq) // same payload ⇒ same features
+    val frames = Multimodal.frameSample(media.filter($"doc_id" === 1), stride = 10, frameLen = 4)
+    assert(frames.count() == 5) // 43-byte payload, stride 10
+  }
+
+  test("text analysis stats are exact") {
+    val st = TextAnalysis.stats(docs.filter($"doc_id" === 1)).collect().head
+    assert(st.getAs[Int]("n_tokens") == 9)
+    assert(st.getAs[Int]("n_distinct") == 8) // 'the' twice
+    assert(st.getAs[Int]("n_stopwords") == 2)
+    assert(st.getAs[Int]("max_token_len") == 5)
+  }
+}

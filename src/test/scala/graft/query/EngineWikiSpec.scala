@@ -1,0 +1,111 @@
+package graft.query
+
+import graft.SparkSuite
+import graft.ingest.{IndexBuilder, XmlIngest}
+
+/** End-to-end: MediaWiki XML fixture → index build → queries. Mirrors the
+  * reference's own E2E expectations
+  * (`query/src/test/hadoop2/.../logic/TestQueryLogic.java:456-475`,
+  * FIXTURES.md §2): the 4-title OR returns 4 documents, `TEXT ==
+  * 'abacus'` returns exactly doc 655 — plus coverage for every §4.1
+  * planner rule (wildcards, ranges, negation, functions, bare terms,
+  * auths).
+  */
+class EngineWikiSpec extends SparkSuite {
+
+  private lazy val fixture =
+    getClass.getResource("/enwiki-test.xml").getPath
+
+  private lazy val engine: WikiSearchEngine = {
+    val articles = XmlIngest.readArticles(spark, fixture)
+    val ix = IndexBuilder.fromArticles(spark, articles, numPartitions = 1).cacheAll()
+    new WikiSearchEngine(spark, ix)
+  }
+
+  private def docIds(q: String, auths: Seq[String] = Seq("enwiki")): Set[String] =
+    engine.run(q, auths).select("docId").collect().map(_.getString(0)).toSet
+
+  test("ingest extracts 4 articles with language from filename") {
+    val arts = XmlIngest.readArticles(spark, fixture).collect()
+    assert(arts.length == 4)
+    assert(arts.map(_.language).toSet == Set("enwiki"))
+    assert(arts.map(_.id).sorted.toSeq == Seq(655, 656, 657, 658))
+    assert(arts.forall(_.timestamp == 1014651791000L)) // 2002-02-25T15:43:11Z
+  }
+
+  test("reference E2E #1: OR of four titles returns 4 documents") {
+    val q = "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'"
+    assert(docIds(q) == Set("655", "656", "657", "658"))
+  }
+
+  test("reference E2E #2: TEXT == 'abacus' returns exactly doc 655") {
+    assert(docIds("TEXT == 'abacus'") == Set("655"))
+  }
+
+  test("title normalization: query literal is lowercased against the index") {
+    assert(docIds("TITLE == 'Abacus'") == Set("655"))
+  }
+
+  test("auths restrict by language") {
+    assert(docIds("TEXT == 'abacus'", Seq("eswiki")).isEmpty)
+  }
+
+  test("AND intersection across fields") {
+    assert(docIds("TITLE == 'acid' and TEXT == 'proton'") == Set("656"))
+    assert(docIds("TITLE == 'acid' and TEXT == 'petroleum'").isEmpty)
+  }
+
+  test("negation: AND with absence term") {
+    // all docs whose TEXT has 'a' minus those containing 'abacus'
+    val q = "TEXT == 'is' and TEXT != 'abacus'"
+    assert(docIds(q) == Set("656", "657", "658"))
+  }
+
+  test("all-negation query rejected") {
+    intercept[IllegalArgumentException](engine.run("TEXT != 'abacus'"))
+  }
+
+  test("trailing wildcard uses forward index prefix") {
+    assert(docIds("TITLE =~ 'ac.*'") == Set("656", "658"))
+  }
+
+  test("leading wildcard uses reverse index") {
+    assert(docIds("TITLE =~ '.*alt'") == Set("657"))
+  }
+
+  test("opaque regex falls back to scan and still answers") {
+    assert(docIds("TITLE =~ 'a.id'") == Set("656"))
+  }
+
+  test("bounded numeric range fused onto the index") {
+    assert(docIds("ID >= 656 and ID <= 657") == Set("656", "657"))
+  }
+
+  test("f:between function term") {
+    assert(docIds("f:between(ID, 655, 656)") == Set("655", "656"))
+  }
+
+  test("unfielded bare term resolves fields via the index") {
+    assert(docIds("'abacus'") == Set("655"))
+    assert(docIds("'nonexistentterm'").isEmpty)
+  }
+
+  test("document content fetch round-trips") {
+    val row = engine.content("DOCUMENT:0/enwiki/655").collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[String]("DOCUMENT").contains("calculating tool"))
+  }
+
+  test("results carry the DOCUMENT pointer field") {
+    val rows = engine.run("TEXT == 'abacus'", Seq("enwiki")).collect()
+    assert(rows.head.getAs[String]("DOCUMENT") == "DOCUMENT:0/enwiki/655")
+  }
+
+  test("unevaluated TEXT config trusts the index (reference parity mode)") {
+    val ix  = IndexBuilder.fromArticles(spark, XmlIngest.readArticles(spark, fixture), 1)
+    val eng = new WikiSearchEngine(spark, ix, EngineConfig(unevaluatedFields = Set("TEXT")))
+    val ids = eng.run("TEXT == 'abacus'", Seq("enwiki"))
+      .select("docId").collect().map(_.getString(0)).toSet
+    assert(ids == Set("655"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+import graft.functions.UidList
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hourlyCounts: windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      assert(rows.length == 2)
+      val click = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n") == 2 && click.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 7, "click", 1.0),
+        // > 30 min gap → new session
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      // one closed session (2 events) + one open session (1 event)
+      assert(rows.exists(r => r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 2))
+      assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
+    } finally q.stop()
+  }
+
+  test("incremental index merge preserves lossy UidList semantics") {
+    def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
+      rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
+
+    val base  = gi(Seq(("spark", "TEXT", 0, "en", 2L, Seq("1", "2"), false)))
+    val delta = gi(Seq(
+      ("spark", "TEXT", 0, "en", 1L, Seq("3"), false),
+      ("flink", "TEXT", 0, "en", 1L, Seq("9"), false)))
+    val merged = IncrementalIndex.merge(base, delta)
+      .as[(String, String, Int, String, Long, Seq[String], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(merged("spark")._5 == 3L && merged("spark")._6.toSet == Set("1", "2", "3"))
+    assert(merged("flink")._5 == 1L)
+
+    // overflow: 15 + 10 distinct uids > 20 → ignore
+    val big1 = gi(Seq(("hot", "TEXT", 0, "en", 15L, (1 to 15).map(_.toString), false)))
+    val big2 = gi(Seq(("hot", "TEXT", 0, "en", 10L, (16 to 25).map(_.toString), false)))
+    val hot = IncrementalIndex.merge(big1, big2)
+      .as[(String, String, Int, String, Long, Seq[String], Boolean)].collect().head
+    assert(hot._5 == 25L && hot._6.isEmpty && hot._7)
+  }
+}
