@@ -1,0 +1,79 @@
+package graft.api
+
+import graft.query.WikiSearchEngine
+
+import org.apache.spark.sql.Row
+
+/** The API result model — the JAXB `Results{document[]{id, field[]}}`
+  * shape of the reference (`query/.../sample/Results.java:255-280`,
+  * `Document.java:135-169`, `Field.java:194-227`), rendered to XML/JSON
+  * without any framework dependency. This is the presentation edge: rows
+  * are collected here (bounded by `limit`), never inside the engine.
+  */
+case class Field(name: String, value: String)
+
+case class Document(id: String, pointer: String, fields: Seq[Field])
+
+case class Results(documents: Seq[Document]) {
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case '\n'           => "\\n"
+      case '\r'           => "\\r"
+      case '\t'           => "\\t"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }
+
+  /** The reference's XML media type (`Query.java:94-138`). */
+  def toXml: String = {
+    val sb = new StringBuilder("<results>")
+    documents.foreach { d =>
+      sb.append(s"""<document id="${xmlEscape(d.id)}">""")
+      d.fields.foreach(f =>
+        sb.append(s"""<field name="${xmlEscape(f.name)}">${xmlEscape(f.value)}</field>"""))
+      sb.append("</document>")
+    }
+    sb.append("</results>").toString
+  }
+
+  def toJson: String = {
+    val docs = documents.map { d =>
+      val fs = d.fields
+        .map(f => s"""{"name":"${jsonEscape(f.name)}","value":"${jsonEscape(f.value)}"}""")
+        .mkString("[", ",", "]")
+      s"""{"id":"${jsonEscape(d.id)}","pointer":"${jsonEscape(d.pointer)}","fields":$fs}"""
+    }
+    s"""{"documents":${docs.mkString("[", ",", "]")}}"""
+  }
+}
+
+/** Library facade over the engine — the boolean-search and content entry
+  * points of the reference's REST layer (`IQuery.java:279-315`,
+  * `Query.java:179-248`) minus the servlet container.
+  */
+class QueryService(engine: WikiSearchEngine) {
+
+  /** Boolean-expression search → Results (top `limit` documents). */
+  def query(q: String, auths: Seq[String] = Nil, limit: Int = 100): Results = {
+    val rows = engine.run(q, auths).limit(limit).collect()
+    Results(rows.toSeq.map(toDocument))
+  }
+
+  /** `DOCUMENT:partition/lang/id` → decoded content, or None. */
+  def content(pointer: String): Option[String] =
+    engine.content(pointer).collect().headOption.map(_.getAs[String]("DOCUMENT"))
+
+  private def toDocument(r: Row): Document = {
+    val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq
+      .flatMap { case (name, vals) => vals.toSeq.map(v => Field(name, v)) }
+      .sortBy(f => (f.name, f.value))
+    Document(r.getAs[String]("docId"), r.getAs[String]("DOCUMENT"), fields)
+  }
+}

@@ -152,6 +152,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    NamedQuery(
+      "mm_frame_sample",
+      """SELECT doc_id, CAST(i AS INT) AS frame_no,
+        |  hex(encode(substring(text, i*10+1, 4))) AS frame_hex
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, (length(text)-1)//10)) AS i
+        |      FROM documents) q
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+      Multimodal
+        .frameSample(Multimodal.asMedia(Tables.load(s, dir, "documents")), stride = 10, frameLen = 4)
+        .orderBy("doc_id", "frame_no")
+    },
+
     NamedQuery.rowsOnly("mm_feature_stub") { (s, dir) =>
       Multimodal
         .extractFeatures(s, Multimodal.asMedia(Tables.load(s, dir, "documents")))

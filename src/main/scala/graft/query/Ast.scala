@@ -33,6 +33,9 @@ case class BareTerm(literal: String) extends QExpr
   */
 case class FnTerm(name: String, args: Seq[String]) extends QExpr
 
+/** A function result compared to a literal, e.g. `f:abs(VAL) >= 2`. */
+case class FnCmp(fn: FnTerm, op: Op.Value, literal: String) extends QExpr
+
 case class And(children: Seq[QExpr]) extends QExpr
 case class Or(children: Seq[QExpr])  extends QExpr
 case class Not(child: QExpr)         extends QExpr
@@ -51,6 +54,7 @@ object QExpr {
       case Term(f, op, l)    => Term(f, if (neg) Op.negate(op) else op, l)
       case b: BareTerm       => if (neg) Not(b) else b
       case f: FnTerm         => if (neg) Not(f) else f
+      case FnCmp(f, op, l)   => FnCmp(f, if (neg) Op.negate(op) else op, l)
       case And(cs) =>
         val mapped = cs.map(go(_, neg))
         if (neg) Or(flattenOr(mapped)) else And(flattenAnd(mapped))

@@ -74,6 +74,33 @@ object Compiler {
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
   }
 
+  /** `f:abs(field) <op> literal` — QueryFunctions.java:48-66. The
+    * reference returns Integer.MIN_VALUE on parse failure; we use
+    * try_cast's null (⇒ predicate false), documenting the deviation: a
+    * sentinel that can accidentally satisfy `< x` is a bug, not a
+    * behavior to preserve.
+    */
+  private def fnCmp(c: FnCmp): Column = c.fn.name match {
+    case "abs" if c.fn.args.size == 1 =>
+      val vs  = values(c.fn.args.head.toUpperCase)
+      val l   = lit(c.literal.toDouble)
+      def f(v: Column): Column = {
+        val a = abs(v.try_cast("double"))
+        c.op match {
+          case Op.EQ => a === l;  case Op.NE => !(a === l)
+          case Op.LT => a < l;    case Op.LE => a <= l
+          case Op.GT => a > l;    case Op.GE => a >= l
+          case other => throw new IllegalArgumentException(s"f:abs unsupported op $other")
+        }
+      }
+      c.op match {
+        case Op.NE => !exists(vs, v => abs(v.try_cast("double")) === l)
+        case _     => exists(vs, f)
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function comparison f:$other")
+  }
+
   /** Compile the (normalized, Not-free below boolean nodes) AST.
     * Terms on `unevaluated` fields compile to TRUE — the index already
     * verified them (P8).
@@ -81,6 +108,7 @@ object Compiler {
   def compile(e: QExpr, unevaluated: Set[String] = Set.empty): Column = e match {
     case t: Term if unevaluated.contains(t.field) => lit(true)
     case t: Term     => leaf(t)
+    case c: FnCmp    => fnCmp(c)
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
       exists(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
     case f: FnTerm   => fn(f)

@@ -139,6 +139,7 @@ class WikiSearchEngine(
     case t: Term if !Op.isNegative(t.op) => termCandidates(t, auth)
     case _: Term                         => None // negations never drive the index
     case _: FnTerm                       => None
+    case _: FnCmp                        => None // function results aren't indexed
     case _: BareTerm                     => None // rewritten earlier; unknown value
     case Not(_)                          => None
     case Or(cs) =>

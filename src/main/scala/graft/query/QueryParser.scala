@@ -148,10 +148,28 @@ object QueryParser {
             }
           }
           expect(TPunct(")"))
-          FnTerm(s"$ns:$name".toLowerCase match {
+          val ft = FnTerm(s"$ns:$name".toLowerCase match {
             case s if s.startsWith("f:") => s.stripPrefix("f:")
             case s                       => s
           }, args.result())
+          // optional comparison of the function result: f:abs(X) >= 2
+          peek match {
+            case Some(TOp(o)) if opMap.contains(o) =>
+              next()
+              operand() match {
+                case Right(l) => FnCmp(ft, opMap(o), l)
+                case Left(f) =>
+                  throw ParseException(s"function compared to field unsupported: $f")
+              }
+            case Some(TIdent(o)) if opMap.contains(o.toLowerCase) =>
+              next()
+              operand() match {
+                case Right(l) => FnCmp(ft, opMap(o.toLowerCase), l)
+                case Left(f) =>
+                  throw ParseException(s"function compared to field unsupported: $f")
+              }
+            case _ => ft
+          }
         case _ =>
           val lhs = operand()
           peek match {

@@ -219,6 +219,105 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // -- q15: fact ⋈ dim ⋈ dim rollup through supplier ---------------------
+    NamedQuery(
+      "q15_supplier_revenue",
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .cast("decimal(18,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // -- q16: HAVING (post-aggregation filter) -----------------------------
+    NamedQuery(
+      "q16_having",
+      """SELECT o_custkey AS custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("custkey")
+    },
+
+    // -- q17: TPC-H Q17 shape — agg-join correlated predicate -------------
+    NamedQuery(
+      "q17_small_quantity_revenue",
+      """WITH pa AS (SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < 0.5 * aq""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pk")).agg(avg(col("l_quantity")).as("aq"))
+      li.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(
+          dsum(col("l_extendedprice")).cast("decimal(18,2)").cast("double").as("total_value"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // -- q18: exact distinct aggregation ----------------------------------
+    NamedQuery(
+      "q18_distinct_parts",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // -- q19: ROLLUP subtotals (beyond-reference relational surface) ------
+    NamedQuery(
+      "q19_rollup",
+      """SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+        |  count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      val joined = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rn"), col("n_name").as("nn"))
+      // SQL text path (the engine's spark.sql surface): DataFrame
+      // .rollup + a later col("rn") reference trips Spark 4's ambiguous
+      // self-join detection (grouping cols appear twice in the Expand).
+      joined.createOrReplaceTempView("cust_geo")
+      s.sql(
+        """SELECT coalesce(rn, '(all)') AS region, coalesce(nn, '(all)') AS nation,
+          |  count(*) AS n
+          |FROM cust_geo GROUP BY ROLLUP(rn, nn) ORDER BY region, nation""".stripMargin)
+    },
+
+    // -- q20: per-user activity span (exact integer-ns arithmetic) --------
+    NamedQuery(
+      "q20_user_span",
+      """SELECT user_id, count(*) AS n_events,
+        |  (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 1000000000 AS span_seconds
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          floor((max(col("ts_nanos")) - min(col("ts_nanos"))) / 1000000000L)
+            .cast("bigint").as("span_seconds"))
+        .orderBy("user_id")
+    },
+
     // -- q12: event-time bucketing (batch shape of a streaming window) ----
     NamedQuery(
       "q12_events_hourly",

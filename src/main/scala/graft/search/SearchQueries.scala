@@ -136,6 +136,52 @@ object SearchQueries {
         .orderBy("doc_id", "term")
     },
 
+    // P7/P11 — language auths restrict the scan
+    NamedQuery(
+      "ws_q12_auths",
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE list_contains($toks, 'spark') AND lang IN ('en', 'de')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(engine(s, dir).run("TEXT == 'spark'", auths = Seq("en", "de")))
+    },
+
+    // f:abs(field) compared to a literal (QueryFunctions.java:48-66)
+    NamedQuery(
+      "ws_q13_fnabs",
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE abs(n_chars) >= 300 AND list_contains($toks, 'data')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(engine(s, dir).run("f:abs(NCHARS) >= 300 and TEXT == 'data'"))
+    },
+
+    // numeric equality on an identity-normalized indexed field
+    NamedQuery(
+      "ws_q14_id_eq",
+      """SELECT doc_id, lang AS language FROM documents
+        |WHERE doc_id = 42 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(engine(s, dir).run("ID == 42"))
+    },
+
+    // §2.10 — incremental index maintenance: build on half the corpus,
+    // merge a delta for the rest, verify the merged index equals a
+    // from-scratch build (oracle re-derives doc frequency from raw text)
+    NamedQuery(
+      "ws_index_incremental",
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM (
+         |  SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents) q
+         |GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      val docs  = Tables.load(s, dir, "documents")
+      val base  = IndexBuilder
+        .fromDocumentsTable(s, docs.filter(col("doc_id") % 2 === 0), NumPartitions).globalIndex
+      val delta = IndexBuilder
+        .fromDocumentsTable(s, docs.filter(col("doc_id") % 2 === 1), NumPartitions).globalIndex
+      graft.streaming.IncrementalIndex.merge(base, delta)
+        .filter(col("fieldName") === "TEXT")
+        .groupBy(col("fieldValue").as("term"))
+        .agg(sum(col("count")).as("doc_freq"))
+        .orderBy("term")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

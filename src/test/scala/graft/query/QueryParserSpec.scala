@@ -52,6 +52,14 @@ class QueryParserSpec extends AnyFunSuite {
       FnTerm("between", Seq("NCHARS", "200", "400")))
   }
 
+  test("function comparison f:abs(X) >= 2") {
+    assert(QueryParser.parse("f:abs(VAL) >= 2") ==
+      FnCmp(FnTerm("abs", Seq("VAL")), Op.GE, "2"))
+    // negation flips the comparison operator
+    assert(QueryParser.parse("not f:abs(VAL) >= 2") ==
+      FnCmp(FnTerm("abs", Seq("VAL")), Op.LT, "2"))
+  }
+
   test("bare unfielded term") {
     assert(QueryParser.parse("'spark'") == BareTerm("spark"))
   }
