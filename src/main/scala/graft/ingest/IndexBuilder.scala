@@ -18,18 +18,21 @@ case class WikiIndex(
     documents: DataFrame,    // (partition, language, docId, textB64)
     globalIndex: DataFrame,  // (fieldValue, fieldName, partition, language, count, uids, ignore)
     metadata: DataFrame,     // (fieldName, kind, language, normalizer)
-    termPostings: DataFrame  // (term, language, partition, docId, tf, offsets)
+    termPostings: DataFrame, // (term, language, partition, docId, tf, offsets)
+    storedEvents: Option[DataFrame] = None // loaded event view, if persisted
 ) {
 
   /** The pivoted per-document event view — one row per doc with
     * `fields: map<fieldName, array<values>>` (TEXT tokens included).
     * This IS the reference's `wiki` event table (P1/A8 pivot,
-    * `EvaluatingIterator.fillMap`): materialized once at build time, not
-    * per query. At 100 TB it is stored as partitioned parquet alongside
-    * the other tables; queries semi-join candidates against it with
-    * partition pruning.
+    * `EvaluatingIterator.fillMap`): materialized once at build time and
+    * persisted by `save` (loaded form short-circuits the derivation). At
+    * 100 TB it is partitioned parquet; queries semi-join candidates
+    * against it with partition pruning.
     */
-  lazy val events: DataFrame = {
+  lazy val events: DataFrame = storedEvents.getOrElse(derivedEvents)
+
+  private lazy val derivedEvents: DataFrame = {
     val fieldArrays = docsFields
       .groupBy("partition", "language", "docId", "fieldName")
       .agg(collect_list(col("fieldValue")).as("vals"))
@@ -79,6 +82,10 @@ case class WikiIndex(
       .repartition(col("partition"))
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/term_postings")
+    events
+      .repartition(col("partition"))
+      .sortWithinPartitions("language", "docId")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/events")
   }
 }
 
@@ -88,7 +95,8 @@ object WikiIndex {
     documents = spark.read.parquet(s"$dir/documents"),
     globalIndex = spark.read.parquet(s"$dir/global_index"),
     metadata = spark.read.parquet(s"$dir/metadata"),
-    termPostings = spark.read.parquet(s"$dir/term_postings")
+    termPostings = spark.read.parquet(s"$dir/term_postings"),
+    storedEvents = Some(spark.read.parquet(s"$dir/events"))
   )
 }
 

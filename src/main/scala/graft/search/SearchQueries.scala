@@ -20,15 +20,23 @@ object SearchQueries {
 
   val NumPartitions = 8
 
-  // One index build per (session, dir) — queries share it like the
-  // reference's long-lived Accumulo tables.
+  // One index build per (session, dir) — built once, persisted as
+  // partitioned sorted parquet, then queried THROUGH the storage layer
+  // (like the reference's long-lived Accumulo tables). Running against
+  // parquet rather than in-memory caches keeps predicate pushdown,
+  // column pruning, and partition pruning in play — the plan you'd get
+  // at 100 TB, not a cache artifact.
   private val cache = TrieMap.empty[String, (WikiIndex, WikiSearchEngine)]
 
   def engine(s: SparkSession, dir: String): WikiSearchEngine =
     cache.getOrElseUpdate(dir, {
-      val ix = IndexBuilder
+      val sfName  = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val saveDir = s"${sys.props("java.io.tmpdir")}/graft_index/$sfName"
+      IndexBuilder
         .fromDocumentsTable(s, Tables.load(s, dir, "documents"), NumPartitions)
-        .cacheAll()
+        .save(saveDir)
+      val ix = WikiIndex.load(s, saveDir)
+      ix.metadata.cache() // broadcast-size catalog only
       (ix, new WikiSearchEngine(s, ix))
     })._2
 
