@@ -22,17 +22,29 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
 
-  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  /** (doc_id, shingle) pairs: distinct word n-grams per document.
+    * Compiled UDF rather than nested higher-order functions — HOF
+    * expressions evaluate interpreted per element, which dominates on a
+    * corpus-wide shingling pass.
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val tk = toks(col("text"))
-    docs
-      .select(col("doc_id"), explode(
-        array_distinct(filter(
-          transform(tk, (x, i) =>
-            when(i <= size(tk) - n,
-              concat_ws(" ", (0 until n).map(j =>
-                element_at(tk, i + j + 1)): _*))),
-          s => s.isNotNull))).as("shingle"))
+    val shingleUdf = udf { text: String =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      if (tk.length < n) Array.empty[String]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= tk.length - n) {
+          val sb = new StringBuilder(tk(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
+          seen += sb.toString
+          i += 1
+        }
+        seen.toArray
+      }
+    }
+    docs.select(col("doc_id"), explode(shingleUdf(col("text"))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ tau).
@@ -46,16 +58,22 @@ object Dedup {
     * is applied.
     */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    // Join on a 64-bit shingle hash, not the string: same equality
+    // semantics up to xxhash64 collisions (~|shingles|²/2⁶⁴ ≈ 0), half
+    // the shuffle bytes. Doc-size side is broadcast (one row per doc).
+    // The string-shingle stage is what's cached so its plan is shared
+    // with minhashPairs' shingle sets within a session.
     val sh = shingles(docs, n).cache()
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_shingles", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_shingles", "nb"), "b")
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_shingles").as("na"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_shingles").as("nb"))), "b")
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)

@@ -87,6 +87,12 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    NamedQuery.rowsOnly("sim_ivf_topk") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- text analysis ---------------------------------------------------
     NamedQuery(
       "ta_stats",

@@ -102,6 +102,86 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Train IVF centroids: deterministic init (first k by vec_id), then
+    * `iters` Lloyd steps computed distributively (posexplode → per-(cell,
+    * dim) mean → collect k×dim — driver state is bounded by k·dim, never
+    * by corpus size). Returns the centroid matrix.
+    */
+  def trainIvf(emb: DataFrame, k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect().map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (_, v) => (nearestCell(v, bc.value), v) }
+        .toDF("cell", "v")
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+      cents = next
+    }
+    cents
+  }
+
+  def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val ct = cents(c); var d = 0.0; var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-accelerated top-k: corpus partitioned into k cells (one narrow
+    * shuffle on cell id); each query probes its `nprobe` nearest cells and
+    * exact-reranks only those — the classic recall/cost dial. At 100 TB
+    * the cell assignment is written once at ingest; queries touch
+    * nprobe/k of the corpus.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, cells: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = trainIvf(emb, cells)
+    val bc    = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      bc.value.indices
+        .map(c => (c, {
+          var d = 0.0; var i = 0
+          val ct = bc.value(c); val n = math.min(a.length, ct.length)
+          while (i < n) { val t = a(i) - ct(i); d += t * t; i += 1 }
+          d
+        }))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm"))
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+      explode(probeUdf(col("embedding"))).as("cell"), norm(col("embedding")).as("qnrm"))
+    val scored = corpus.join(broadcast(qs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dots with fixed
     * pseudo-random hyperplanes (deterministic seed). Vectors sharing a
     * signature bucket are near-duplicate candidates. This is the

@@ -75,6 +75,18 @@ class PipelineSpec extends SparkSuite {
     assert(top(1) == 1L && top(2) == 2L)
   }
 
+  test("IVF topK: probing recovers the brute-force neighbor on separated clusters") {
+    val emb = (0 until 20).map { i =>
+      val base = if (i < 10) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i % 5) + d) })
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0), k = 3, cells = 2, nprobe = 1)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    // with nprobe=1, all neighbors come from vec 0's own cluster cell
+    assert(top.values.toSet.subsetOf((1L to 9L).toSet))
+    assert(top.size == 3)
+  }
+
   test("LSH buckets put identical vectors together") {
     val emb = Seq(
       (1L, Array.fill(8)(0.5f)),
