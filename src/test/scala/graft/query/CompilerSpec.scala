@@ -1,0 +1,66 @@
+package graft.query
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+
+/** Residual-predicate semantics over the pivoted event view, exercised
+  * directly on constructed `fields` maps — pins the multi-value any-match
+  * rewrite (`QueryEvaluator.rewriteQuery:120-203`), NE/NRE absence
+  * semantics (anti-probe J4), coercion, and case-insensitivity.
+  */
+class CompilerSpec extends SparkSuite {
+  import spark.implicits._
+
+  // doc 1: COLOR in {red, blue}; doc 2: COLOR = {green}; doc 3: no COLOR
+  private lazy val events = Seq(
+    (1L, Map("COLOR" -> Seq("red", "blue"), "N" -> Seq("5"))),
+    (2L, Map("COLOR" -> Seq("green"), "N" -> Seq("15"))),
+    (3L, Map("N" -> Seq("7.5")))
+  ).toDF("docId", "fields")
+
+  private def ids(q: String): Set[Long] =
+    events.filter(Compiler.compile(QueryParser.parse(q)))
+      .select("docId").as[Long].collect().toSet
+
+  test("multi-value EQ is any-match") {
+    assert(ids("COLOR == 'red'") == Set(1L))
+    assert(ids("COLOR == 'blue'") == Set(1L))
+    assert(ids("COLOR == 'green'") == Set(2L))
+  }
+
+  test("EQ is case-insensitive on both sides") {
+    assert(ids("COLOR == 'RED'") == Set(1L))
+    assert(ids("color == 'Red'") == Set(1L))
+  }
+
+  test("NE is absence: no value may match, missing field satisfies") {
+    assert(ids("N >= 0 and COLOR != 'red'") == Set(2L, 3L))
+  }
+
+  test("numeric coercion compares as double, not lexicographically") {
+    assert(ids("N > 6") == Set(2L, 3L)) // '15' > 6 numerically; '5' is not
+    assert(ids("N <= 7.5") == Set(1L, 3L))
+  }
+
+  test("regex full match with any-match over values") {
+    assert(ids("COLOR =~ 'r.d'") == Set(1L))
+    assert(ids("COLOR =~ 'r.'").isEmpty) // full-string, not find
+    assert(ids("N >= 0 and COLOR !~ 'gr.*'") == Set(1L, 3L))
+  }
+
+  test("f:between inclusive bounds with parse-failure-as-false") {
+    assert(ids("f:between(N, 5, 10)") == Set(1L, 3L))
+    assert(ids("f:between(COLOR, 0, 9)").isEmpty) // non-numeric values
+  }
+
+  test("f:abs comparison") {
+    assert(ids("f:abs(N) >= 7") == Set(2L, 3L))
+  }
+
+  test("unevaluated field compiles to TRUE") {
+    val c = Compiler.compile(QueryParser.parse("COLOR == 'nope' and N >= 0"), Set("COLOR"))
+    val got = events.filter(c).select("docId").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+}
