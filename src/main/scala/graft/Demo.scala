@@ -34,6 +34,20 @@ object Demo {
     val unknown = eng.run("NOSUCHFIELD == 'x'")
     println(s"unknown-field rows: ${unknown.count()} (full scan, residual false)")
 
+    println("== wikipedia path: fixture XML → index → query (native normalizer)")
+    val fixture = Option(getClass.getResource("/enwiki-test.xml")).map(_.getPath)
+      .orElse(Some("src/test/resources/enwiki-test.xml")
+        .filter(p => new java.io.File(p).exists()))
+    if (fixture.isDefined) {
+      val arts = ingest.XmlIngest.readArticles(spark, fixture.get)
+      val wIx  = ingest.IndexBuilder.fromArticles(spark, arts, numPartitions = 1)
+      val wEng = new query.WikiSearchEngine(spark, wIx)
+      val svc  = new api.QueryService(wEng)
+      val res  = svc.query("TITLE == 'Ábacus' or TEXT == 'abacus'", Seq("enwiki"))
+      println(s"wiki results: ${res.documents.size} doc(s)")
+      println(res.toXml.take(200))
+    } else println("fixture not found (run from the repo root)")
+
     spark.stop()
   }
 }

@@ -117,6 +117,7 @@ object IndexBuilder {
     */
   def fromArticles(spark: SparkSession, articles: Dataset[Article], numPartitions: Int): WikiIndex = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val base = articles.toDF
       .withColumn("partition", pmod(col("id"), lit(numPartitions)).cast("int"))
       .withColumn("docId", col("id").cast("string"))
@@ -139,7 +140,8 @@ object IndexBuilder {
     // Index rows: normalized field values + distinct TEXT tokens
     // (WikipediaMapper.java:155-191).
     val normalizedFields = docsFields.select(
-      when(col("fieldName") === "TITLE", TextFunctions.normalize(col("fieldValue")))
+      when(col("fieldName") === "TITLE",
+        call_function("graft_normalize", col("fieldValue"))) // native codegen'd expr
         .otherwise(col("fieldValue")).as("fieldValue"),
       col("fieldName"), col("partition"), col("language"), col("docId"))
     val tokenRows = base.select(
