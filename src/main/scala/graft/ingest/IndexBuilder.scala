@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.functions.{TextFunctions, UidListAggregator}
+import graft.functions.{TextFunctions, UidListAggregator, UidListMergeAggregator}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -231,6 +231,28 @@ object IndexBuilder {
     rows
       .groupBy("fieldValue", "fieldName", "partition", "language")
       .agg(uidAgg(col("docId")).as("u"))
+      .select(
+        col("fieldValue"), col("fieldName"), col("partition"), col("language"),
+        col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
+  }
+
+  /** Skew-hardened index build: two-phase aggregation with a salt on the
+    * first shuffle. A pathological term (stopword across a 100 TB corpus)
+    * sends all its rows to one reducer in the single-phase build; salting
+    * splits it over `salts` reducers, and the second phase merges the
+    * partials. This is EXACTLY correct — not approximately — because the
+    * UidList combiner is associative/commutative under merge (A1's
+    * contract, proven by `ws_index_incremental` and AggregatorsSpec).
+    */
+  def buildGlobalIndexSalted(rows: DataFrame, salts: Int = 16): DataFrame = {
+    val uidAgg   = udaf(new UidListAggregator())
+    val mergeAgg = udaf(new UidListMergeAggregator())
+    rows
+      .withColumn("salt", pmod(hash(col("docId")), lit(salts)))
+      .groupBy("fieldValue", "fieldName", "partition", "language", "salt")
+      .agg(uidAgg(col("docId")).as("u"))
+      .groupBy("fieldValue", "fieldName", "partition", "language")
+      .agg(mergeAgg(col("u.count"), col("u.uids"), col("u.ignore")).as("u"))
       .select(
         col("fieldValue"), col("fieldName"), col("partition"), col("language"),
         col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))

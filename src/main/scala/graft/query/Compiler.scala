@@ -28,18 +28,29 @@ object Compiler {
   private val numericRe = "^-?\\d+(\\.\\d+)?$".r
   def isNumeric(s: String): Boolean = numericRe.matches(s)
 
+  /** Per-field normalization for residual string comparison: applied to
+    * BOTH the value column and the query literal, so the residual agrees
+    * with what the index matched (a literal normalized to 'acido' must
+    * accept the raw value 'Ácido'). Default = case folding only (the
+    * reference evaluator's behavior, `QueryEvaluator.java:208-288`);
+    * fields with the lc-no-diacritics normalizer get the full transform.
+    */
+  case class FieldNorm(colFn: Column => Column, litFn: String => String)
+  val DefaultNorm: FieldNorm = FieldNorm(lower, _.toLowerCase)
+
   /** Values array for a field out of the event map (null-safe empty). */
   private def values(field: String): Column =
     coalesce(col("fields").getItem(field), array())
 
-  private def leaf(t: Term): Column = {
-    val vs = values(t.field)
+  private def leaf(t: Term, norms: Map[String, FieldNorm]): Column = {
+    val vs   = values(t.field)
+    val norm = norms.getOrElse(t.field, DefaultNorm)
     def anyValue(pred: Column => Column): Column = exists(vs, pred)
     val lit_ = t.literal
     t.op match {
       case Op.EQ =>
         if (isNumeric(lit_)) anyValue(v => v.try_cast("double") === lit(lit_.toDouble))
-        else anyValue(v => lower(v) === lit(lit_.toLowerCase))
+        else anyValue(v => norm.colFn(v) === lit(norm.litFn(lit_)))
       case Op.NE =>
         // Absence semantics: NO value matches. This is what the reference's
         // negation machinery enforces at the document level (anti-probe J4,
@@ -47,21 +58,22 @@ object Compiler {
         // field contains the value anywhere is invalidated. (The literal
         // JEXL any-match rewrite never sees negated index fields.)
         if (isNumeric(lit_)) !anyValue(v => v.try_cast("double") === lit(lit_.toDouble))
-        else !anyValue(v => lower(v) === lit(lit_.toLowerCase))
-      case Op.LT => cmp(vs, lit_, (a, b) => a < b)
-      case Op.LE => cmp(vs, lit_, (a, b) => a <= b)
-      case Op.GT => cmp(vs, lit_, (a, b) => a > b)
-      case Op.GE => cmp(vs, lit_, (a, b) => a >= b)
-      case Op.RE  => anyValue(v => TextFunctions.jexlMatches(lower(v), lit_))
-      case Op.NRE => !anyValue(v => TextFunctions.jexlMatches(lower(v), lit_))
+        else !anyValue(v => norm.colFn(v) === lit(norm.litFn(lit_)))
+      case Op.LT => cmp(vs, norm, lit_, (a, b) => a < b)
+      case Op.LE => cmp(vs, norm, lit_, (a, b) => a <= b)
+      case Op.GT => cmp(vs, norm, lit_, (a, b) => a > b)
+      case Op.GE => cmp(vs, norm, lit_, (a, b) => a >= b)
+      case Op.RE  => anyValue(v => TextFunctions.jexlMatches(norm.colFn(v), lit_))
+      case Op.NRE => !anyValue(v => TextFunctions.jexlMatches(norm.colFn(v), lit_))
     }
   }
 
-  private def cmp(vs: Column, literal: String, f: (Column, Column) => Column): Column =
+  private def cmp(vs: Column, norm: FieldNorm, literal: String,
+      f: (Column, Column) => Column): Column =
     if (isNumeric(literal))
       exists(vs, v => f(v.try_cast("double"), lit(literal.toDouble)))
     else
-      exists(vs, v => f(lower(v), lit(literal.toLowerCase)))
+      exists(vs, v => f(norm.colFn(v), lit(norm.litFn(literal))))
 
   private def fn(t: FnTerm): Column = t.name match {
     // f:between(field, lo, hi) — QueryFunctions.java:26-46: numeric parse,
@@ -103,17 +115,21 @@ object Compiler {
 
   /** Compile the (normalized, Not-free below boolean nodes) AST.
     * Terms on `unevaluated` fields compile to TRUE — the index already
-    * verified them (P8).
+    * verified them (P8). `norms` carries per-field normalizers from the
+    * metadata catalog (literal-normalization rule, `RangeCalculator.java:339-343`).
     */
-  def compile(e: QExpr, unevaluated: Set[String] = Set.empty): Column = e match {
+  def compile(
+      e: QExpr,
+      unevaluated: Set[String] = Set.empty,
+      norms: Map[String, FieldNorm] = Map.empty): Column = e match {
     case t: Term if unevaluated.contains(t.field) => lit(true)
-    case t: Term     => leaf(t)
+    case t: Term     => leaf(t, norms)
     case c: FnCmp    => fnCmp(c)
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
       exists(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
     case f: FnTerm   => fn(f)
-    case And(cs)     => cs.map(compile(_, unevaluated)).reduce(_ && _)
-    case Or(cs)      => cs.map(compile(_, unevaluated)).reduce(_ || _)
-    case Not(c)      => !compile(c, unevaluated)
+    case And(cs)     => cs.map(compile(_, unevaluated, norms)).reduce(_ && _)
+    case Or(cs)      => cs.map(compile(_, unevaluated, norms)).reduce(_ || _)
+    case Not(c)      => !compile(c, unevaluated, norms)
   }
 }

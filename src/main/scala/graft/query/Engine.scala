@@ -39,6 +39,8 @@ class WikiSearchEngine(
 
   import WikiSearchEngine._
 
+  graft.plans.GraftFunctions.register(spark)
+
   /** field → normalizer fn, from the metadata catalog (tiny; collected
     * once — the analogue of `findIndexedTerms`, `AbstractQueryLogic.java:230-283`).
     */
@@ -52,6 +54,21 @@ class WikiSearchEngine(
           TextFunctions.lcNoDiacritics _
         else identity[String] _
       f -> norm
+    }.toMap
+  }
+
+  /** Residual-filter normalizers per field: lc-no-diacritics fields
+    * compare through the native `graft_normalize` expression so the
+    * residual accepts exactly what the index matched.
+    */
+  private lazy val residualNorms: Map[String, Compiler.FieldNorm] = {
+    val rows = index.metadata.filter(col("kind") === "i")
+      .select("fieldName", "normalizer").distinct().collect()
+    rows.collect {
+      case r if r.getString(1) == graft.ingest.IndexBuilder.LcNormalizer =>
+        r.getString(0) -> Compiler.FieldNorm(
+          v => call_function("graft_normalize", v),
+          TextFunctions.lcNoDiacritics)
     }.toMap
   }
 
@@ -80,9 +97,11 @@ class WikiSearchEngine(
         // Candidates restrict the stored event view by semi-join (index
         // nested-loop doc fetch J3, as a distributed semi-join).
         val events = eventView(authFilter, Some(candidates.df))
-        finish(events.filter(Compiler.compile(ast, config.unevaluatedFields)))
+        finish(events.filter(
+          Compiler.compile(ast, config.unevaluatedFields, residualNorms)))
       case None => // full scan (AbstractQueryLogic.java:838-884)
-        finish(eventView(authFilter, None).filter(Compiler.compile(ast)))
+        finish(eventView(authFilter, None)
+          .filter(Compiler.compile(ast, norms = residualNorms)))
     }
   }
 
