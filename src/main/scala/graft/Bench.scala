@@ -25,11 +25,39 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results :+ ("index_build" -> indexBuild))
+    // Concurrent random-query throughput — the shape of the reference's
+    // baseline (README.md:192-204: clients submitting ANDs of 3-5 random
+    // common words; it reports ~24-26 q/s aggregate on 10 nodes). Seeded,
+    // so the workload is identical across rounds.
+    val vocab = ix.globalIndex
+      .filter(org.apache.spark.sql.functions.col("fieldName") === "TEXT")
+      .select("fieldValue").distinct().collect().map(_.getString(0)).sorted
+    val rnd = new scala.util.Random(42)
+    val nQueries = 40
+    val workload = Seq.fill(nQueries) {
+      val k = 3 + rnd.nextInt(3)
+      Seq.fill(k)(vocab(rnd.nextInt(vocab.length)))
+        .map(w => s"TEXT == '$w'").mkString(" and ")
+    }
+    val eng  = search.SearchQueries.engine(spark, sfDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    val futures = workload.map(q => scala.concurrent.Future(eng.run(q).count()))
+    val resultsCnt = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+    val concWall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+
+    val extra = Seq(
+      "index_build" -> indexBuild,
+      "concurrent_wall" -> concWall,
+      "concurrent_qps" -> nQueries / concWall)
+    val qs = (results ++ extra)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":$concWall,"qps":${nQueries / concWall},"results":${resultsCnt.sum}}}""")
     spark.stop()
   }
 }

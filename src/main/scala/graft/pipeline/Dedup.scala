@@ -77,7 +77,9 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      // floor-scaling (both engines floor the same binary double) — see
+      // RelationalQueries q11 note on ROUND's decimal-string hazard
+      .select(col("a"), col("b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------

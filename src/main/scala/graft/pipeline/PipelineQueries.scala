@@ -36,7 +36,7 @@ object PipelineQueries {
          | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
          |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-         |SELECT a, b, ROUND(j, 4) AS jaccard FROM (
+         |SELECT a, b, floor(j * 10000) / 10000 AS jaccard FROM (
          |  SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
          |  FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
          |WHERE j >= 0.1 ORDER BY a, b""".stripMargin) { (s, dir) =>

@@ -205,7 +205,7 @@ object RelationalQueries {
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |  length(o_orderstatus) AS status_len,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class,
-        |  ROUND(o_totalprice / 1000, 2) AS price_k
+        |  floor(o_totalprice / 10) / 100 AS price_k
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
@@ -215,7 +215,10 @@ object RelationalQueries {
           year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
           length(col("o_orderstatus")).as("status_len"),
           when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_class"),
-          round(col("o_totalprice") / 1000, 2).as("price_k"))
+          // floor-scaling, not ROUND: both engines floor the same binary
+          // double; ROUND diverges when the shortest decimal repr sits on a
+          // half boundary (Spark rounds the string, DuckDB the binary).
+          (floor(col("o_totalprice") / 10) / 100).as("price_k"))
         .orderBy("o_orderkey")
     },
 
