@@ -46,6 +46,8 @@ object Demo {
       val res  = svc.query("TITLE == 'Ábacus' or TEXT == 'abacus'", Seq("enwiki"))
       println(s"wiki results: ${res.documents.size} doc(s)")
       println(res.toXml.take(200))
+      println(res.toYaml.linesIterator.take(6).mkString("\n"))
+      println(res.toHtml.take(160))
     } else println("fixture not found (run from the repo root)")
 
     spark.stop()

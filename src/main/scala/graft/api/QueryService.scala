@@ -52,6 +52,37 @@ case class Results(documents: Seq[Document]) {
     }
     s"""{"documents":${docs.mkString("[", ",", "]")}}"""
   }
+
+  /** YAML media type (reference supports xml/json/yaml/html,
+    * `IQuery.java:279-315`). Values single-quoted with quote doubling.
+    */
+  def toYaml: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val sb = new StringBuilder("documents:\n")
+    documents.foreach { d =>
+      sb.append(s"- id: ${q(d.id)}\n  pointer: ${q(d.pointer)}\n  fields:\n")
+      d.fields.foreach(f => sb.append(s"  - name: ${q(f.name)}\n    value: ${q(f.value)}\n"))
+    }
+    sb.toString
+  }
+
+  /** HTML table — the reference's style.xsl output shape
+    * (`query-war/src/main/webapp/style.xsl:20-47`: one row per document,
+    * one cell per field).
+    */
+  def toHtml: String = {
+    val fieldNames = documents.flatMap(_.fields.map(_.name)).distinct.sorted
+    val head = ("id" +: fieldNames)
+      .map(n => s"<th>${xmlEscape(n)}</th>").mkString
+    val rows = documents.map { d =>
+      val byName = d.fields.groupBy(_.name)
+      val cells = fieldNames.map { n =>
+        s"<td>${xmlEscape(byName.getOrElse(n, Nil).map(_.value).mkString(", "))}</td>"
+      }.mkString
+      s"<tr><td>${xmlEscape(d.id)}</td>$cells</tr>"
+    }.mkString
+    s"<table><tr>$head</tr>$rows</table>"
+  }
 }
 
 /** Library facade over the engine — the boolean-search and content entry

@@ -46,6 +46,10 @@ class IndexPersistenceSpec extends SparkSuite {
     assert(xml.contains("<field name=\"TITLE\">Abacus</field>"))
     val json = res.toJson
     assert(json.contains("\"id\":\"655\""))
+    val yaml = res.toYaml
+    assert(yaml.contains("- id: '655'") && yaml.contains("value: 'Abacus'"))
+    val html = res.toHtml
+    assert(html.contains("<th>TITLE</th>") && html.contains("<td>Abacus</td>"))
 
     assert(svc.content("DOCUMENT:0/enwiki/655").exists(_.contains("calculating tool")))
     assert(svc.content("DOCUMENT:0/enwiki/999").isEmpty)

@@ -49,6 +49,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch maintains the global index incrementally across micro-batches") {
+    import graft.ingest.IndexBuilder
+    import org.apache.spark.sql.DataFrame
+
+    def postingRows(df: DataFrame): DataFrame =
+      df.select(
+        explode(split(col("text"), " ")).as("fieldValue"),
+        lit("TEXT").as("fieldName"),
+        lit(0).as("partition"),
+        lit("en").as("language"),
+        col("doc_id").cast("string").as("docId"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    var base: Option[DataFrame] = None
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = IndexBuilder.buildGlobalIndex(postingRows(batch))
+        val next  = base.fold(delta)(b => IncrementalIndex.merge(b, delta)).cache()
+        next.count() // materialize within the batch
+        base = Some(next)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "alpha"))
+      q.processAllAvailable()
+      input.addData((3L, "beta gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val allDocs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta gamma")).toDF("doc_id", "text")
+    val full = IndexBuilder.buildGlobalIndex(postingRows(allDocs))
+    def canon(df: DataFrame) = df
+      .select(col("fieldValue"), col("count"), array_sort(col("uids")).as("uids"), col("ignore"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(base.get) == canon(full))
+  }
+
   test("incremental index merge preserves lossy UidList semantics") {
     def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
       rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
