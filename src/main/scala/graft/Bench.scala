@@ -49,11 +49,7 @@ object Bench {
     val concWall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val extra = Seq(
-      "index_build" -> indexBuild,
-      "concurrent_wall" -> concWall,
-      "concurrent_qps" -> nQueries / concWall)
-    val qs = (results ++ extra)
+    val qs = (results :+ ("index_build" -> indexBuild))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -148,7 +148,9 @@ class WikiSearchEngine(
     * collected at plan time exactly like the reference's
     * `RangeCalculator.queryGlobalIndex` cardinality accumulation, A5).
     */
-  private case class Cand(df: DataFrame, card: Long)
+  private case class Cand(df: DataFrame, cardThunk: () => Long) {
+    lazy val card: Long = cardThunk()
+  }
 
   /** Candidate (partition, language, docId) set for the expression, or
     * None when the expression is not index-answerable and the caller must
@@ -170,7 +172,7 @@ class WikiSearchEngine(
         Some(Cand(
           cands.map(_.df).reduce(_ unionByName _)
             .dropDuplicates("partition", "language", "docId"),
-          cands.map(_.card).sum))
+          () => cands.map(_.card).sum))
       } else None
     case And(cs) =>
       // AND: the reference keeps only the smaller-cardinality branch's
@@ -195,15 +197,16 @@ class WikiSearchEngine(
       if (all.isEmpty) None
       else {
         val base =
-          if (config.unevaluatedFields.isEmpty) all.minBy(_.card)
+          if (all.size == 1) all.head // no cardinality lookups needed
+          else if (config.unevaluatedFields.isEmpty) all.minBy(_.card)
           else Cand(
             all.map(_.df).reduce(_.join(_, Seq("partition", "language", "docId"), "left_semi")),
-            all.map(_.card).min)
+            () => all.map(_.card).min)
         Some(Cand(
           negatives.foldLeft(base.df) { (acc, negDf) =>
             acc.join(negDf, Seq("partition", "language", "docId"), "left_anti")
           },
-          base.card))
+          base.cardThunk))
       }
   }
 
@@ -263,7 +266,7 @@ class WikiSearchEngine(
         (if (loStrict) v > lit(loN) else v >= lit(loN),
           if (hiStrict) v < lit(hiN) else v <= lit(hiN))
     val ix = index.globalIndex.filter(col("fieldName") === field && loC && hiC)
-    Some(Cand(toCandidates(ix, auth), cardOf(ix)))
+    Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
   }
 
   /** Per-term candidate postings (S11 index scan + predicate
@@ -272,7 +275,7 @@ class WikiSearchEngine(
   private def termCandidates(t: Term, auth: DataFrame => DataFrame): Option[Cand] = {
     if (t.field == NoField) {
       // bare term not found anywhere in the index: provably empty
-      return Some(Cand(allDocs.limit(0), 0L))
+      return Some(Cand(allDocs.limit(0), () => 0L))
     }
     if (!indexedFields.contains(t.field)) return None
     val norm = normalizeLit(t.field, t.literal)
@@ -280,18 +283,18 @@ class WikiSearchEngine(
       case Op.EQ =>
         val ix = index.globalIndex
           .filter(col("fieldName") === t.field && col("fieldValue") === norm)
-        Some(Cand(toCandidates(ix, auth), cardOf(ix)))
+        Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
       case Op.RE =>
         classifyRegex(norm) match {
           case Prefix(p) => // trailing wildcard → forward index prefix range
             val ix = index.globalIndex
               .filter(col("fieldName") === t.field && col("fieldValue").startsWith(p))
-            Some(Cand(toCandidates(ix, auth), cardOf(ix)))
+            Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
           case Suffix(s) => // leading wildcard → reverse index prefix range
             val ix = index.reverseIndex
               .filter(col("fieldName") === t.field &&
                 col("fieldValue").startsWith(s.reverse))
-            Some(Cand(toCandidates(ix, auth), cardOf(ix)))
+            Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
           case Opaque => None // mid-string wildcard: filter-only (RangeCalculator.java:357-420)
         }
       case _ => None // single-sided ranges handled (fused) at the AND level
