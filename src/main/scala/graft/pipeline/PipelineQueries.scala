@@ -171,7 +171,16 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_no")
     },
 
-    NamedQuery.rowsOnly("mm_feature_stub") { (s, dir) =>
+    NamedQuery(
+      "mm_feature_stub",
+      // The decode STUB is a pure function of payload bytes (ASCII text ⇒
+      // byte i == codepoint of char i+1), so the oracle re-derives it.
+      """SELECT doc_id,
+        |  CAST(16 + unicode(text[1]) % 64 AS INT) AS width,
+        |  CAST(16 + (CASE WHEN length(text) > 1 THEN unicode(text[2]) ELSE 0 END) % 64 AS INT) AS height,
+        |  CAST(1 + length(text) % 7 AS INT) AS n_frames,
+        |  ROUND(CAST(unicode(text[1]) AS DOUBLE) / 255, 4) AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal
         .extractFeatures(s, Multimodal.asMedia(Tables.load(s, dir, "documents")))
         .toDF()
