@@ -22,8 +22,13 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 marks a failed query — never report its elapsed time as a result
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      name -> elapsed
     }
     // Concurrent random-query throughput — the shape of the reference's
     // baseline (README.md:192-204: clients submitting ANDs of 3-5 random
@@ -52,7 +57,7 @@ object Bench {
     val qs = (results :+ ("index_build" -> indexBuild))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":$concWall,"qps":${nQueries / concWall},"results":${resultsCnt.sum}}}""")
     spark.stop()
   }

@@ -26,7 +26,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumnRenamed("ts", "ts_nanos")
-      .withColumn("ts", timestamp_micros(col("ts_nanos") / 1000 cast "long"))
+      // integer `div`, not `/`: double division of ~1.7e18 ns loses the
+      // low bits (ULP 256 ns) and can shift a timestamp by 1 µs
+      .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
   }
 }
 

@@ -39,12 +39,14 @@ object TextFunctions {
     */
   def normalize(c: Column): Column = lcNoDiacriticsUdf(c)
 
-  /** Tokenize a text column into an array of lowercase word tokens.
-    * Pure built-ins: codegen'd, no UDF. Splits on any run of
-    * non-alphanumerics and drops empties.
+  /** Tokenize a text column into an array of normalized word tokens:
+    * lc-no-diacritics the whole text first, then split on runs of
+    * non-letter/non-digit (Unicode classes — an ASCII-only split would
+    * shred accented words like 'cálculo' into 'c'+'lculo' and make them
+    * unfindable under the normalizer the metadata declares for TEXT).
     */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    filter(split(lcNoDiacriticsUdf(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Tokenize on single spaces only — exact-parity tokenizer for the
     * driver's synthetic `documents` table (space-separated words), with a

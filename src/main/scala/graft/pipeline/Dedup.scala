@@ -188,6 +188,9 @@ object Dedup {
     * one identical chunk), then exact Hamming verification on candidates.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int, chunks: Int = 8): DataFrame = {
+    // pigeonhole guarantee requires more chunks than differing bits
+    require(maxDist < chunks,
+      s"simhashPairs recall guarantee needs maxDist < chunks (got $maxDist >= $chunks)")
     val width = 64 / chunks
     val sh    = simhashes(docs).cache()
     val chunkCols = (0 until chunks).map(c =>

@@ -42,8 +42,8 @@ object Multimodal {
     val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
     val b1 = if (payload.length > 1) payload(1) & 0xff else 0
     val feature = Array.tabulate(8) { i =>
-      val idx = if (payload.isEmpty) 0 else (i * 7) % payload.length
-      ((payload(idx) & 0xff) / 255.0f)
+      if (payload.isEmpty) 0f
+      else (payload((i * 7) % payload.length) & 0xff) / 255.0f
     }
     MediaFeature(-1L, 16 + (b0 % 64), 16 + (b1 % 64), 1 + payload.length % 7, feature)
   }
@@ -65,11 +65,14 @@ object Multimodal {
     * partition/batch shape of video frame extraction with the decode
     * stubbed to byte slicing.
     */
-  def frameSample(media: DataFrame, stride: Int, frameLen: Int): DataFrame =
+  def frameSample(media: DataFrame, stride: Int, frameLen: Int): DataFrame = {
+    // empty payload ⇒ no frames (sequence(0,-1) would yield [0,-1]!)
+    val frameIdx = when(length(col("payload")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), floor((length(col("payload")) - 1) / stride).cast("int")))
     media.select(
       col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), floor((length(col("payload")) - 1) / stride).cast("int")),
+      posexplode(transform(frameIdx,
         i => hex(col("payload").substr(i * stride + 1, lit(frameLen)))))
         .as(Seq("frame_no", "frame_hex")))
+  }
 }

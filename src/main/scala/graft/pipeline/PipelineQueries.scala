@@ -50,7 +50,7 @@ object PipelineQueries {
     },
 
     NamedQuery.rowsOnly("dd_simhash") { (s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxDist = 12)
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxDist = 7)
         .orderBy("a", "b")
     },
 

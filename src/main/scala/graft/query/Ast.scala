@@ -48,13 +48,26 @@ object QExpr {
     * After this pass the tree contains no `Not` nodes: negation lives in
     * the leaf operator (NE / NRE).
     */
+  private val rangeOps = Set(Op.LT, Op.LE, Op.GT, Op.GE)
+
   def normalize(e: QExpr): QExpr = {
     def go(e: QExpr, neg: Boolean): QExpr = e match {
       case Not(c)            => go(c, !neg)
-      case Term(f, op, l)    => Term(f, if (neg) Op.negate(op) else op, l)
+      case t @ Term(f, op, l) =>
+        // EQ/NE/RE/NRE flip safely: NE/NRE compile to absence (forall)
+        // semantics, the exact negation of any-match EQ/RE. Range ops do
+        // NOT flip under multi-value any-match — ¬any(v<x) is all(v≥x),
+        // not any(v≥x) — so a negated range keeps its Not wrapper and
+        // compiles to !exists (the correct forall).
+        if (!neg) t
+        else if (rangeOps.contains(op)) Not(t)
+        else Term(f, Op.negate(op), l)
       case b: BareTerm       => if (neg) Not(b) else b
       case f: FnTerm         => if (neg) Not(f) else f
-      case FnCmp(f, op, l)   => FnCmp(f, if (neg) Op.negate(op) else op, l)
+      case c @ FnCmp(f, op, l) =>
+        if (!neg) c
+        else if (rangeOps.contains(op)) Not(c) // same forall reasoning
+        else FnCmp(f, Op.negate(op), l)
       case And(cs) =>
         val mapped = cs.map(go(_, neg))
         if (neg) Or(flattenOr(mapped)) else And(flattenAnd(mapped))

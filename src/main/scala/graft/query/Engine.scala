@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *        residual re-evaluation (reference default: TEXT). Our event view
   *        CAN evaluate TEXT (tokens come from term_postings), so the exact
   *        default is empty — set to Set("TEXT") for reference-parity
-  *        behavior.
+  *        behavior. Reference-parity caveat (as in the reference, which
+  *        substitutes `field == null` unconditionally,
+  *        AbstractEvaluatingIterator.java:292-301): a term on an
+  *        unevaluated field that the index could NOT answer (e.g. an
+  *        opaque mid-string regex) is never checked anywhere — that is
+  *        the cost of declaring a field unevaluated.
   */
 case class EngineConfig(unevaluatedFields: Set[String] = Set.empty)
 
@@ -130,8 +135,11 @@ class WikiSearchEngine(
     */
   private def rewriteBareTerms(e: QExpr): QExpr = e match {
     case BareTerm(v) =>
+      // The term's field is unknown, so probe every normalized form a
+      // field might have stored ('Ábaco' → both 'ábaco' and 'abaco').
+      val forms = Seq(v.toLowerCase, TextFunctions.lcNoDiacritics(v)).distinct
       val fields = index.globalIndex
-        .filter(col("fieldValue") === v.toLowerCase)
+        .filter(col("fieldValue").isin(forms: _*))
         .select("fieldName").distinct().collect().map(_.getString(0))
       fields.toSeq match {
         case Seq()  => Term(NoField, Op.EQ, v)
@@ -281,8 +289,16 @@ class WikiSearchEngine(
     val norm = normalizeLit(t.field, t.literal)
     t.op match {
       case Op.EQ =>
-        val ix = index.globalIndex
-          .filter(col("fieldName") === t.field && col("fieldValue") === norm)
+        // Numeric literals also match numerically-equal stored forms
+        // ('300' vs query 300.0) so the index path agrees with the
+        // residual's coercing comparison; the string disjunct keeps the
+        // pushed-filter fast path for the common exact form.
+        val valueMatch =
+          if (Compiler.isNumeric(norm))
+            col("fieldValue") === norm ||
+              col("fieldValue").try_cast("double") === lit(norm.toDouble)
+          else col("fieldValue") === norm
+        val ix = index.globalIndex.filter(col("fieldName") === t.field && valueMatch)
         Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
       case Op.RE =>
         classifyRegex(norm) match {

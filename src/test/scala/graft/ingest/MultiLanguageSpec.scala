@@ -42,6 +42,17 @@ class MultiLanguageSpec extends SparkSuite {
     assert(ids("TITLE == 'acido'", Seq("eswiki")) == Set("901"))
   }
 
+  test("accented body words tokenize whole and match under either form") {
+    // 'cálculo' must not be shredded by the tokenizer; both the accented
+    // and the stripped query literal find it
+    assert(ids("TEXT == 'cálculo'", Seq("eswiki")) == Set("900"))
+    assert(ids("TEXT == 'calculo'", Seq("eswiki")) == Set("900"))
+  }
+
+  test("unfielded bare term with diacritics resolves via normalized forms") {
+    assert(ids("'Ábaco'", Seq("eswiki")) == Set("900"))
+  }
+
   test("salted index build is exactly equivalent to the single-phase build") {
     val rows = engine
       .run("ID >= 0 and ID <= 10000", Seq("enwiki", "eswiki")) // warm path; reuse articles

@@ -45,7 +45,7 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("simhash: identical docs at distance 0, near-dups close, rest far") {
-    val pairs = Dedup.simhashPairs(docs, maxDist = 16)
+    val pairs = Dedup.simhashPairs(docs, maxDist = 16, chunks = 32)
       .select("a", "b", "dist").as[(Long, Long, Int)].collect()
       .map { case (a, b, d) => (a, b) -> d }.toMap
     assert(pairs((1L, 4L)) == 0)

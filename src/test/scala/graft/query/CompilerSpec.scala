@@ -38,6 +38,13 @@ class CompilerSpec extends SparkSuite {
     assert(ids("N >= 0 and COLOR != 'red'") == Set(2L, 3L))
   }
 
+  test("negated range is forall, not any-match (multi-value)") {
+    // doc 1: N = {5}; doc 2: N = {15}; doc 3: N = {7.5}
+    // not(N < 10): doc 1 has a value < 10 → excluded; doc 2 kept
+    assert(ids("COLOR == 'green' and not N < 10") == Set(2L))
+    assert(ids("N >= 0 and not N < 10") == Set(2L))
+  }
+
   test("numeric coercion compares as double, not lexicographically") {
     assert(ids("N > 6") == Set(2L, 3L)) // '15' > 6 numerically; '5' is not
     assert(ids("N <= 7.5") == Set(1L, 3L))

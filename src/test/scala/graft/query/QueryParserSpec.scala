@@ -55,9 +55,17 @@ class QueryParserSpec extends AnyFunSuite {
   test("function comparison f:abs(X) >= 2") {
     assert(QueryParser.parse("f:abs(VAL) >= 2") ==
       FnCmp(FnTerm("abs", Seq("VAL")), Op.GE, "2"))
-    // negation flips the comparison operator
+    // range-op negation keeps its Not wrapper: under multi-value
+    // any-match semantics, ¬any(abs ≥ 2) is all(abs < 2) — flipping the
+    // operator would wrongly turn it into any(abs < 2)
     assert(QueryParser.parse("not f:abs(VAL) >= 2") ==
-      FnCmp(FnTerm("abs", Seq("VAL")), Op.LT, "2"))
+      Not(FnCmp(FnTerm("abs", Seq("VAL")), Op.GE, "2")))
+  }
+
+  test("range-op negation keeps Not; EQ/regex negation flips") {
+    assert(QueryParser.parse("not A < '5'") == Not(Term("A", Op.LT, "5")))
+    assert(QueryParser.parse("not A == 'x'") == Term("A", Op.NE, "x"))
+    assert(QueryParser.parse("not A =~ 'x.*'") == Term("A", Op.NRE, "x.*"))
   }
 
   test("bare unfielded term") {
