@@ -190,6 +190,29 @@ object SearchQueries {
         .orderBy("term")
     },
 
+    // Phrase adjacency via term-posting offsets (beyond-reference: the
+    // reference stores TermWeight word offsets but never queries them) —
+    // postings of both terms join on the doc key, adjacency = any offset
+    // of t1 whose successor position is an offset of t2. Co-partitioned
+    // join on (partition, docId); no corpus scan.
+    NamedQuery(
+      "ws_phrase",
+      s"""SELECT doc_id, lang AS language FROM (
+         |  SELECT doc_id, lang, $toks AS tk FROM documents) q
+         |WHERE len(list_filter(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] = 'spark' AND tk[i+1] = 'join')) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tp = index(s, dir).termPostings
+      val p1 = tp.filter(col("term") === "spark")
+        .select(col("partition"), col("language"), col("docId"), col("offsets").as("o1"))
+      val p2 = tp.filter(col("term") === "join")
+        .select(col("partition"), col("language"), col("docId"), col("offsets").as("o2"))
+      p1.join(p2, Seq("partition", "language", "docId"))
+        .filter(arrays_overlap(transform(col("o1"), x => x + 1), col("o2")))
+        .select(col("docId").cast("bigint").as("doc_id"), col("language"))
+        .orderBy("doc_id")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",
