@@ -10,6 +10,7 @@ sealed trait QExpr
 
 object Op extends Enumeration {
   val EQ, NE, LT, LE, GT, GE, RE, NRE = Value
+
   /** Operators whose negation is the listed operator (JexlOperatorConstants.java:44-108). */
   def negate(op: Value): Value = op match {
     case EQ => NE; case NE => EQ
@@ -18,6 +19,13 @@ object Op extends Enumeration {
     case RE => NRE; case NRE => RE
   }
   def isNegative(op: Value): Boolean = op == NE || op == NRE
+
+  /** LT/LE/GT/GE — range comparisons. Their negation is NOT expressible
+    * as another single any-match op under multi-value semantics (see
+    * `QExpr.normalize`), so they are shared by the normalizer and the
+    * planner's range-fusion pass.
+    */
+  def isRange(op: Value): Boolean = op == LT || op == LE || op == GT || op == GE
 }
 
 /** A fielded comparison leaf, e.g. `TITLE == 'abacus'`. */
@@ -45,28 +53,26 @@ object QExpr {
   /** Push NOT down to the leaves (De Morgan), flatten nested AND/OR —
     * the algebra of `FieldIndexQueryReWriter.demorganSubTree:834-866` and
     * `QueryParser`'s negation tracking (`QueryParser.java:684-700`).
-    * After this pass the tree contains no `Not` nodes: negation lives in
-    * the leaf operator (NE / NRE).
+    *
+    * After this pass, negation lives in the leaf operator (NE/NRE) for
+    * equality and regex comparisons — those compile to absence (forall)
+    * semantics, the exact negation of any-match. Range comparisons are
+    * the exception: ¬any(v < x) is all(v ≥ x), NOT any(v ≥ x), so a
+    * negated range keeps its `Not` wrapper (same for negated `FnCmp`)
+    * and compiles to `!exists` downstream.
     */
-  private val rangeOps = Set(Op.LT, Op.LE, Op.GT, Op.GE)
-
   def normalize(e: QExpr): QExpr = {
     def go(e: QExpr, neg: Boolean): QExpr = e match {
-      case Not(c)            => go(c, !neg)
+      case Not(c)             => go(c, !neg)
       case t @ Term(f, op, l) =>
-        // EQ/NE/RE/NRE flip safely: NE/NRE compile to absence (forall)
-        // semantics, the exact negation of any-match EQ/RE. Range ops do
-        // NOT flip under multi-value any-match — ¬any(v<x) is all(v≥x),
-        // not any(v≥x) — so a negated range keeps its Not wrapper and
-        // compiles to !exists (the correct forall).
         if (!neg) t
-        else if (rangeOps.contains(op)) Not(t)
+        else if (Op.isRange(op)) Not(t)
         else Term(f, Op.negate(op), l)
-      case b: BareTerm       => if (neg) Not(b) else b
-      case f: FnTerm         => if (neg) Not(f) else f
+      case b: BareTerm        => if (neg) Not(b) else b
+      case f: FnTerm          => if (neg) Not(f) else f
       case c @ FnCmp(f, op, l) =>
         if (!neg) c
-        else if (rangeOps.contains(op)) Not(c) // same forall reasoning
+        else if (Op.isRange(op)) Not(c)
         else FnCmp(f, Op.negate(op), l)
       case And(cs) =>
         val mapped = cs.map(go(_, neg))
@@ -102,12 +108,18 @@ object QExpr {
 
   /** A query that is negations-only is invalid
     * (`FieldIndexQueryReWriter.removeNegationViolations:694+`).
+    * A `Not`-wrapped RANGE comparison is not a negation in this sense —
+    * it is a bounded assertion the engine can evaluate by full scan (the
+    * reference accepts it by flipping the operator); only absence-style
+    * negations (NE/NRE, negated equality trees) count.
     */
   def allNegated(e: QExpr): Boolean = e match {
-    case Term(_, op, _) => Op.isNegative(op)
-    case And(cs)        => cs.forall(allNegated)
-    case Or(cs)         => cs.forall(allNegated)
-    case Not(_)         => true
-    case _              => false
+    case Term(_, op, _)                            => Op.isNegative(op)
+    case And(cs)                                   => cs.forall(allNegated)
+    case Or(cs)                                    => cs.forall(allNegated)
+    case Not(Term(_, op, _)) if Op.isRange(op)     => false
+    case Not(FnCmp(_, op, _)) if Op.isRange(op)    => false
+    case Not(_)                                    => true
+    case _                                         => false
   }
 }

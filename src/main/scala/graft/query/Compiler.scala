@@ -113,16 +113,24 @@ object Compiler {
       throw new IllegalArgumentException(s"unsupported function comparison f:$other")
   }
 
-  /** Compile the (normalized, Not-free below boolean nodes) AST.
+  /** Compile the normalized AST (negation lives in NE/NRE leaves, except
+    * negated ranges which keep a `Not` wrapper — see `QExpr.normalize`).
     * Terms on `unevaluated` fields compile to TRUE — the index already
-    * verified them (P8). `norms` carries per-field normalizers from the
-    * metadata catalog (literal-normalization rule, `RangeCalculator.java:339-343`).
+    * verified them (P8) — and so must their `Not`-wrapped forms (a
+    * `!lit(true)` would turn the whole conjunction constant-false).
+    * `norms` carries per-field normalizers from the metadata catalog
+    * (literal-normalization rule, `RangeCalculator.java:339-343`).
     */
   def compile(
       e: QExpr,
       unevaluated: Set[String] = Set.empty,
       norms: Map[String, FieldNorm] = Map.empty): Column = e match {
     case t: Term if unevaluated.contains(t.field) => lit(true)
+    case Not(t: Term) if unevaluated.contains(t.field) => lit(true)
+    case Not(c: FnCmp) if c.fn.args.headOption.exists(a => unevaluated.contains(a.toUpperCase)) =>
+      lit(true)
+    case c: FnCmp if c.fn.args.headOption.exists(a => unevaluated.contains(a.toUpperCase)) =>
+      lit(true)
     case t: Term     => leaf(t, norms)
     case c: FnCmp    => fnCmp(c)
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match

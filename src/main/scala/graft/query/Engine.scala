@@ -225,9 +225,8 @@ class WikiSearchEngine(
     */
   private def partitionRangeTerms(cs: Seq[QExpr])
       : (Seq[(String, (String, Boolean, String, Boolean))], Seq[QExpr]) = {
-    val rangeOps = Set(Op.LT, Op.LE, Op.GT, Op.GE)
     val (ranges, rest) = cs.partition {
-      case Term(_, op, _) => rangeOps.contains(op)
+      case Term(_, op, _) => Op.isRange(op)
       case _              => false
     }
     val byField = ranges.collect { case t: Term => t }.groupBy(_.field)
@@ -289,16 +288,8 @@ class WikiSearchEngine(
     val norm = normalizeLit(t.field, t.literal)
     t.op match {
       case Op.EQ =>
-        // Numeric literals also match numerically-equal stored forms
-        // ('300' vs query 300.0) so the index path agrees with the
-        // residual's coercing comparison; the string disjunct keeps the
-        // pushed-filter fast path for the common exact form.
-        val valueMatch =
-          if (Compiler.isNumeric(norm))
-            col("fieldValue") === norm ||
-              col("fieldValue").try_cast("double") === lit(norm.toDouble)
-          else col("fieldValue") === norm
-        val ix = index.globalIndex.filter(col("fieldName") === t.field && valueMatch)
+        val ix = index.globalIndex
+          .filter(col("fieldName") === t.field && col("fieldValue").isin(eqForms(norm): _*))
         Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
       case Op.RE =>
         classifyRegex(norm) match {
@@ -317,12 +308,33 @@ class WikiSearchEngine(
     }
   }
 
-  /** Exact postings only (ignore=false) — safe for anti-join pruning. */
+  /** Canonical stored forms a numeric equality literal can match:
+    * the normalized literal itself plus the canonical double/long
+    * renderings ('300.0' query matches stored '300' and vice versa).
+    * A finite IN-list, so the filter still pushes to parquet — a
+    * try_cast disjunct would not — and it is symmetric between the EQ
+    * candidate path and the NE anti-join prune. The residual filter
+    * still coerces fully for evaluable fields; exotic renderings
+    * ('4.2e1') match only there.
+    */
+  private def eqForms(norm: String): Seq[String] =
+    if (!Compiler.isNumeric(norm)) Seq(norm)
+    else {
+      val d = norm.toDouble
+      val longForm = if (d == d.toLong.toDouble) Seq(d.toLong.toString) else Nil
+      (Seq(norm, d.toString) ++ longForm).distinct
+    }
+
+  /** Exact postings only (ignore=false) — safe for anti-join pruning.
+    * Uses the same eqForms matching as the EQ candidate path so EQ and
+    * NE stay complementary on numerically-equal stored forms.
+    */
   private def exactPostings(t: Term, auth: DataFrame => DataFrame): Option[DataFrame] = {
     if (!indexedFields.contains(t.field)) return None
     val norm = normalizeLit(t.field, t.literal)
     val ix = index.globalIndex
-      .filter(col("fieldName") === t.field && col("fieldValue") === norm && !col("ignore"))
+      .filter(col("fieldName") === t.field &&
+        col("fieldValue").isin(eqForms(norm): _*) && !col("ignore"))
     Some(auth(ix.select(col("partition"), col("language"), explode(col("uids")).as("docId"))))
   }
 

@@ -70,4 +70,16 @@ class CompilerSpec extends SparkSuite {
     val got = events.filter(c).select("docId").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L))
   }
+
+  test("Not-wrapped unevaluated term also compiles to TRUE, not constant FALSE") {
+    val c = Compiler.compile(
+      QueryParser.parse("N >= 0 and not COLOR < 'm'"), Set("COLOR"))
+    val got = events.filter(c).select("docId").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("standalone negated range runs as a full-scan query") {
+    // ¬any(N < 10): doc 1 (5) excluded, doc 2 (15) kept, doc 3 (7.5) excluded
+    assert(ids("not N < 10") == Set(2L))
+  }
 }

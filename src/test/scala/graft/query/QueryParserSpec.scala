@@ -84,6 +84,9 @@ class QueryParserSpec extends AnyFunSuite {
   test("all-negation detection") {
     assert(QExpr.allNegated(QueryParser.parse("A != '1' and B != '2'")))
     assert(!QExpr.allNegated(QueryParser.parse("A == '1' and B != '2'")))
+    // a Not-wrapped range is a bounded assertion, not an absence negation
+    assert(!QExpr.allNegated(QueryParser.parse("not A < '5'")))
+    assert(!QExpr.allNegated(QueryParser.parse("not f:abs(VAL) >= 2")))
   }
 
   test("escaped quote inside string literal") {
