@@ -42,10 +42,21 @@ object Compiler {
   private def values(field: String): Column =
     coalesce(col("fields").getItem(field), array())
 
+  /** Two-valued any-match. Spark's `exists` is three-valued: when no
+    * element matches but some per-element predicates are null (e.g.
+    * `try_cast` of a non-numeric token), it returns NULL — and `!NULL`
+    * is NULL, so a negation over such a field silently drops docs that
+    * absence semantics say should match (`TEXT != '300'` over word
+    * tokens). Coalescing to false restores the reference's two-valued
+    * document-level negation (`BooleanLogicIterator.advanceNegatives:1809-1839`).
+    */
+  private def anyMatch(vs: Column, pred: Column => Column): Column =
+    coalesce(exists(vs, pred), lit(false))
+
   private def leaf(t: Term, norms: Map[String, FieldNorm]): Column = {
     val vs   = values(t.field)
     val norm = norms.getOrElse(t.field, DefaultNorm)
-    def anyValue(pred: Column => Column): Column = exists(vs, pred)
+    def anyValue(pred: Column => Column): Column = anyMatch(vs, pred)
     val lit_ = t.literal
     t.op match {
       case Op.EQ =>
@@ -71,16 +82,16 @@ object Compiler {
   private def cmp(vs: Column, norm: FieldNorm, literal: String,
       f: (Column, Column) => Column): Column =
     if (isNumeric(literal))
-      exists(vs, v => f(v.try_cast("double"), lit(literal.toDouble)))
+      anyMatch(vs, v => f(v.try_cast("double"), lit(literal.toDouble)))
     else
-      exists(vs, v => f(norm.colFn(v), lit(norm.litFn(literal))))
+      anyMatch(vs, v => f(norm.colFn(v), lit(norm.litFn(literal))))
 
   private def fn(t: FnTerm): Column = t.name match {
     // f:between(field, lo, hi) — QueryFunctions.java:26-46: numeric parse,
     // false on parse failure (try_cast null ⇒ condition null ⇒ filtered).
     case "between" if t.args.size == 3 =>
       val Seq(field, lo, hi) = t.args
-      exists(values(field.toUpperCase), v =>
+      anyMatch(values(field.toUpperCase), v =>
         v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
     case other =>
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
@@ -106,8 +117,8 @@ object Compiler {
         }
       }
       c.op match {
-        case Op.NE => !exists(vs, v => abs(v.try_cast("double")) === l)
-        case _     => exists(vs, f)
+        case Op.NE => !anyMatch(vs, v => abs(v.try_cast("double")) === l)
+        case _     => anyMatch(vs, f)
       }
     case other =>
       throw new IllegalArgumentException(s"unsupported function comparison f:$other")
@@ -134,7 +145,7 @@ object Compiler {
     case t: Term     => leaf(t, norms)
     case c: FnCmp    => fnCmp(c)
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
-      exists(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
+      anyMatch(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
     case f: FnTerm   => fn(f)
     case And(cs)     => cs.map(compile(_, unevaluated, norms)).reduce(_ && _)
     case Or(cs)      => cs.map(compile(_, unevaluated, norms)).reduce(_ || _)

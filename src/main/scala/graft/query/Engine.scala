@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   *        opaque mid-string regex) is never checked anywhere — that is
   *        the cost of declaring a field unevaluated.
   */
-case class EngineConfig(unevaluatedFields: Set[String] = Set.empty)
+case class EngineConfig(
+    unevaluatedFields: Set[String] = Set.empty,
+    /** Driver-side LRU cache of per-term index postings (0 disables).
+      * The engine is bound to an immutable index snapshot, so entries
+      * never go stale; memory is bounded by the lossy UidList contract
+      * (≤ shards × MAX uids per term) — the same bound the reference
+      * relies on when it collects ranges client-side.
+      */
+    termCacheSize: Int = 8192)
 
 /** The query engine: parse → plan (access path, SURVEY.md §4.1) →
   * execute (index semi/anti-join DAG or full scan) → pivot + residual
@@ -43,6 +51,7 @@ class WikiSearchEngine(
     config: EngineConfig = EngineConfig()) {
 
   import WikiSearchEngine._
+  import spark.implicits._
 
   graft.plans.GraftFunctions.register(spark)
 
@@ -97,11 +106,20 @@ class WikiSearchEngine(
     val authFilter: DataFrame => DataFrame =
       df => if (auths.isEmpty) df else df.filter(col("language").isin(auths: _*))
 
-    plan(ast, authFilter) match {
-      case Some(candidates) =>
+    val analysis = new Analysis
+    analyze(ast, analysis) match {
+      case Some(tree) =>
+        // ONE plan-time index job resolves every leaf's postings and
+        // cardinality (the reference likewise reads the global index once
+        // at plan time, `RangeCalculator.queryGlobalIndex`); EQ postings
+        // come back as bounded local relations, so the candidate
+        // semi-join below broadcasts — no per-branch jobs, no repeated
+        // index scans.
+        val stats = collectLeafStats(analysis, needCards(tree))
+        val cand  = materialize(tree, stats, authFilter, auths)
         // Candidates restrict the stored event view by semi-join (index
         // nested-loop doc fetch J3, as a distributed semi-join).
-        val events = eventView(authFilter, Some(candidates.df))
+        val events = eventView(authFilter, Some(candidateDf(cand)))
         finish(events.filter(
           Compiler.compile(ast, config.unevaluatedFields, residualNorms)))
       case None => // full scan (AbstractQueryLogic.java:838-884)
@@ -152,20 +170,40 @@ class WikiSearchEngine(
     case other   => other
   }
 
-  /** A planned candidate set plus its index cardinality (Σ Uid COUNT —
-    * collected at plan time exactly like the reference's
-    * `RangeCalculator.queryGlobalIndex` cardinality accumulation, A5).
-    */
-  private case class Cand(df: DataFrame, cardThunk: () => Long) {
-    lazy val card: Long = cardThunk()
+  // ---- phase A: analyze the AST into a symbolic plan tree ----------------
+  //
+  // Leaves don't run jobs; they register what the batched plan-time index
+  // pass (phase B) must resolve. EQ terms resolve to driver-local posting
+  // rows (bounded: one index row per (term, partition, language), uids
+  // lossy-capped at UidList MAX — the exact bound the reference relies on
+  // when `RangeCalculator.queryGlobalIndex` collects ranges on the
+  // client). Prefix/suffix/range leaves stay distributed (they can match
+  // unboundedly many terms) and only their Σcount is collected.
+
+  private sealed trait PlanNode
+  private case class EqLeaf(tag: Int, field: String, forms: Seq[String]) extends PlanNode
+  private case class ScanLeaf(tag: Int, ix: DataFrame) extends PlanNode
+  private case object EmptyLeaf extends PlanNode
+  private case class OrNode(children: Seq[PlanNode]) extends PlanNode
+  private case class AndNode(positives: Seq[PlanNode], negatives: Seq[EqLeaf]) extends PlanNode
+
+  private final class Analysis {
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[PlanNode]
+    private var nextTag = 0
+    def eqLeaf(field: String, forms: Seq[String]): EqLeaf = {
+      val l = EqLeaf(nextTag, field, forms); nextTag += 1; leaves += l; l
+    }
+    def scanLeaf(ix: DataFrame): ScanLeaf = {
+      val l = ScanLeaf(nextTag, ix); nextTag += 1; leaves += l; l
+    }
   }
 
-  /** Candidate (partition, language, docId) set for the expression, or
-    * None when the expression is not index-answerable and the caller must
-    * fall back to a scan (access-path rule, SURVEY.md §4.1 row 1).
+  /** Symbolic plan for the expression, or None when it is not
+    * index-answerable and the caller must fall back to a scan
+    * (access-path rule, SURVEY.md §4.1 row 1).
     */
-  private def plan(e: QExpr, auth: DataFrame => DataFrame): Option[Cand] = e match {
-    case t: Term if !Op.isNegative(t.op) => termCandidates(t, auth)
+  private def analyze(e: QExpr, an: Analysis): Option[PlanNode] = e match {
+    case t: Term if !Op.isNegative(t.op) => termNode(t, an)
     case _: Term                         => None // negations never drive the index
     case _: FnTerm                       => None
     case _: FnCmp                        => None // function results aren't indexed
@@ -174,14 +212,8 @@ class WikiSearchEngine(
     case Or(cs) =>
       // OR is index-answerable only if EVERY branch is (else a matching
       // doc could be missed) — union + dedup (OrIterator, J2).
-      val plans = cs.map(plan(_, auth))
-      if (plans.forall(_.isDefined)) {
-        val cands = plans.flatten
-        Some(Cand(
-          cands.map(_.df).reduce(_ unionByName _)
-            .dropDuplicates("partition", "language", "docId"),
-          () => cands.map(_.card).sum))
-      } else None
+      val ns = cs.map(analyze(_, an))
+      if (ns.forall(_.isDefined)) Some(OrNode(ns.flatten)) else None
     case And(cs) =>
       // AND: the reference keeps only the smaller-cardinality branch's
       // ranges (a superset of the intersection) and lets downstream
@@ -191,120 +223,288 @@ class WikiSearchEngine(
       // can't be trusted for them, so we intersect all branches
       // (AndIterator leapfrog ≡ chained semi-joins, J1). Exact negated
       // postings prune via anti-join either way (J4).
-      val (rangeTerms, rest) = partitionRangeTerms(cs)
-      val fusedRanges        = rangeTerms.flatMap { case (f, lohi) => rangeCandidates(f, lohi, auth) }
-      val positives          = rest.collect {
-        case t: Term if !Op.isNegative(t.op) => plan(t, auth)
-        case o: Or                           => plan(o, auth)
-        case a: And                          => plan(a, auth)
+      val (rangeBounds, rest) = partitionRangeTerms(cs)
+      val fused               = rangeBounds.flatMap { case (f, b) => rangeNode(f, b, an) }
+      val positives           = rest.collect {
+        case t: Term if !Op.isNegative(t.op) => analyze(t, an)
+        case o: Or                           => analyze(o, an)
+        case a: And                          => analyze(a, an)
       }.flatten
       val negatives = rest.collect {
-        case t: Term if t.op == Op.NE => exactPostings(t.copy(op = Op.EQ), auth)
-      }.flatten
-      val all = fusedRanges ++ positives
-      if (all.isEmpty) None
-      else {
-        val base =
-          if (all.size == 1) all.head // no cardinality lookups needed
-          else if (config.unevaluatedFields.isEmpty) all.minBy(_.card)
-          else Cand(
-            all.map(_.df).reduce(_.join(_, Seq("partition", "language", "docId"), "left_semi")),
-            () => all.map(_.card).min)
-        Some(Cand(
-          negatives.foldLeft(base.df) { (acc, negDf) =>
-            acc.join(negDf, Seq("partition", "language", "docId"), "left_anti")
-          },
-          base.cardThunk))
+        case t: Term if t.op == Op.NE && indexedFields.contains(t.field) =>
+          an.eqLeaf(t.field, eqForms(normalizeLit(t.field, t.literal)))
       }
+      val all = fused ++ positives
+      if (all.isEmpty) None else Some(AndNode(all, negatives))
   }
 
-  /** Fuse GE/GT+LE/LT pairs on the same field under an AND into bounded
-    * index ranges (J7, `RangeCalculator.java:449-499`); unbounded single
-    * ranges are not indexable (`RangeCalculator.java:495-498`).
-    * Returns (field → (lo, loStrict, hi, hiStrict)) plus remaining children.
+  private def termNode(t: Term, an: Analysis): Option[PlanNode] = {
+    if (t.field == NoField) {
+      // bare term not found anywhere in the index: provably empty
+      return Some(EmptyLeaf)
+    }
+    if (!indexedFields.contains(t.field)) return None
+    val norm = normalizeLit(t.field, t.literal)
+    t.op match {
+      case Op.EQ => Some(an.eqLeaf(t.field, eqForms(norm)))
+      case Op.RE =>
+        classifyRegex(norm) match {
+          case Prefix(p) => // trailing wildcard → forward index prefix range
+            Some(an.scanLeaf(index.globalIndex
+              .filter(col("fieldName") === t.field && col("fieldValue").startsWith(p))))
+          case Suffix(s) => // leading wildcard → reverse index prefix range
+            Some(an.scanLeaf(index.reverseIndex
+              .filter(col("fieldName") === t.field &&
+                col("fieldValue").startsWith(s.reverse))))
+          case Opaque => None // mid-string wildcard: filter-only (RangeCalculator.java:357-420)
+        }
+      case _ => None // single-sided ranges handled (fused) at the AND level
+    }
+  }
+
+  /** All GE/GT and LE/LT bounds collected per field under an AND. */
+  private case class Bounds(los: Seq[(String, Boolean)], his: Seq[(String, Boolean)])
+
+  /** Fuse GE/GT+LE/LT bounds on the same field under an AND into bounded
+    * index ranges (J7, `RangeCalculator.java:449-499`); fields with only
+    * one side bounded are not indexable (`RangeCalculator.java:495-498`).
+    * ALL bounds are kept and applied conjunctively — the reference keeps
+    * every bound in the rewritten index query too
+    * (`BooleanLogicIterator.refactorTree:963-1106`); dropping extras
+    * would be unsound under `unevaluatedFields` (the residual compiles
+    * those terms to TRUE, so the index filter is the only enforcement).
     */
-  private def partitionRangeTerms(cs: Seq[QExpr])
-      : (Seq[(String, (String, Boolean, String, Boolean))], Seq[QExpr]) = {
+  private def partitionRangeTerms(cs: Seq[QExpr]): (Seq[(String, Bounds)], Seq[QExpr]) = {
     val (ranges, rest) = cs.partition {
       case Term(_, op, _) => Op.isRange(op)
       case _              => false
     }
     val byField = ranges.collect { case t: Term => t }.groupBy(_.field)
-    val fused = byField.toSeq.flatMap { case (f, ts) =>
-      val lo = ts.filter(t => t.op == Op.GT || t.op == Op.GE)
-        .sortBy(_.literal).lastOption
-      val hi = ts.filter(t => t.op == Op.LT || t.op == Op.LE)
-        .sortBy(_.literal).headOption
-      (lo, hi) match {
-        case (Some(l), Some(h)) =>
-          Some(f -> (l.literal, l.op == Op.GT, h.literal, h.op == Op.LT))
-        case _ => None // unbounded — residual filter only
-      }
+    val fused = byField.toSeq.sortBy(_._1).flatMap { case (f, ts) =>
+      val los = ts.collect { case t if t.op == Op.GT || t.op == Op.GE => (t.literal, t.op == Op.GT) }
+      val his = ts.collect { case t if t.op == Op.LT || t.op == Op.LE => (t.literal, t.op == Op.LT) }
+      if (los.nonEmpty && his.nonEmpty) Some(f -> Bounds(los, his)) else None
     }
-    // Fused fields' terms are consumed; unbounded ones stay for residual
+    // Fused fields' terms are consumed; single-sided ones stay for residual
     val fusedFields = fused.map(_._1).toSet
     val leftover    = ranges.collect { case t: Term if !fusedFields.contains(t.field) => t }
     (fused, rest ++ leftover)
   }
 
-  /** Σ count over matching index rows — a tiny plan-time action against
-    * the (fieldName, fieldValue)-pruned index scan, mirroring the
-    * reference's plan-time cardinality reads (A5,
-    * `RangeCalculator.java:664-672`).
-    */
-  private def cardOf(ix: DataFrame): Long =
-    ix.agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
-
-  private def rangeCandidates(
-      field: String,
-      lohi: (String, Boolean, String, Boolean),
-      auth: DataFrame => DataFrame): Option[Cand] = {
+  private def rangeNode(field: String, b: Bounds, an: Analysis): Option[ScanLeaf] = {
     if (!indexedFields.contains(field)) return None
-    val (lo, loStrict, hi, hiStrict) = lohi
-    val loN = normalizeLit(field, lo)
-    val hiN = normalizeLit(field, hi)
-    val v   = col("fieldValue")
-    val (loC, hiC) =
-      if (Compiler.isNumeric(lo) && Compiler.isNumeric(hi))
-        (v.try_cast("double"), lit(loN.toDouble), lit(hiN.toDouble)) match {
-          case (c, l, h) => (if (loStrict) c > l else c >= l, if (hiStrict) c < h else c <= h)
-        }
-      else
-        (if (loStrict) v > lit(loN) else v >= lit(loN),
-          if (hiStrict) v < lit(hiN) else v <= lit(hiN))
-    val ix = index.globalIndex.filter(col("fieldName") === field && loC && hiC)
-    Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
+    val v = col("fieldValue")
+    // Each bound compares in its own domain — numeric literals compare
+    // numerically (matching the residual's try_cast semantics), string
+    // literals lexicographically on the normalized value.
+    def cond(raw: String, cmpNum: (Column, Column) => Column,
+        cmpStr: (Column, Column) => Column): Column = {
+      val n = normalizeLit(field, raw)
+      if (Compiler.isNumeric(n)) cmpNum(v.try_cast("double"), lit(n.toDouble))
+      else cmpStr(v, lit(n))
+    }
+    val conds =
+      b.los.map { case (l, strict) =>
+        if (strict) cond(l, _ > _, _ > _) else cond(l, _ >= _, _ >= _)
+      } ++ b.his.map { case (h, strict) =>
+        if (strict) cond(h, _ < _, _ < _) else cond(h, _ <= _, _ <= _)
+      }
+    val ix = index.globalIndex
+      .filter(conds.foldLeft(col("fieldName") === field)(_ && _))
+    Some(an.scanLeaf(ix))
   }
 
-  /** Per-term candidate postings (S11 index scan + predicate
-    * classification, `RangeCalculator.java:300-499`).
+  /** True iff some AND node will need per-branch cardinalities to pick
+    * its min-cardinality base (only the default config does; with
+    * unevaluated fields every branch is intersected instead).
     */
-  private def termCandidates(t: Term, auth: DataFrame => DataFrame): Option[Cand] = {
-    if (t.field == NoField) {
-      // bare term not found anywhere in the index: provably empty
-      return Some(Cand(allDocs.limit(0), () => 0L))
+  private def needCards(n: PlanNode): Boolean =
+    config.unevaluatedFields.isEmpty && {
+      def go(n: PlanNode): Boolean = n match {
+        case AndNode(ps, _) => ps.size > 1 || ps.exists(go)
+        case OrNode(cs)     => cs.exists(go)
+        case _              => false
+      }
+      go(n)
     }
-    if (!indexedFields.contains(t.field)) return None
-    val norm = normalizeLit(t.field, t.literal)
-    t.op match {
-      case Op.EQ =>
-        val ix = index.globalIndex
-          .filter(col("fieldName") === t.field && col("fieldValue").isin(eqForms(norm): _*))
-        Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
-      case Op.RE =>
-        classifyRegex(norm) match {
-          case Prefix(p) => // trailing wildcard → forward index prefix range
-            val ix = index.globalIndex
-              .filter(col("fieldName") === t.field && col("fieldValue").startsWith(p))
-            Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
-          case Suffix(s) => // leading wildcard → reverse index prefix range
-            val ix = index.reverseIndex
-              .filter(col("fieldName") === t.field &&
-                col("fieldValue").startsWith(s.reverse))
-            Some(Cand(toCandidates(ix, auth), () => cardOf(ix)))
-          case Opaque => None // mid-string wildcard: filter-only (RangeCalculator.java:357-420)
+
+  // ---- phase B: ONE batched plan-time index job ---------------------------
+
+  /** One collected index row for an EQ leaf (bounded by the lossy UidList
+    * contract: ≤ one row per (term, partition, language), ≤ MAX uids).
+    */
+  private case class IndexRow(
+      partition: Int, language: String, count: Long, ignore: Boolean, uids: Seq[String])
+  private case class LeafStats(rows: Seq[IndexRow], card: Long)
+
+  /** Driver-side LRU of term → postings (including negative entries for
+    * terms absent from the index). Safe to share across concurrent
+    * queries: the engine serves one immutable index snapshot.
+    */
+  private val termCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Seq[String]), Seq[IndexRow]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[String]), Seq[IndexRow]]): Boolean =
+          size() > config.termCacheSize
+      })
+
+  /** Resolve every leaf in one Spark job: EQ leaves return their pruned
+    * index rows; scan leaves (when a cardinality decision is pending)
+    * return a pre-aggregated Σcount. This replaces the reference's (and
+    * round 1's) one-lookup-per-branch plan phase (A5,
+    * `RangeCalculator.java:664-672`) with a single union of pruned scans;
+    * cached terms skip the job entirely, so a hot all-EQ query plans with
+    * ZERO Spark jobs.
+    */
+  private def collectLeafStats(an: Analysis, withScanCards: Boolean): Map[Int, LeafStats] = {
+    val eqs   = an.leaves.collect { case l: EqLeaf => l }.toSeq
+    val scans = if (withScanCards) an.leaves.collect { case l: ScanLeaf => l }.toSeq else Nil
+    val (hits, misses) =
+      if (config.termCacheSize > 0)
+        eqs.partition(l => termCache.containsKey((l.field, l.forms)))
+      else (Nil, eqs)
+    val cachedStats = hits.map { l =>
+      val rows = termCache.get((l.field, l.forms))
+      l.tag -> LeafStats(rows, rows.map(_.count).sum)
+    }
+    if (misses.isEmpty && scans.isEmpty) return cachedStats.toMap
+    val eqBranches = misses.map { l =>
+      index.globalIndex
+        .filter(col("fieldName") === l.field && col("fieldValue").isin(l.forms: _*))
+        .select(lit(l.tag).as("tag"), col("partition"), col("language"),
+          col("count"), col("ignore"), col("uids"))
+    }
+    val scanBranches = scans.map { l =>
+      l.ix.groupBy().agg(coalesce(sum("count"), lit(0L)).as("count"))
+        .select(lit(l.tag).as("tag"),
+          lit(null).cast("int").as("partition"), lit(null).cast("string").as("language"),
+          col("count"), lit(null).cast("boolean").as("ignore"),
+          lit(null).cast("array<string>").as("uids"))
+    }
+    val collected = (eqBranches ++ scanBranches).reduce(_ unionByName _).collect()
+    val byTag = collected.groupBy(_.getInt(0))
+    val fetched = misses.map { l =>
+      val ixRows = byTag.getOrElse(l.tag, Array.empty).toSeq.map(r => IndexRow(
+        r.getInt(1), r.getString(2), r.getLong(3), r.getBoolean(4), r.getSeq[String](5)))
+      if (config.termCacheSize > 0) termCache.put((l.field, l.forms), ixRows)
+      l.tag -> LeafStats(ixRows, ixRows.map(_.count).sum)
+    }
+    val scanStats = scans.map { l =>
+      l.tag -> LeafStats(Nil, byTag.getOrElse(l.tag, Array.empty).map(_.getLong(3)).sum)
+    }
+    (cachedStats ++ fetched ++ scanStats).toMap
+  }
+
+  // ---- phase C: materialize candidates from resolved stats ---------------
+
+  /** A materialized candidate set: driver-local (bounded, broadcast-able)
+    * or distributed. Local sets stay local through OR-union, AND-intersect
+    * and negation subtraction, so a pure-EQ boolean query costs ZERO
+    * extra Spark jobs between planning and the final semi-join — and that
+    * semi-join broadcasts the local relation.
+    */
+  private sealed trait MCand { def card: Long }
+  private case class LocalCand(docs: Seq[(Int, String, String)], card: Long) extends MCand
+  private case class DistCand(df: DataFrame, card: Long) extends MCand
+
+  private val CandKeys = Seq("partition", "language", "docId")
+
+  private def candidateDf(c: MCand): DataFrame = c match {
+    case LocalCand(docs, _) => docs.toDF(CandKeys: _*)
+    case DistCand(df, _)    => df
+  }
+
+  private def materialize(
+      n: PlanNode,
+      stats: Map[Int, LeafStats],
+      auth: DataFrame => DataFrame,
+      auths: Seq[String]): MCand = n match {
+
+    case EmptyLeaf => LocalCand(Nil, 0L)
+
+    case EqLeaf(tag, _, _) =>
+      val st    = stats.getOrElse(tag, LeafStats(Nil, 0L))
+      val rows  = if (auths.isEmpty) st.rows else st.rows.filter(r => auths.contains(r.language))
+      val exact = rows.filterNot(_.ignore)
+        .flatMap(r => r.uids.map(u => (r.partition, r.language, u))).distinct
+      val shards = rows.filter(_.ignore).map(r => (r.partition, r.language)).distinct
+      if (shards.isEmpty) LocalCand(exact, st.card)
+      else {
+        // lossy rows degrade to whole-(partition, language) candidate
+        // sets — the reference's shard-range fallback
+        // (`RangeCalculator.java:683-705`); partition-pruned via
+        // broadcast semi-join.
+        val shardDocs = allDocs.join(
+          broadcast(shards.toDF("partition", "language")),
+          Seq("partition", "language"), "left_semi")
+        // no dedup: candidates only ever feed semi/anti-joins, which are
+        // duplicate-tolerant — a dropDuplicates here would cost a full
+        // shuffle stage per query on the serving path
+        DistCand(exact.toDF(CandKeys: _*).unionByName(shardDocs), st.card)
+      }
+
+    case ScanLeaf(tag, ix) =>
+      DistCand(toCandidates(ix, auth), stats.get(tag).map(_.card).getOrElse(0L))
+
+    case OrNode(cs) =>
+      val ms   = cs.map(materialize(_, stats, auth, auths))
+      val card = ms.map(_.card).sum
+      if (ms.forall(_.isInstanceOf[LocalCand]))
+        LocalCand(ms.collect { case LocalCand(d, _) => d }.flatten.distinct, card)
+      else // union without dedup — downstream semi-join is duplicate-tolerant
+        DistCand(ms.map(candidateDf).reduce(_ unionByName _), card)
+
+    case AndNode(positives, negatives) =>
+      val ms = positives.map(materialize(_, stats, auth, auths))
+      val base =
+        if (ms.size == 1) ms.head
+        else if (config.unevaluatedFields.isEmpty) {
+          // Default config: the residual re-verifies everything, so any
+          // superset of the true match set is sound. When every branch is
+          // an exact local posting set (no lossy rows), intersect them
+          // driver-side — exact, smaller than any single branch, and an
+          // empty result collapses the downstream semi-join to an empty
+          // LocalRelation (PropagateEmptyRelation). Otherwise keep the
+          // reference's min-cardinality superset rule
+          // (`RangeCalculator.java:825-834`).
+          if (ms.forall(_.isInstanceOf[LocalCand])) intersectAll(ms)
+          else ms.minBy(_.card)
+        } else intersectAll(ms)
+      negatives.foldLeft(base) { (acc, neg) =>
+        // anti-join on exact postings only (ignore rows are lossy — a
+        // shard-level prune would drop innocent docs), J4.
+        val st      = stats.getOrElse(neg.tag, LeafStats(Nil, 0L))
+        val negRows = st.rows.filterNot(_.ignore)
+          .flatMap(r => r.uids.map(u => (r.partition, r.language, u)))
+        acc match {
+          case LocalCand(docs, c) =>
+            val negSet = negRows.toSet
+            LocalCand(docs.filterNot(negSet.contains), c)
+          case DistCand(df, c) if negRows.nonEmpty =>
+            DistCand(df.join(
+              broadcast(negRows.toDF(CandKeys: _*)), CandKeys, "left_anti"), c)
+          case d => d
         }
-      case _ => None // single-sided ranges handled (fused) at the AND level
+      }
+  }
+
+  /** Chained semi-join intersection (AndIterator leapfrog, J1) — local
+    * sets intersect driver-side; a distributed base semi-joins the rest
+    * (local branches broadcast).
+    */
+  private def intersectAll(ms: Seq[MCand]): MCand = {
+    val card = ms.map(_.card).min
+    if (ms.forall(_.isInstanceOf[LocalCand])) {
+      val sets = ms.collect { case LocalCand(d, _) => d.toSet }
+      LocalCand(sets.reduce(_ intersect _).toSeq, card)
+    } else {
+      val (dists, locals) = ms.partition(_.isInstanceOf[DistCand])
+      val base = dists.map(candidateDf).reduce(
+        _.join(_, CandKeys, "left_semi"))
+      val df = locals.foldLeft(base)((acc, l) =>
+        acc.join(broadcast(candidateDf(l)), CandKeys, "left_semi"))
+      DistCand(df, card)
     }
   }
 
@@ -325,19 +525,6 @@ class WikiSearchEngine(
       (Seq(norm, d.toString) ++ longForm).distinct
     }
 
-  /** Exact postings only (ignore=false) — safe for anti-join pruning.
-    * Uses the same eqForms matching as the EQ candidate path so EQ and
-    * NE stay complementary on numerically-equal stored forms.
-    */
-  private def exactPostings(t: Term, auth: DataFrame => DataFrame): Option[DataFrame] = {
-    if (!indexedFields.contains(t.field)) return None
-    val norm = normalizeLit(t.field, t.literal)
-    val ix = index.globalIndex
-      .filter(col("fieldName") === t.field &&
-        col("fieldValue").isin(eqForms(norm): _*) && !col("ignore"))
-    Some(auth(ix.select(col("partition"), col("language"), explode(col("uids")).as("docId"))))
-  }
-
   /** Index rows → candidate docs: exact uids exploded; lossy (ignore)
     * rows degrade to whole-(partition, language) candidate sets — the
     * reference's shard-range fallback (`RangeCalculator.java:683-705`).
@@ -345,9 +532,12 @@ class WikiSearchEngine(
   private def toCandidates(ix: DataFrame, auth: DataFrame => DataFrame): DataFrame = {
     val exact = ix.filter(!col("ignore"))
       .select(col("partition"), col("language"), explode(col("uids")).as("docId"))
-    val shards = ix.filter(col("ignore")).select("partition", "language").distinct()
+    // no distinct/dropDuplicates: the broadcast HashedRelation dedupes
+    // shard keys itself, and candidates only feed duplicate-tolerant
+    // semi/anti-joins — each explicit dedup would add a shuffle stage
+    val shards = ix.filter(col("ignore")).select("partition", "language")
     val shardDocs = allDocs.join(broadcast(shards), Seq("partition", "language"), "left_semi")
-    auth(exact.unionByName(shardDocs).dropDuplicates("partition", "language", "docId"))
+    auth(exact.unionByName(shardDocs))
   }
 
   // ---- event materialization ---------------------------------------------

@@ -213,6 +213,22 @@ object SearchQueries {
         .orderBy("doc_id")
     },
 
+    // negated NUMERIC comparison over a non-numeric multi-value field:
+    // pins the three-valued-logic fix (Compiler.anyMatch) — every token
+    // try_casts to null, exists must coalesce to false, so !exists is
+    // TRUE (absence semantics), not NULL-dropped
+    q("ws_q15_ne_numeric_on_text",
+      "TEXT == 'data' and TEXT != '300'",
+      s"list_contains($toks, 'data') AND len(list_filter($toks, x -> TRY_CAST(x AS DOUBLE) = 300)) = 0"),
+
+    // negated NUMERIC range over word tokens (kept as a Not wrapper by
+    // QExpr.normalize → compiles to !exists) — same NULL hazard via
+    // Compiler.cmp: every non-numeric token's try_cast is null, so the
+    // un-coalesced exists would be NULL and the doc silently dropped
+    q("ws_q16_not_range",
+      "not (TEXT < '42') and TEXT == 'data'",
+      s"len(list_filter($toks, x -> TRY_CAST(x AS DOUBLE) < 42)) = 0 AND list_contains($toks, 'data')"),
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

@@ -82,4 +82,22 @@ class CompilerSpec extends SparkSuite {
     // ¬any(N < 10): doc 1 (5) excluded, doc 2 (15) kept, doc 3 (7.5) excluded
     assert(ids("not N < 10") == Set(2L))
   }
+
+  test("numeric NE over non-numeric values is two-valued, not NULL-dropped") {
+    // COLOR values are words: every try_cast('double') is null, so the
+    // un-coalesced exists would be NULL and !NULL drops the doc. Absence
+    // semantics: no value equals 300 ⇒ the doc matches.
+    assert(ids("N >= 0 and COLOR != '300'") == Set(1L, 2L, 3L))
+    assert(ids("COLOR == 'red' and COLOR != '300'") == Set(1L))
+  }
+
+  test("negated numeric range over non-numeric values is two-valued") {
+    // not(COLOR < 42): no COLOR token casts to a number < 42 ⇒ matches
+    assert(ids("COLOR == 'red' and not COLOR < '42'") == Set(1L))
+    assert(ids("N >= 0 and not COLOR < '42'") == Set(1L, 2L, 3L))
+  }
+
+  test("f:abs NE over non-numeric values is two-valued") {
+    assert(ids("COLOR == 'red' and f:abs(COLOR) != 3") == Set(1L))
+  }
 }

@@ -101,6 +101,19 @@ class EngineWikiSpec extends SparkSuite {
     assert(rows.head.getAs[String]("DOCUMENT") == "DOCUMENT:0/enwiki/655")
   }
 
+  test("ALL range bounds are enforced on the index path (sound under unevaluated fields)") {
+    // Two lower bounds whose lexicographic order disagrees with numeric
+    // order: '67' > '656' lexicographically but 67 < 656 numerically.
+    // Round 1 fused only one (lexicographically-chosen) bound per side;
+    // with ID unevaluated the residual compiles to TRUE, so doc 655
+    // (≥ 67 but < 656) leaked through. All bounds must conjoin.
+    val ix  = IndexBuilder.fromArticles(spark, XmlIngest.readArticles(spark, fixture), 1)
+    val eng = new WikiSearchEngine(spark, ix, EngineConfig(unevaluatedFields = Set("ID")))
+    val ids = eng.run("ID >= 67 and ID >= 656 and ID <= 658", Seq("enwiki"))
+      .select("docId").collect().map(_.getString(0)).toSet
+    assert(ids == Set("656", "657", "658"))
+  }
+
   test("unevaluated TEXT config trusts the index (reference parity mode)") {
     val ix  = IndexBuilder.fromArticles(spark, XmlIngest.readArticles(spark, fixture), 1)
     val eng = new WikiSearchEngine(spark, ix, EngineConfig(unevaluatedFields = Set("TEXT")))
