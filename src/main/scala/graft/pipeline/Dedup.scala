@@ -48,16 +48,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ tau).
+    *
     * Shuffle structure: one shuffle keyed by shingle (bucket sizes are
     * bounded because n-grams are selective — this is why we shingle
     * instead of joining on single tokens), one aggregation keyed by the
-    * pair. Hot shingles (boilerplate) would skew the join at 100 TB —
-    * mitigate by dropping shingles with document frequency above a cap,
-    * which cannot create false positives above tau when tau·|shingles| >
-    * dropped count; here the corpus is synthetic and unskewed so no cap
-    * is applied.
+    * pair.
+    *
+    * Skew hardening (`dfCap > 0`): a boilerplate shingle appearing in d
+    * documents contributes d² rows to the self-join — at 100 TB a single
+    * hot shingle (license header, template) kills the stage. Shingles
+    * with document frequency > dfCap are excluded from the JOIN ONLY;
+    * their contribution to the intersection is restored exactly during
+    * verification from per-doc hot-shingle sets (the distinct hot list
+    * is ≤ totalShingleRows/dfCap entries — broadcast-size by
+    * construction). The reported jaccard is therefore EXACT, and the
+    * join cost is bounded by dfCap²·|hotShingles| + Σ(cold df²).
+    *
+    * No-false-negative condition (proved in PipelineSpec): a true pair
+    * (J ≥ tau) is missed only if it shares NO cold shingle. Since the
+    * shared set has ≥ tau·max(na,nb) elements and hot-shared ≤
+    * min(ha,hb) (h = per-doc hot count), `h_d < tau·n_d` for every doc d
+    * guarantees at least one cold shared shingle, hence candidacy.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int, tau: Double, dfCap: Int = 0): DataFrame = {
     // Join on a 64-bit shingle hash, not the string: same equality
     // semantics up to xxhash64 collisions (~|shingles|²/2⁶⁴ ≈ 0), half
     // the shuffle bytes. Doc-size side is broadcast (one row per doc).
@@ -66,11 +79,33 @@ object Dedup {
     val sh = shingles(docs, n).cache()
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+
+    val (joinSide, hotCorrection) =
+      if (dfCap <= 0) (sh, (df: DataFrame) => df)
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("sh")
+        val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        // per-doc hot-shingle sets: ≤ |hot| elements each, usually ~0
+        val hotPerDoc = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(collect_set(col("sh")).as("hot_set"))
+        val correct: DataFrame => DataFrame = interCold =>
+          interCold
+            .join(hotPerDoc.select(col("doc_id").as("a"), col("hot_set").as("hot_a")), Seq("a"), "left")
+            .join(hotPerDoc.select(col("doc_id").as("b"), col("hot_set").as("hot_b")), Seq("b"), "left")
+            .withColumn("inter",
+              col("inter") + coalesce(
+                size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"), lit(0L)))
+            .select("a", "b", "inter")
+        (cold, correct)
+      }
+
+    val inter = hotCorrection(
+      joinSide.as("a")
+        .join(joinSide.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter")))
     inter
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_shingles").as("na"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_shingles").as("nb"))), "b")

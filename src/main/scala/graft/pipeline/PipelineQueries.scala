@@ -40,17 +40,62 @@ object PipelineQueries {
          |  SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
          |  FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
          |WHERE j >= 0.1 ORDER BY a, b""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), n = 3, tau = 0.1)
+      // dfCap engaged on the oracled query: the capped join must still be
+      // cell-exact (hot-intersection correction) — see Dedup.jaccardPairs
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), n = 3, tau = 0.1, dfCap = 200)
         .orderBy("a", "b")
     },
 
-    NamedQuery.rowsOnly("dd_minhash_lsh") { (s, dir) =>
-      Dedup.minhashPairs(Tables.load(s, dir, "documents"), tau = 0.3)
-        .orderBy("a", "b")
+    // MinHash+LSH with a RECALL oracle: at tau = 0.6 the 32-band × 2-row
+    // geometry misses a qualifying pair with prob (1-j²)^32 ≤ 6e-7, so
+    // the LSH candidate set provably contains every exact-Jaccard ≥ 0.6
+    // pair and the verified output equals the brute-force answer — which
+    // DuckDB can compute. (The tau=0.3 operating point stays exercised in
+    // PipelineSpec; its per-pair miss prob ~5% makes it un-oracle-able.)
+    NamedQuery(
+      "dd_minhash_lsh",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b FROM (
+         |  SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
+         |  FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
+         |WHERE j >= 0.6 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), tau = 0.6)
+        .select("a", "b").orderBy("a", "b")
     },
 
-    NamedQuery.rowsOnly("dd_simhash") { (s, dir) =>
+    // SimHash fully oracled: fnv1a + bit-vote simhash re-derived in pure
+    // SQL (HUGEINT mod-2⁶⁴ arithmetic), pairs = all (a<b) with Hamming
+    // distance ≤ 7. The chunk-banding pigeonhole guarantee (maxDist <
+    // chunks) makes the Spark candidate set provably complete, so its
+    // verified output is deterministic given the simhash values.
+    NamedQuery(
+      "dd_simhash",
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         | h AS (SELECT doc_id, CAST(list_reduce(
+         |   list_prepend(CAST(14695981040887122608 AS HUGEINT),
+         |     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+         |   (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) * CAST(1099511628211 AS HUGEINT))
+         |             % 18446744073709551616) AS UBIGINT) AS h FROM t),
+         | bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         |          FROM h, generate_series(0, 63) g(b) GROUP BY doc_id, b),
+         | sh AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS UBIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 7
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxDist = 7)
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
         .orderBy("a", "b")
     },
 

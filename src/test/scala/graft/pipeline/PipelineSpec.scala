@@ -29,6 +29,33 @@ class PipelineSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hot-shingle DF cap: capped join returns EXACT jaccard when every doc has cold shingles") {
+    // Skewed fixture: a boilerplate 3-gram ("copyright header boiler")
+    // shared by ALL docs (DF=6 > cap=3) plus per-pair distinctive text.
+    // The no-false-negative condition h_d < tau·n_d holds (1 hot shingle
+    // per doc, ≥ 6 shingles per doc, tau=0.3 ⇒ 1 < 1.8), so the capped
+    // run must equal the uncapped run CELL-EXACTLY — the hot shingle is
+    // dropped from the join but restored in the intersection count.
+    val skew = Seq(
+      (1L, "copyright header boiler alpha beta gamma delta epsilon zeta"),
+      (2L, "copyright header boiler alpha beta gamma delta epsilon eta"),
+      (3L, "copyright header boiler theta iota kappa lambda mu nu"),
+      (4L, "copyright header boiler theta iota kappa lambda mu xi"),
+      (5L, "copyright header boiler omicron pi rho sigma tau upsilon"),
+      (6L, "copyright header boiler phi chi psi omega aleph bet")
+    ).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.jaccardPairs(skew, n = 3, tau = 0.3, dfCap = cap)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val uncapped = run(0)
+    val capped   = run(3)
+    assert(uncapped.nonEmpty) // near-dup pairs (1,2) and (3,4) exist
+    assert(capped == uncapped)
+    // the cap is actually engaged: the boilerplate shingle has DF 6 > 3
+    val df = Dedup.shingles(skew, 3).groupBy("shingle").count()
+      .filter($"count" > 3).count()
+    assert(df >= 1)
+  }
+
   test("minhash LSH recovers the same near-dup pairs on this corpus") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
