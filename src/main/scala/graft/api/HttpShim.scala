@@ -1,0 +1,111 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal HTTP serving edge over [[QueryService]] — the REST surface of
+  * the reference's JAX-RS endpoints (`query/src/main/java/.../query/
+  * IQuery.java:279-315`, `Query.java:94-138`) without a servlet
+  * container: the JDK's built-in `com.sun.net.httpserver` is the whole
+  * dependency.
+  *
+  * Routes (reference parity):
+  *  - `GET /query?query=…&auths=a,b&limit=N` → boolean-expression search.
+  *    Media type by `format` param (`xml|json|yaml|html`) or the Accept
+  *    header; XML is the default, as in the reference's first-listed
+  *    `@Produces` type.
+  *  - `GET /content?id=DOCUMENT:partition/lang/docId` → decoded document
+  *    text (`ContentLogic`, `query/.../logic/ContentLogic.java:56-107`).
+  *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
+  *
+  * Error mapping: bad query syntax / all-negation / bad pointer → 400
+  * with the message; unknown path → 404 — the reference surfaces these
+  * as WebApplicationException(400) equivalents.
+  *
+  * Scale note: the shim holds no state and the engine underneath plans
+  * with at most one Spark job per query (see `WikiSearchEngine`), so
+  * serving concurrency is bounded by the executor pool, not the shim.
+  */
+class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool   = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+  server.setExecutor(pool)
+
+  /** Bound port (useful when constructed with port = 0 / ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  server.createContext("/query", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val q = params.getOrElse("query",
+      throw new IllegalArgumentException("missing required parameter: query"))
+    val auths = params.get("auths").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val limit = params.get("limit").map(_.toInt).getOrElse(100)
+    val results = service.query(q, auths, limit)
+    val fmt = params.get("format").orElse(fromAccept(ex)).getOrElse("xml")
+    fmt match {
+      case "xml"  => ("application/xml", results.toXml)
+      case "json" => ("application/json", results.toJson)
+      case "yaml" => ("text/x-yaml", results.toYaml)
+      case "html" => ("text/html", results.toHtml)
+      case other  => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  })
+
+  server.createContext("/content", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val id = params.getOrElse("id",
+      throw new IllegalArgumentException("missing required parameter: id"))
+    service.content(id) match {
+      case Some(text) => ("text/plain; charset=utf-8", text)
+      case None       => throw new NoSuchElementException(s"document not found: $id")
+    }
+  })
+
+  server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))
+
+  def start(): HttpShim = { server.start(); this }
+
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  // ---- plumbing -----------------------------------------------------------
+
+  private def fromAccept(ex: HttpExchange): Option[String] = {
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    accept.split(",").map(_.trim.takeWhile(_ != ';')).collectFirst {
+      case "application/xml" | "text/xml"  => "xml"
+      case "application/json"              => "json"
+      case "text/x-yaml" | "application/yaml" | "text/yaml" => "yaml"
+      case "text/html"                     => "html"
+    }
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  private def safely(ex: HttpExchange)(body: => (String, String)): Unit = {
+    val (status, contentType, payload) =
+      try {
+        val (ct, out) = body
+        (200, ct, out)
+      } catch {
+        case e: NoSuchElementException   => (404, "text/plain", s"not found: ${e.getMessage}")
+        case e: IllegalArgumentException => (400, "text/plain", s"bad request: ${e.getMessage}")
+        case e: Exception                => (400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes)
+    finally os.close()
+  }
+}

@@ -39,14 +39,42 @@ object TextFunctions {
     */
   def normalize(c: Column): Column = lcNoDiacriticsUdf(c)
 
+  /** Suppress MediaWiki markup that would otherwise index junk tokens —
+    * the intent of the reference's Lucene `WikipediaTokenizer`
+    * (`ingest/.../ingest/WikipediaMapper.java:228`), which skips file /
+    * template / URL syntax. Removed wholesale: `[[File:…]]` /
+    * `[[Image:…]]` / `[[Media:…]]` blocks, `{{template}}` calls (up to
+    * 4 nesting levels, innermost first), and bare URLs. Ordinary
+    * `[[link|label]]` brackets are left for the word split to discard —
+    * their inner words SHOULD index. Documented deviation: a nested
+    * `[[File:…[[x]]…]]` caption tail survives (non-greedy match) — the
+    * reference's tokenizer state machine handles that case; a regex pass
+    * keeps this dependency-free and covers the markup the corpus has.
+    */
+  def stripWikiMarkup(s: String): String =
+    if (s == null) null
+    else {
+      var t = s.replaceAll("(?is)\\[\\[(?:file|image|media):.*?\\]\\]", " ")
+      var prev: String = null
+      var i = 0
+      while (i < 4 && t != prev) {
+        prev = t
+        t = t.replaceAll("(?s)\\{\\{[^{}]*\\}\\}", " ")
+        i += 1
+      }
+      t.replaceAll("(?i)\\bhttps?://\\S+", " ")
+    }
+
+  private val markupLcUdf = udf((s: String) => lcNoDiacritics(stripWikiMarkup(s)))
+
   /** Tokenize a text column into an array of normalized word tokens:
-    * lc-no-diacritics the whole text first, then split on runs of
-    * non-letter/non-digit (Unicode classes — an ASCII-only split would
-    * shred accented words like 'cálculo' into 'c'+'lculo' and make them
-    * unfindable under the normalizer the metadata declares for TEXT).
+    * strip wiki markup, lc-no-diacritics the whole text, then split on
+    * runs of non-letter/non-digit (Unicode classes — an ASCII-only split
+    * would shred accented words like 'cálculo' into 'c'+'lculo' and make
+    * them unfindable under the normalizer the metadata declares for TEXT).
     */
   def tokenize(text: Column): Column =
-    filter(split(lcNoDiacriticsUdf(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    filter(split(markupLcUdf(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Tokenize on single spaces only — exact-parity tokenizer for the
     * driver's synthetic `documents` table (space-separated words), with a

@@ -150,12 +150,23 @@ object IndexBuilder {
       .withColumn("fieldName", lit("TEXT"))
       .select("fieldValue", "fieldName", "partition", "language", "docId")
 
-    val globalIndex = buildGlobalIndex(normalizedFields.unionByName(tokenRows))
+    // TITLE carries TWO normalizers (reference parity: one metadata row
+    // per normalizer class, `WikipediaIngester.java:129-136` +
+    // `FieldIndexQueryReWriter.orNormalizedTerms`): the Lc-normalized
+    // form plus the raw form where they differ, so both an exact-cased
+    // and a folded query literal hit the index.
+    val rawTitleRows = docsFields
+      .filter(col("fieldName") === "TITLE" &&
+        col("fieldValue") =!= call_function("graft_normalize", col("fieldValue")))
+      .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"), col("docId"))
+    val globalIndex =
+      buildGlobalIndex(normalizedFields.unionByName(tokenRows).unionByName(rawTitleRows))
 
     val metadata = {
       val e = Seq("ID", "TITLE", "TIMESTAMP", "COMMENTS").map(f => (f, "e", null: String))
       val i = Seq(
         ("ID", "i", NoOpNormalizer), ("TITLE", "i", LcNormalizer),
+        ("TITLE", "i", NoOpNormalizer),
         ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
       val langs = articles.select("language").distinct().as[String].collect()
       langs.toSeq.flatMap(l => (e ++ i).map { case (f, k, n) => (f, k, l, n) })

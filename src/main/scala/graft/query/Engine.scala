@@ -55,21 +55,28 @@ class WikiSearchEngine(
 
   graft.plans.GraftFunctions.register(spark)
 
-  /** field → normalizer fn, from the metadata catalog (tiny; collected
-    * once — the analogue of `findIndexedTerms`, `AbstractQueryLogic.java:230-283`).
+  /** field → normalizer fns (plural), from the metadata catalog (tiny;
+    * collected once — the analogue of `findIndexedTerms`,
+    * `AbstractQueryLogic.java:230-283`). A field may carry SEVERAL
+    * normalizers — the reference stores one metadata row per normalizer
+    * class and OR-expands a query literal through all of them
+    * (`FieldIndexQueryReWriter.orNormalizedTerms:460+`); here the
+    * expansion lands in the EQ probe's IN-list, so it still pushes to
+    * the index scan. This is also the sanctioned fix for case-folded
+    * lookup on identity-normalized fields: declare the Lc normalizer
+    * alongside NoOp in metadata and index both forms.
     */
-  private lazy val indexedFields: Map[String, String => String] = {
+  private lazy val indexedFields: Map[String, Seq[String => String]] = {
     val rows = index.metadata.filter(col("kind") === "i")
       .select("fieldName", "normalizer").distinct().collect()
-    rows.map { r =>
-      val f = r.getString(0)
-      val norm: String => String =
-        if (r.getString(1) == graft.ingest.IndexBuilder.LcNormalizer)
-          TextFunctions.lcNoDiacritics _
-        else identity[String] _
-      f -> norm
-    }.toMap
+    rows.groupBy(_.getString(0)).map { case (f, rs) =>
+      f -> rs.toSeq.map(_.getString(1)).distinct.map(normFn)
+    }
   }
+
+  private def normFn(name: String): String => String =
+    if (name == graft.ingest.IndexBuilder.LcNormalizer) TextFunctions.lcNoDiacritics
+    else identity
 
   /** Residual-filter normalizers per field: lc-no-diacritics fields
     * compare through the native `graft_normalize` expression so the
@@ -86,8 +93,26 @@ class WikiSearchEngine(
     }.toMap
   }
 
+  /** Primary (coarsest) normalized form — used where ONE canonical form
+    * is needed (range bounds). Lc subsumes NoOp matches, so it's the
+    * coarsest when present.
+    */
   private def normalizeLit(field: String, v: String): String =
-    indexedFields.get(field).map(_(v)).getOrElse(v.toLowerCase)
+    indexedFields.get(field) match {
+      case Some(fns) =>
+        val lc = TextFunctions.lcNoDiacritics(v)
+        val forms = fns.map(_(v))
+        if (forms.contains(lc)) lc else forms.head
+      case None => v.toLowerCase
+    }
+
+  /** ALL index-probe forms of an EQ literal: the literal expanded through
+    * every normalizer the field carries, each further expanded to its
+    * canonical numeric renderings (eqForms). Finite IN-list ⇒ the probe
+    * still pushes to parquet.
+    */
+  private def probeForms(field: String, v: String): Seq[String] =
+    indexedFields(field).flatMap(fn => eqForms(fn(v))).distinct
 
   /** All doc ids (for ignore-shard fallback), partition-pruned at use. */
   private lazy val allDocs: DataFrame =
@@ -232,7 +257,7 @@ class WikiSearchEngine(
       }.flatten
       val negatives = rest.collect {
         case t: Term if t.op == Op.NE && indexedFields.contains(t.field) =>
-          an.eqLeaf(t.field, eqForms(normalizeLit(t.field, t.literal)))
+          an.eqLeaf(t.field, probeForms(t.field, t.literal))
       }
       val all = fused ++ positives
       if (all.isEmpty) None else Some(AndNode(all, negatives))
@@ -246,7 +271,7 @@ class WikiSearchEngine(
     if (!indexedFields.contains(t.field)) return None
     val norm = normalizeLit(t.field, t.literal)
     t.op match {
-      case Op.EQ => Some(an.eqLeaf(t.field, eqForms(norm)))
+      case Op.EQ => Some(an.eqLeaf(t.field, probeForms(t.field, t.literal)))
       case Op.RE =>
         classifyRegex(norm) match {
           case Prefix(p) => // trailing wildcard → forward index prefix range
@@ -516,6 +541,15 @@ class WikiSearchEngine(
     * candidate path and the NE anti-join prune. The residual filter
     * still coerces fully for evaluable fields; exotic renderings
     * ('4.2e1') match only there.
+    *
+    * HARD INDEX CONTRACT: a stored non-canonical numeric form ('042',
+    * '4.2e1') is indexed under its own string and is NOT a candidate for
+    * a numerically-equal literal — on an `unevaluatedFields` deployment
+    * it will not match. Producers wanting numeric-equality semantics at
+    * the index must canonicalize values at build time (or register a
+    * canonicalizing normalizer — the multi-normalizer expansion then
+    * probes both forms). The default config is unaffected: the residual
+    * coerces fully.
     */
   private def eqForms(norm: String): Seq[String] =
     if (!Compiler.isNumeric(norm)) Seq(norm)

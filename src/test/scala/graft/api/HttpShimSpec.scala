@@ -1,0 +1,94 @@
+package graft.api
+
+import graft.SparkSuite
+import graft.ingest.{IndexBuilder, XmlIngest}
+import graft.query.WikiSearchEngine
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** E2E over the HTTP edge: the four media types of the reference's REST
+  * endpoints (`IQuery.java:279-315`), the content route, and the error
+  * mapping — served by the real engine over the wiki fixture.
+  */
+class HttpShimSpec extends SparkSuite {
+
+  private lazy val shim: HttpShim = {
+    val fixture  = getClass.getResource("/enwiki-test.xml").getPath
+    val articles = XmlIngest.readArticles(spark, fixture)
+    val ix       = IndexBuilder.fromArticles(spark, articles, numPartitions = 1).cacheAll()
+    new HttpShim(new QueryService(new WikiSearchEngine(spark, ix))).start()
+  }
+
+  override def afterAll(): Unit = {
+    try shim.stop()
+    finally super.afterAll()
+  }
+
+  private def get(path: String, accept: Option[String] = None): (Int, String, String) = {
+    val conn = URI.create(s"http://127.0.0.1:${shim.boundPort}$path")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    accept.foreach(conn.setRequestProperty("Accept", _))
+    val status = conn.getResponseCode
+    val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val body   = new String(stream.readAllBytes(), UTF_8)
+    (status, Option(conn.getHeaderField("Content-Type")).getOrElse(""), body)
+  }
+
+  private val q = "query=" + java.net.URLEncoder.encode("TEXT == 'abacus'", UTF_8)
+
+  test("xml is the default media type (unrecognized Accept) and carries the doc") {
+    // java.net.HttpURLConnection sends Accept: text/html by default —
+    // override with a wildcard so the shim's XML default is what's tested
+    val (status, ct, body) = get(s"/query?$q&auths=enwiki", accept = Some("*/*"))
+    assert(status == 200 && ct.startsWith("application/xml"))
+    assert(body.startsWith("<results>") && body.contains("""<document id="655""""))
+  }
+
+  test("xml via Accept header") {
+    val (status, ct, body) = get(s"/query?$q", accept = Some("application/xml"))
+    assert(status == 200 && ct.startsWith("application/xml"))
+    assert(body.contains("""<field name="TITLE">Abacus</field>"""))
+  }
+
+  test("json via format param") {
+    val (status, ct, body) = get(s"/query?$q&format=json")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.contains(""""id":"655"""") && body.contains(""""pointer":"DOCUMENT:0/enwiki/655""""))
+  }
+
+  test("yaml via Accept header") {
+    val (status, ct, body) = get(s"/query?$q", accept = Some("text/x-yaml"))
+    assert(status == 200 && ct.startsWith("text/x-yaml"))
+    assert(body.startsWith("documents:") && body.contains("- id: '655'"))
+  }
+
+  test("html via Accept header") {
+    val (status, ct, body) = get(s"/query?$q", accept = Some("text/html"))
+    assert(status == 200 && ct.startsWith("text/html"))
+    assert(body.startsWith("<table>") && body.contains("<td>655</td>"))
+  }
+
+  test("content route round-trips a document pointer") {
+    val (status, ct, body) = get("/content?id=" +
+      java.net.URLEncoder.encode("DOCUMENT:0/enwiki/655", UTF_8))
+    assert(status == 200 && ct.startsWith("text/plain"))
+    assert(body.contains("calculating tool"))
+  }
+
+  test("error mapping: bad syntax 400, missing param 400, unknown doc 404") {
+    val (badSyntax, _, msg) = get("/query?query=" +
+      java.net.URLEncoder.encode("TEXT ==", UTF_8))
+    assert(badSyntax == 400 && msg.startsWith("bad request"))
+    assert(get("/query")._1 == 400)
+    assert(get("/content?id=" +
+      java.net.URLEncoder.encode("DOCUMENT:0/enwiki/99999", UTF_8))._1 == 404)
+  }
+
+  test("limit caps the result set") {
+    val all = "query=" + java.net.URLEncoder.encode(
+      "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'", UTF_8)
+    val (_, _, body) = get(s"/query?$all&format=json&limit=2")
+    assert(body.sliding(7).count(_ == "\"id\":\"6") == 2)
+  }
+}

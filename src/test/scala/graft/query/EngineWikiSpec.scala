@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.SparkSuite
-import graft.ingest.{IndexBuilder, XmlIngest}
+import graft.ingest.{Article, IndexBuilder, XmlIngest}
 
 /** End-to-end: MediaWiki XML fixture → index build → queries. Mirrors the
   * reference's own E2E expectations
@@ -99,6 +99,37 @@ class EngineWikiSpec extends SparkSuite {
   test("results carry the DOCUMENT pointer field") {
     val rows = engine.run("TEXT == 'abacus'", Seq("enwiki")).collect()
     assert(rows.head.getAs[String]("DOCUMENT") == "DOCUMENT:0/enwiki/655")
+  }
+
+  test("multi-normalizer OR-expansion: diacritic query literal hits via the Lc form") {
+    // TITLE carries both NoOp and Lc normalizers; the literal 'Ábacus'
+    // expands to {'Ábacus' (NoOp), 'abacus' (Lc)} — the Lc form matches
+    // the indexed title (FieldIndexQueryReWriter.orNormalizedTerms:460+)
+    assert(docIds("TITLE == 'Ábacus'") == Set("655"))
+    // exact raw-cased form also hits (NoOp rows are indexed where the
+    // raw title differs from its normalization)
+    assert(docIds("TITLE == 'Abacus'") == Set("655"))
+  }
+
+  test("wiki markup is suppressed by the tokenizer: file/template/url junk doesn't index") {
+    import spark.implicits._
+    val arts = Seq(
+      Article(1001, "Markup", 1L, "c",
+        "calculus content [[File:Diagram.png|thumb|a picture]] " +
+          "{{infobox|name=Junkbox}} see https://junk.example/page here " +
+          "[[linked words]] end", "enwiki"),
+      Article(1002, "Plain", 1L, "c", "calculus without markup", "enwiki")
+    ).toDS()
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromArticles(spark, arts, numPartitions = 1))
+    def ids(q: String) =
+      eng.run(q, Seq("enwiki")).select("docId").collect().map(_.getString(0)).toSet
+    assert(ids("TEXT == 'calculus'") == Set("1001", "1002"))
+    // ordinary [[link]] inner words DO index
+    assert(ids("TEXT == 'linked'") == Set("1001"))
+    // file/template/url contents do NOT
+    for (junk <- Seq("file", "diagram", "thumb", "infobox", "junkbox", "https", "junk"))
+      assert(ids(s"TEXT == '$junk'").isEmpty, s"junk token '$junk' leaked into the index")
   }
 
   test("ALL range bounds are enforced on the index path (sound under unevaluated fields)") {
