@@ -19,7 +19,8 @@ case class WikiIndex(
     globalIndex: DataFrame,  // (fieldValue, fieldName, partition, language, count, uids, ignore)
     metadata: DataFrame,     // (fieldName, kind, language, normalizer)
     termPostings: DataFrame, // (term, language, partition, docId, tf, offsets)
-    storedEvents: Option[DataFrame] = None // loaded event view, if persisted
+    storedEvents: Option[DataFrame] = None, // loaded event view, if persisted
+    storedReverse: Option[DataFrame] = None // loaded reverse index, if persisted
 ) {
 
   /** The pivoted per-document event view — one row per doc with
@@ -46,12 +47,18 @@ case class WikiIndex(
       .agg(map_from_entries(collect_list(struct(col("fieldName"), col("vals")))).as("fields"))
   }
 
-  /** Reverse index is a derived projection, not a second pipeline
-    * (SURVEY.md §1.4): same rows keyed by reversed value, for
-    * leading-wildcard lookups (`WikipediaMapper.java:193-197`).
+  /** Reverse index: same rows keyed by reversed value, for
+    * leading-wildcard lookups (`WikipediaMapper.java:193-197`). Derived
+    * as a projection at build time (SURVEY.md §1.4 — not a second
+    * pipeline), but PERSISTED by `save` sorted on the reversed value:
+    * a `startsWith` prefix probe against the stored form pushes to the
+    * parquet scan, whereas a filter over `reverse(fieldValue)` computed
+    * on the fly cannot — at 100 TB that is the difference between a
+    * pruned range read and a full index scan per suffix query.
     */
   def reverseIndex: DataFrame =
-    globalIndex.withColumn("fieldValue", reverse(col("fieldValue")))
+    storedReverse.getOrElse(
+      globalIndex.withColumn("fieldValue", reverse(col("fieldValue"))))
 
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
@@ -77,6 +84,11 @@ case class WikiIndex(
       .repartition(col("fieldName"))
       .sortWithinPartitions("fieldValue")
       .write.mode("overwrite").parquet(s"$dir/global_index")
+    globalIndex
+      .withColumn("fieldValue", reverse(col("fieldValue")))
+      .repartition(col("fieldName"))
+      .sortWithinPartitions("fieldValue") // sorted by REVERSED value → suffix probes prune
+      .write.mode("overwrite").parquet(s"$dir/reverse_index")
     metadata.coalesce(1).write.mode("overwrite").parquet(s"$dir/metadata")
     termPostings
       .repartition(col("partition"))
@@ -96,7 +108,12 @@ object WikiIndex {
     globalIndex = spark.read.parquet(s"$dir/global_index"),
     metadata = spark.read.parquet(s"$dir/metadata"),
     termPostings = spark.read.parquet(s"$dir/term_postings"),
-    storedEvents = Some(spark.read.parquet(s"$dir/events"))
+    storedEvents = Some(spark.read.parquet(s"$dir/events")),
+    // older saved dirs may predate the persisted reverse index — fall
+    // back to the derived projection
+    storedReverse =
+      try Some(spark.read.parquet(s"$dir/reverse_index"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
 }
 
@@ -169,8 +186,12 @@ object IndexBuilder {
         ("TITLE", "i", NoOpNormalizer),
         ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
       val langs = articles.select("language").distinct().as[String].collect()
-      langs.toSeq.flatMap(l => (e ++ i).map { case (f, k, n) => (f, k, l, n) })
+      val static = langs.toSeq.flatMap(l => (e ++ i).map { case (f, k, n) => (f, k, l, n) })
         .toDF("fieldName", "kind", "language", "normalizer")
+        .withColumn("frequency", lit(null).cast("bigint"))
+      static.unionByName(
+        frequencyRows(docsFields.unionByName(
+          tokenRows.select("partition", "language", "docId", "fieldName", "fieldValue"))))
     }
 
     val termPostings = buildTermPostings(
@@ -219,8 +240,12 @@ object IndexBuilder {
         ("ID", "e", null: String), ("SOURCE", "e", null: String), ("NCHARS", "e", null: String),
         ("ID", "i", NoOpNormalizer), ("SOURCE", "i", NoOpNormalizer),
         ("NCHARS", "i", NoOpNormalizer), ("TEXT", "i", NoOpNormalizer))
-      langs.toSeq.flatMap(l => fields.map { case (f, k, n) => (f, k, l, n) })
+      val static = langs.toSeq.flatMap(l => fields.map { case (f, k, n) => (f, k, l, n) })
         .toDF("fieldName", "kind", "language", "normalizer")
+        .withColumn("frequency", lit(null).cast("bigint"))
+      static.unionByName(
+        frequencyRows(docsFields.unionByName(
+          tokenRows.select("partition", "language", "docId", "fieldName", "fieldValue"))))
     }
 
     val termPostings = buildTermPostings(
@@ -229,6 +254,18 @@ object IndexBuilder {
 
     WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
   }
+
+  /** Per-(field, language) ingested-occurrence counts — the reference's
+    * metadata `f` column family (SummingCombiner totals,
+    * `WikipediaIngester.java:129-136`): one row (fieldName, "f",
+    * language, null, frequency) per pair. Map-side-combined count, tiny
+    * output.
+    */
+  private def frequencyRows(rows: DataFrame): DataFrame =
+    rows.groupBy("fieldName", "language")
+      .agg(count(lit(1)).as("frequency"))
+      .select(col("fieldName"), lit("f").as("kind"), col("language"),
+        lit(null).cast("string").as("normalizer"), col("frequency"))
 
   /** (fieldValue, fieldName, partition, language, docId) rows → lossy
     * global index via the UidList aggregator (A1). GroupBy keys match the

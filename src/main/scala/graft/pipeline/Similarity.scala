@@ -34,37 +34,58 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** All pairs (a < b) with cosine ≥ tau — the O(n²) baseline that
-    * validates the LSH path on samples (at full corpus scale you run
-    * `lshPairs`; this op is contractually for sample-sized inputs, like a
-    * broadcast join's build side). Implementation is a broadcast of the
-    * normalized vectors + a JIT'd per-partition loop — the same shape as
-    * BroadcastNestedLoopJoin but without per-pair row machinery, ~20×
-    * faster than expression-tree scoring on millions of pairs.
+  /** All pairs (a < b) with cosine ≥ tau — the exact O(n²) baseline that
+    * validates the LSH path (at full corpus scale you run `lshPairs`).
+    *
+    * Block-nested-loop shape: vectors are grouped into `blocks` chunks
+    * and every block PAIR (i ≤ j) is one task's work unit. NO driver
+    * collect and NO broadcast — each side of a block pair arrives via a
+    * keyed shuffle, task memory is bounded by two blocks, and the
+    * replication factor is `blocks` (≈ √tasks), the classic distributed
+    * all-pairs layout. The inner loop stays a JIT'd while-loop over
+    * primitive arrays (~20× over interpreted expression-tree scoring on
+    * millions of pairs).
     */
-  def bruteForcePairs(emb: DataFrame, tau: Double): DataFrame = {
+  def bruteForcePairs(emb: DataFrame, tau: Double, blocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1) // sample-scale by contract (see above)
-    val normalized = all.map { case (id, v) =>
-      val n = math.sqrt(rawDot(v, v))
-      (id, v, if (n == 0) 1.0 else n)
-    }
-    val bc = spark.sparkContext.broadcast(normalized)
-    vecs
-      .flatMap { case (id, v) =>
-        val n0   = math.sqrt(rawDot(v, v))
-        val nrm  = if (n0 == 0) 1.0 else n0
-        val others = bc.value
-        val out  = Seq.newBuilder[(Long, Long, Double)]
+    val grouped = emb.select(
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"),
+        col("vec_id").cast("long").as("id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val vs = it.toArray.sortBy(_._2)
+        val norms = vs.map { case (_, _, v) =>
+          val n = math.sqrt(rawDot(v, v)); if (n == 0) 1.0 else n
+        }
+        (blk, vs.map(_._2), vs.map(_._3), norms)
+      }
+      .toDF("blk", "ids", "embs", "nrms")
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    bp
+      .join(grouped.select(col("blk").as("bi"), col("ids").as("ia"),
+        col("embs").as("ea"), col("nrms").as("na")), Seq("bi"))
+      .join(grouped.select(col("blk").as("bj"), col("ids").as("ib"),
+        col("embs").as("eb"), col("nrms").as("nb")), Seq("bj"))
+      .select(col("ia"), col("ea"), col("na"), col("ib"), col("eb"), col("nb"),
+        (col("bi") === col("bj")).as("same"))
+      .as[(Array[Long], Array[Array[Float]], Array[Double],
+           Array[Long], Array[Array[Float]], Array[Double], Boolean)]
+      .flatMap { case (ia, ea, na, ib, eb, nb, same) =>
+        val out = Seq.newBuilder[(Long, Long, Double)]
         var i = 0
-        while (i < others.length) {
-          val (oid, ov, onrm) = others(i)
-          if (oid > id) {
-            val c = rawDot(v, ov) / (nrm * onrm)
-            if (c >= tau) out += ((id, oid, c))
+        while (i < ia.length) {
+          var j = if (same) i + 1 else 0
+          while (j < ib.length) {
+            val c = rawDot(ea(i), eb(j)) / (na(i) * nb(j))
+            if (c >= tau) {
+              val (a, b) =
+                if (ia(i) < ib(j)) (ia(i), ib(j)) else (ib(j), ia(i))
+              out += ((a, b, c))
+            }
+            j += 1
           }
           i += 1
         }

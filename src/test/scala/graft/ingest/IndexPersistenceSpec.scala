@@ -27,6 +27,27 @@ class IndexPersistenceSpec extends SparkSuite {
 
     // partition pruning survives: docs_fields written partitionBy(partition)
     assert(new java.io.File(s"$dir/docs_fields/partition=0").exists())
+
+    // the reverse index persists sorted-by-reversed-value (suffix probes
+    // push to the scan) and answers leading-wildcard queries after reload
+    assert(new java.io.File(s"$dir/reverse_index").exists())
+    val suffix = eng.run("TITLE =~ '.*alt'", Seq("enwiki"))
+      .select("docId").collect().map(_.getString(0)).toSet
+    assert(suffix == Set("657"))
+  }
+
+  test("metadata carries per-field frequency rows (reference 'f' colfam)") {
+    import org.apache.spark.sql.functions._
+    val fixture = getClass.getResource("/enwiki-test.xml").getPath
+    val ix = IndexBuilder.fromArticles(spark, XmlIngest.readArticles(spark, fixture), 1)
+    val freq = ix.metadata.filter(col("kind") === "f")
+      .groupBy("fieldName").agg(sum("frequency").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("TITLE") == 4L) // one title per article
+    assert(freq("ID") == 4L)
+    assert(freq("TEXT") > 10L) // distinct-token occurrences across the 4 docs
+    // i/e rows are untouched (engine reads them with kind filters)
+    assert(ix.metadata.filter(col("kind") === "i" && col("frequency").isNotNull).count() == 0)
   }
 
   test("QueryService shapes Results with XML/JSON rendering") {
