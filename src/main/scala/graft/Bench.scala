@@ -21,8 +21,11 @@ object Bench {
     // Warm the engine serving path too (codegen compile + parquet footer
     // reads are one-time costs, not query execution — the reference
     // baseline likewise reports warm query times, README.md:199-204).
+    // Terms must EXIST in the corpus: a no-hit term plans to an empty
+    // LocalRelation and the whole join/filter path constant-folds away,
+    // warming nothing.
     search.SearchQueries.engine(spark, sfDir)
-      .run("TEXT == 'warmupterm' and TEXT == 'spark'").count()
+      .run("TEXT == 'spark' and TEXT == 'join'").count()
     val names = SparkEntry.registry.map(_.name)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -117,6 +117,22 @@ object Dedup {
       .select(col("a"), col("b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
+  /** Embedding-cosine near-dup verdicts: a vector is a duplicate iff some
+    * EARLIER vector (smaller id) is cosine-similar above tau — the
+    * standard keep-first dedup rule. Pairs come from the blocked
+    * all-pairs baseline here; at corpus scale substitute
+    * `Similarity.lshPairs` for the candidate source (same contract:
+    * (a, b, cosine) with a < b).
+    */
+  def embeddingDedupVerdicts(emb: DataFrame, tau: Double): DataFrame = {
+    val dups = Similarity.bruteForcePairs(emb, tau)
+      .select(col("b").as("vec_id")).distinct()
+    emb.select(col("vec_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup"), lit("drop")).otherwise(lit("keep")).as("verdict"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic 64-bit string hash (FNV-1a) — portable, seedable. */

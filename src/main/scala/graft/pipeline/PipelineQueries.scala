@@ -99,6 +99,20 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // embedding-cosine near-dup: keep-first verdicts off the blocked
+    // exact all-pairs (scale path swaps in lshPairs as candidate source)
+    NamedQuery(
+      "dd_embedding_neardup",
+      """SELECT e.vec_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM embeddings x
+        |        WHERE x.vec_id < e.vec_id
+        |          AND list_cosine_similarity(x.embedding, e.embedding) >= 0.4)
+        |       THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM embeddings e ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Dedup.embeddingDedupVerdicts(Tables.load(s, dir, "embeddings"), tau = 0.4)
+        .orderBy("vec_id")
+    },
+
     // ---- similarity search ----------------------------------------------
     NamedQuery(
       "sim_pairs_brute",
@@ -177,6 +191,20 @@ object PipelineQueries {
          |FROM (SELECT doc_id, $toks AS tk FROM documents) q
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "ta_token_counts", {
+        val pat = TextAnalysis.BpePattern.replace("'", "''") // SQL-quote the pattern's apostrophe
+        s"""SELECT doc_id,
+           |  CAST(len($toks) AS INT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '$pat', 0)) AS INT) AS n_bpe_tokens,
+           |  CAST(length(text) * 1000 //
+           |    greatest(len(regexp_extract_all(text, '$pat', 0)), 1) AS BIGINT)
+           |    AS chars_per_bpe_permille
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     NamedQuery(

@@ -62,6 +62,29 @@ object TextAnalysis {
         .otherwise(lit("unknown")).as("lang_pred"))
   }
 
+  /** BPE-ish pre-tokenization pattern (the GPT-2 pre-tokenizer shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs). ASCII classes — the corpus is ASCII and the
+    * pattern must mean the same thing to Spark (java.util.regex) and the
+    * DuckDB oracle (RE2); both support these constructs identically.
+    */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+
+  /** Token counting for training-data budgeting: whitespace tokens vs
+    * BPE-ish pre-tokens, plus chars-per-pretoken (integer per-mille).
+    * A narrow projection — the 100 TB shape is one scan, no shuffle.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val nWs  = size(toks(col("text")))
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    docs.select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      floor(length(col("text")).cast("bigint") * 1000 /
+        greatest(nBpe, lit(1)).cast("bigint")).cast("bigint").as("chars_per_bpe_permille"))
+  }
+
   /** Portable positional fingerprint: Σ (i+1)·(31·len(tok_i) +
     * codepoint(tok_i[0])) mod 1e9+7. Deterministic integer arithmetic —
     * expressible identically in any SQL engine (the oracle re-derives

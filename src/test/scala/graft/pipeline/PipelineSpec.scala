@@ -137,6 +137,25 @@ class PipelineSpec extends SparkSuite {
     assert(frames.count() == 5) // 43-byte payload, stride 10
   }
 
+  test("embedding near-dup verdicts: keep-first, drop later similar vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f)), // near-dup of 1 → drop
+      (3L, Array(0.0f, 1.0f))    // orthogonal → keep
+    ).toDF("vec_id", "embedding")
+    val v = Dedup.embeddingDedupVerdicts(emb, tau = 0.9)
+      .as[(Long, String)].collect().toMap
+    assert(v(1L) == "keep" && v(2L) == "drop" && v(3L) == "keep")
+  }
+
+  test("token counts: whitespace vs BPE-ish pre-tokens") {
+    val d = Seq((1L, "it's over 9000 tokens, really")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 5)
+    // it|'s| over| 9000| tokens|,| really → 7 pre-tokens
+    assert(r.getAs[Int]("n_bpe_tokens") == 7)
+  }
+
   test("text analysis stats are exact") {
     val st = TextAnalysis.stats(docs.filter($"doc_id" === 1)).collect().head
     assert(st.getAs[Int]("n_tokens") == 9)
