@@ -13,22 +13,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double-precision sequential dot product — deterministic regardless
-    * of task placement. A compiled UDF over the primitive arrays: Spark's
-    * higher-order `aggregate`/`zip_with` expressions are interpreted per
-    * element (not whole-stage-codegen'd), which costs ~20× on a
-    * millions-of-pairs hot path; a JIT'd while-loop is the fast path.
+    * of task placement. A NATIVE Catalyst expression
+    * (`plans/VectorExpressions.DotProduct`): participates in whole-stage
+    * codegen and reads Tungsten `ArrayData` in place — no per-row
+    * `Seq[Float]` materialization (a Scala UDF's boxing tax) and no
+    * per-element interpretation (higher-order `aggregate`/`zip_with`'s
+    * tax) on the millions-of-pairs scoring path. Callers must register
+    * `GraftFunctions` on the session first (each public op here does).
     */
-  private def dotJvm(a: Seq[Float], b: Seq[Float]): Double = {
-    val x = a.toArray; val y = b.toArray
-    var s = 0.0; var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-    s
-  }
-
-  private val dotUdf = udf(dotJvm _)
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -107,6 +100,7 @@ object Similarity {
     */
   def topK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val qs = queries.select(col("vec_id").as("query_id"),
@@ -175,6 +169,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val cents = trainIvf(emb, cells)
     val bc    = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
@@ -225,6 +220,7 @@ object Similarity {
     * cosine rerank, threshold. Approximate (recall < 1) by construction.
     */
   def lshPairs(emb: DataFrame, dim: Int, tau: Double, bits: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val b = lshBuckets(emb, dim, bits).cache()
     b.as("x")
       .join(b.as("y"),

@@ -48,7 +48,10 @@ case class LcNoDiacritics(child: Expression) extends UnaryExpression {
   * driver harness's). Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize", (exprs: Seq[Expression]) => LcNoDiacritics(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

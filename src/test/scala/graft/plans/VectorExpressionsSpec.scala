@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rawDot(x: Array[Float], y: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
+  test("graft_dot matches sequential double accumulation on eval and codegen paths") {
+    GraftFunctions.register(spark)
+    val vs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(0.3f, 0.4f)),
+      (Array.empty[Float], Array(1.0f)),        // length mismatch → min
+      (Array.fill(64)(0.25f), Array.fill(64)(-0.5f)))
+    val got = vs.toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+      .as[Double].collect()
+    vs.zip(got).foreach { case ((a, b), d) => assert(d == rawDot(a, b)) }
+  }
+
+  test("null flows through (nullIntolerant)") {
+    GraftFunctions.register(spark)
+    val r = Seq((Some(Array(1.0f)), Some(Array(2.0f))), (None, Some(Array(2.0f))))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(r.toSet == Set(Some(2.0), None))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100)
+      .select(array(col("id").cast("float"), lit(2.0f)).as("a"),
+        array(lit(3.0f), col("id").cast("float")).as("b"))
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+    assert(df.as[Double].collect().zipWithIndex.forall { case (d, i) => d == 3.0 * i + 2.0 * i })
+  }
+
+  test("type check rejects non-float arrays") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
