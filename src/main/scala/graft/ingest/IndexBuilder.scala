@@ -229,10 +229,8 @@ object IndexBuilder {
       explode(array_distinct(TextFunctions.tokenizeWs(col("text")))).as("fieldValue"))
       .withColumn("fieldName", lit("TEXT"))
       .select("fieldValue", "fieldName", "partition", "language", "docId")
-    val fieldRows = docsFields
-      .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"), col("docId"))
 
-    val globalIndex = buildGlobalIndex(fieldRows.unionByName(tokenRows))
+    val globalIndex = buildGlobalIndex(documentIndexRows(docs, numPartitions))
 
     val metadata = {
       val langs = base.select("language").distinct().as[String].collect()
@@ -253,6 +251,34 @@ object IndexBuilder {
         TextFunctions.tokenizeWs(col("text")).as("tokens")))
 
     WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
+  }
+
+  /** The (fieldValue, fieldName, partition, language, docId) index input
+    * rows for a `documents`-table batch — the shared extraction behind
+    * `fromDocumentsTable`'s global index AND the streaming live-ingest
+    * deltas (`streaming/LiveIngest`): both paths index identically by
+    * construction, so an incrementally-merged index equals a from-scratch
+    * build exactly (A1 merge associativity).
+    */
+  def documentIndexRows(docs: DataFrame, numPartitions: Int): DataFrame = {
+    val base = docs
+      .withColumn("partition", pmod(col("doc_id"), lit(numPartitions)).cast("int"))
+      .withColumn("docId", col("doc_id").cast("string"))
+      .withColumnRenamed("lang", "language")
+    val fieldCols = map(
+      lit("ID"), col("doc_id").cast("string"),
+      lit("SOURCE"), col("source"),
+      lit("NCHARS"), col("n_chars").cast("string"))
+    val fieldRows = base
+      .select(col("partition"), col("language"), col("docId"),
+        explode(fieldCols).as(Seq("fieldName", "fieldValue")))
+      .select("fieldValue", "fieldName", "partition", "language", "docId")
+    val tokenRows = base.select(
+      col("partition"), col("language"), col("docId"),
+      explode(array_distinct(TextFunctions.tokenizeWs(col("text")))).as("fieldValue"))
+      .withColumn("fieldName", lit("TEXT"))
+      .select("fieldValue", "fieldName", "partition", "language", "docId")
+    fieldRows.unionByName(tokenRows)
   }
 
   /** Per-(field, language) ingested-occurrence counts — the reference's

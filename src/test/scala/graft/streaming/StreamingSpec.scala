@@ -89,6 +89,40 @@ class StreamingSpec extends SparkSuite {
     assert(canon(base.get) == canon(full))
   }
 
+  test("LiveIndexMaintainer: streamed snapshots equal a from-scratch batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir  = java.nio.file.Files.createTempDirectory("graft-live-index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-live-ckpt").toString
+    // documents-table schema: (doc_id, text, lang, source, n_chars)
+    val input = MemoryStream[(Long, String, String, String, Int)]
+    val docsStream = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val maintainer = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
+    val q = maintainer.attach(docsStream, ckpt)
+    val d1 = (1L, "alpha beta gamma", "en", "s1", 16)
+    val d2 = (2L, "alpha delta", "en", "s1", 11)
+    val d3 = (3L, "beta beta epsilon", "de", "s2", 17)
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      assert(maintainer.latestVersion == 0L)
+      input.addData(d3)
+      q.processAllAvailable()
+      assert(maintainer.latestVersion == 1L)
+    } finally q.stop()
+
+    val allDocs = Seq(d1, d2, d3).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batchBuilt = graft.ingest.IndexBuilder.buildGlobalIndex(
+      graft.ingest.IndexBuilder.documentIndexRows(allDocs, 2))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"),
+        col("count"), array_sort(col("uids")).as("uids"), col("ignore"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(maintainer.latest.get) == canon(batchBuilt))
+
+    // snapshots are immutable + versioned: v0 still readable after v1 commits
+    assert(spark.read.parquet(s"$dir/v0").count() > 0)
+  }
+
   test("incremental index merge preserves lossy UidList semantics") {
     def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
       rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
