@@ -38,6 +38,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   def boundPort: Int = server.getAddress.getPort
 
   server.createContext("/query", (ex: HttpExchange) => safely(ex) {
+    val t0     = System.nanoTime()
     val params = queryParams(ex)
     val q = params.getOrElse("query",
       throw new IllegalArgumentException("missing required parameter: query"))
@@ -45,6 +46,11 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val limit = params.get("limit").map(_.toInt).getOrElse(100)
     val results = service.query(q, auths, limit)
+    // per-query serving metrics on the wire (set before safely() sends
+    // headers): end-to-end parse→plan→execute→collect time + row count
+    ex.getResponseHeaders.set("X-Query-Millis",
+      ((System.nanoTime() - t0) / 1e6).round.toString)
+    ex.getResponseHeaders.set("X-Result-Count", results.documents.size.toString)
     val fmt = params.get("format").orElse(fromAccept(ex)).getOrElse("xml")
     fmt match {
       case "xml"  => ("application/xml", results.toXml)

@@ -85,7 +85,10 @@ object QueryParser {
     var pos = 0
     def atEnd: Boolean = pos == toks.length
     def peek: Option[Tok]     = if (pos < toks.length) Some(toks(pos)) else None
-    def next(): Tok           = { val t = toks(pos); pos += 1; t }
+    def next(): Tok = {
+      if (pos >= toks.length) throw ParseException("unexpected end of input")
+      val t = toks(pos); pos += 1; t
+    }
     def expect(p: Tok): Unit =
       if (peek.contains(p)) pos += 1
       else throw ParseException(s"expected $p, found $peek")

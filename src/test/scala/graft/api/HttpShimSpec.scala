@@ -25,14 +25,20 @@ class HttpShimSpec extends SparkSuite {
     finally super.afterAll()
   }
 
-  private def get(path: String, accept: Option[String] = None): (Int, String, String) = {
+  private def get(path: String, accept: Option[String] = None): (Int, String, String) =
+    getFull(path, accept) match { case (s, ct, b, _) => (s, ct, b) }
+
+  private def getFull(path: String, accept: Option[String] = None)
+      : (Int, String, String, Map[String, String]) = {
     val conn = URI.create(s"http://127.0.0.1:${shim.boundPort}$path")
       .toURL.openConnection().asInstanceOf[HttpURLConnection]
     accept.foreach(conn.setRequestProperty("Accept", _))
     val status = conn.getResponseCode
     val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
     val body   = new String(stream.readAllBytes(), UTF_8)
-    (status, Option(conn.getHeaderField("Content-Type")).getOrElse(""), body)
+    val hdrs = Seq("X-Query-Millis", "X-Result-Count")
+      .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+    (status, Option(conn.getHeaderField("Content-Type")).getOrElse(""), body, hdrs)
   }
 
   private val q = "query=" + java.net.URLEncoder.encode("TEXT == 'abacus'", UTF_8)
@@ -83,6 +89,13 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/query")._1 == 400)
     assert(get("/content?id=" +
       java.net.URLEncoder.encode("DOCUMENT:0/enwiki/99999", UTF_8))._1 == 404)
+  }
+
+  test("per-query serving metrics travel as response headers") {
+    val (status, _, _, hdrs) = getFull(s"/query?$q&format=json")
+    assert(status == 200)
+    assert(hdrs.get("X-Result-Count").contains("1"))
+    assert(hdrs.get("X-Query-Millis").exists(_.toLong >= 0))
   }
 
   test("limit caps the result set") {

@@ -47,6 +47,30 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(df.as[Double].collect().zipWithIndex.forall { case (d, i) => d == 3.0 * i + 2.0 * i })
   }
 
+  test("spark.sql.extensions entry point registers functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions drives the same class the spark.sql.extensions
+      // conf loads (that conf is read from the SparkContext at context
+      // creation, which the shared test context predates)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate() // reuses the test SparkContext; fresh session state
+      val r = s2.sql(
+        """SELECT graft_normalize('Ábacus') AS n,
+          |  graft_dot(array(cast(1.0 as float), cast(2.0 as float)),
+          |            array(cast(3.0 as float), cast(4.0 as float))) AS d""".stripMargin)
+        .collect().head
+      assert(r.getString(0) == "abacus")
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("type check rejects non-float arrays") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {

@@ -108,4 +108,15 @@ class QueryParserSpec extends AnyFunSuite {
     assert(classifyRegex("a.c")   == Opaque)
     assert(classifyRegex(".*")    == Opaque)
   }
+
+  test("fuzz: arbitrary input parses or raises ParseException — never hangs or escapes") {
+    val rnd   = new scala.util.Random(11)
+    val chars = "abcdef ()'=!<>~&|:,.0123456789\"_-"
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(1 + rnd.nextInt(30))(chars(rnd.nextInt(chars.length))).mkString
+      try { QueryParser.parse(s); () }
+      catch { case _: QueryParser.ParseException => () }
+      // anything else (MatchError, NPE, StackOverflow) fails the test
+    }
+  }
 }
