@@ -47,6 +47,33 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingleUdf(col("text"))).as("shingle"))
   }
 
+  /** (doc_id, sh) pairs: 64-bit fnv1a hashes of the distinct word
+    * n-grams per document, computed inside the UDF without emitting the
+    * n-gram strings. Hash-equality join semantics match string-equality
+    * up to collisions (~|shingles|²/2⁶⁴).
+    */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val udfH = udf { text: String =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      if (tk.length < n) Array.empty[Long]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[Long]
+        val sb   = new StringBuilder
+        var i = 0
+        while (i <= tk.length - n) {
+          sb.setLength(0)
+          sb.append(tk(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
+          seen += fnv1a(sb.toString, 0L)
+          i += 1
+        }
+        seen.toArray
+      }
+    }
+    docs.select(col("doc_id"), explode(udfH(col("text"))).as("sh"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ tau).
     *
     * Shuffle structure: one shuffle keyed by shingle (bucket sizes are
@@ -72,12 +99,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double, dfCap: Int = 0): DataFrame = {
     // Join on a 64-bit shingle hash, not the string: same equality
-    // semantics up to xxhash64 collisions (~|shingles|²/2⁶⁴ ≈ 0), half
-    // the shuffle bytes. Doc-size side is broadcast (one row per doc).
-    // The string-shingle stage is what's cached so its plan is shared
-    // with minhashPairs' shingle sets within a session.
-    val sh = shingles(docs, n).cache()
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // semantics up to fnv1a collisions (~|shingles|²/2⁶⁴ ≈ 0), half the
+    // shuffle bytes. The hashes are computed INSIDE the shingling UDF —
+    // the n-gram strings are never materialized into rows at all (at
+    // corpus scale that's the dominant allocation + exchange cost of
+    // this operator).
+    val sh = shingleHashes(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
     val (joinSide, hotCorrection) =
