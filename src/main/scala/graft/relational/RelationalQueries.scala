@@ -369,6 +369,65 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // -- q21: TPC-H Q21 shape — correlated EXISTS + NOT EXISTS on the same
+    // fact table, via the spark.sql entry path (Catalyst decorrelates
+    // both subqueries into semi/anti joins on l_orderkey; the fact table
+    // shuffles once per correlation key, suppliers broadcast).
+    NamedQuery(
+      "q21_sole_returner",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
+      Seq("supplier", "lineitem", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+    },
+
+    // -- q22: TPC-H Q22 shape — uncorrelated scalar-subquery threshold +
+    // correlated scalar COUNT subquery (decorrelated to an aggregate
+    // join by Catalyst; the corpus has no order-less customers, so the
+    // classic NOT EXISTS form would be vacuous here).
+    // The threshold is sum(DECIMAL)/count cast through DOUBLE on BOTH
+    // engines: the decimal sum is order-independent-exact, so the
+    // boundary is bit-identical (a bare avg(double) would not be).
+    NamedQuery(
+      "q22_idle_rich_customers",
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        |                        / count(*) AS DOUBLE)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) < 3
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin) { (s, dir) =>
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+          |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+          |                        / count(*) AS DOUBLE)
+          |                   FROM customer WHERE c_acctbal > 0)
+          |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) < 3
+          |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin)
     }
   )
 }
