@@ -143,8 +143,20 @@ class WikiSearchEngine(
         val stats = collectLeafStats(analysis, needCards(tree))
         val cand  = materialize(tree, stats, authFilter, auths)
         // Candidates restrict the stored event view by semi-join (index
-        // nested-loop doc fetch J3, as a distributed semi-join).
-        val events = eventView(authFilter, Some(candidateDf(cand)))
+        // nested-loop doc fetch J3, as a distributed semi-join). When the
+        // candidate set is driver-local its shard set is known at plan
+        // time — push it as a STATIC partition filter so the event scan
+        // reads only the touched shards (the reference's shard-range
+        // seek; at 100 TB this is the difference between 3 partition
+        // dirs and all of them).
+        val shardPrune: DataFrame => DataFrame = partsOf(cand) match {
+          case Some(parts) if parts.nonEmpty =>
+            df => df.filter(col("partition").isin(parts: _*))
+          case _ => identity
+        }
+        val events = eventView(
+          auth = df => shardPrune(authFilter(df)),
+          candidates = Some(candidateDf(cand)))
         finish(events.filter(
           Compiler.compile(ast, config.unevaluatedFields, residualNorms)))
       case None => // full scan (AbstractQueryLogic.java:838-884)
@@ -431,13 +443,26 @@ class WikiSearchEngine(
     */
   private sealed trait MCand { def card: Long }
   private case class LocalCand(docs: Seq[(Int, String, String)], card: Long) extends MCand
-  private case class DistCand(df: DataFrame, card: Long) extends MCand
+  /** `parts` = the candidate set's partition (shard) footprint when it is
+    * known at plan time (EqLeaf postings — exact AND lossy rows — are
+    * collected driver-side, so their shards are known even on the
+    * distributed fallback path); None when a distributed range scan makes
+    * it data-dependent.
+    */
+  private case class DistCand(df: DataFrame, card: Long, parts: Option[Seq[Int]] = None)
+      extends MCand
+
+  /** Known shard footprint of a candidate set (None = unbounded). */
+  private def partsOf(m: MCand): Option[Seq[Int]] = m match {
+    case LocalCand(docs, _)   => Some(docs.map(_._1).distinct)
+    case DistCand(_, _, p)    => p
+  }
 
   private val CandKeys = Seq("partition", "language", "docId")
 
   private def candidateDf(c: MCand): DataFrame = c match {
     case LocalCand(docs, _) => docs.toDF(CandKeys: _*)
-    case DistCand(df, _)    => df
+    case DistCand(df, _, _) => df
   }
 
   private def materialize(
@@ -466,7 +491,8 @@ class WikiSearchEngine(
         // no dedup: candidates only ever feed semi/anti-joins, which are
         // duplicate-tolerant — a dropDuplicates here would cost a full
         // shuffle stage per query on the serving path
-        DistCand(exact.toDF(CandKeys: _*).unionByName(shardDocs), st.card)
+        DistCand(exact.toDF(CandKeys: _*).unionByName(shardDocs), st.card,
+          parts = Some((exact.map(_._1) ++ shards.map(_._1)).distinct))
       }
 
     case ScanLeaf(tag, ix) =>
@@ -477,8 +503,11 @@ class WikiSearchEngine(
       val card = ms.map(_.card).sum
       if (ms.forall(_.isInstanceOf[LocalCand]))
         LocalCand(ms.collect { case LocalCand(d, _) => d }.flatten.distinct, card)
-      else // union without dedup — downstream semi-join is duplicate-tolerant
-        DistCand(ms.map(candidateDf).reduce(_ unionByName _), card)
+      else { // union without dedup — downstream semi-join is duplicate-tolerant
+        val parts = ms.map(partsOf)
+        DistCand(ms.map(candidateDf).reduce(_ unionByName _), card,
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get).distinct) else None)
+      }
 
     case AndNode(positives, negatives) =>
       val ms = positives.map(materialize(_, stats, auth, auths))
@@ -506,9 +535,9 @@ class WikiSearchEngine(
           case LocalCand(docs, c) =>
             val negSet = negRows.toSet
             LocalCand(docs.filterNot(negSet.contains), c)
-          case DistCand(df, c) if negRows.nonEmpty =>
+          case DistCand(df, c, p) if negRows.nonEmpty =>
             DistCand(df.join(
-              broadcast(negRows.toDF(CandKeys: _*)), CandKeys, "left_anti"), c)
+              broadcast(negRows.toDF(CandKeys: _*)), CandKeys, "left_anti"), c, p)
           case d => d
         }
       }
@@ -529,7 +558,10 @@ class WikiSearchEngine(
         _.join(_, CandKeys, "left_semi"))
       val df = locals.foldLeft(base)((acc, l) =>
         acc.join(broadcast(candidateDf(l)), CandKeys, "left_semi"))
-      DistCand(df, card)
+      // intersection footprint: every branch's known shard set bounds it
+      val known = ms.flatMap(partsOf)
+      DistCand(df, card,
+        if (known.isEmpty) None else Some(known.reduce(_ intersect _)))
     }
   }
 
