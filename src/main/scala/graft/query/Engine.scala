@@ -473,7 +473,7 @@ class WikiSearchEngine(
 
     case EmptyLeaf => LocalCand(Nil, 0L)
 
-    case EqLeaf(tag, _, _) =>
+    case EqLeaf(tag, field, forms) =>
       val st    = stats.getOrElse(tag, LeafStats(Nil, 0L))
       val rows  = if (auths.isEmpty) st.rows else st.rows.filter(r => auths.contains(r.language))
       val exact = rows.filterNot(_.ignore)
@@ -484,8 +484,16 @@ class WikiSearchEngine(
         // lossy rows degrade to whole-(partition, language) candidate
         // sets — the reference's shard-range fallback
         // (`RangeCalculator.java:683-705`); partition-pruned via
-        // broadcast semi-join.
-        val shardDocs = allDocs.join(
+        // broadcast semi-join. EXCEPT on an unevaluated field: there the
+        // residual compiles to TRUE, so a whole-shard candidate set
+        // would leak every doc in the shard — the reference instead
+        // walks the EXACT per-partition fi index within the shard
+        // (`BooleanLogicIterator`); our fi analogues are termPostings
+        // (TEXT) and docsFields (event fields).
+        val shardSource =
+          if (config.unevaluatedFields.contains(field)) exactFieldDocs(field, forms)
+          else allDocs
+        val shardDocs = shardSource.join(
           broadcast(shards.toDF("partition", "language")),
           Seq("partition", "language"), "left_semi")
         // no dedup: candidates only ever feed semi/anti-joins, which are
@@ -531,7 +539,7 @@ class WikiSearchEngine(
         val st      = stats.getOrElse(neg.tag, LeafStats(Nil, 0L))
         val negRows = st.rows.filterNot(_.ignore)
           .flatMap(r => r.uids.map(u => (r.partition, r.language, u)))
-        acc match {
+        val step = acc match {
           case LocalCand(docs, c) =>
             val negSet = negRows.toSet
             LocalCand(docs.filterNot(negSet.contains), c)
@@ -539,6 +547,21 @@ class WikiSearchEngine(
             DistCand(df.join(
               broadcast(negRows.toDF(CandKeys: _*)), CandKeys, "left_anti"), c, p)
           case d => d
+        }
+        // lossy negated postings on an UNEVALUATED field: the residual
+        // compiles the NE term to TRUE, so the docs the lossy row hides
+        // must be pruned here — exactly, via the fi analogue, limited to
+        // the overflowed shards. (Default config needs nothing: the
+        // residual's absence check re-verifies.)
+        val ignoreShards = st.rows.filter(_.ignore)
+          .map(r => (r.partition, r.language)).distinct
+        if (ignoreShards.isEmpty || !config.unevaluatedFields.contains(neg.field)) step
+        else {
+          val negDf = exactFieldDocs(neg.field, neg.forms).join(
+            broadcast(ignoreShards.toDF("partition", "language")),
+            Seq("partition", "language"), "left_semi")
+          DistCand(candidateDf(step).join(negDf, CandKeys, "left_anti"),
+            step.card, partsOf(step))
         }
       }
   }
@@ -590,6 +613,29 @@ class WikiSearchEngine(
       val longForm = if (d == d.toLong.toDouble) Seq(d.toLong.toString) else Nil
       (Seq(norm, d.toString) ++ longForm).distinct
     }
+
+  /** Exact (partition, language, docId) lookup of docs carrying one of
+    * the literal's probe forms — the engine's analogue of the
+    * reference's exact per-partition `fi` field index: TEXT terms live
+    * in termPostings, event fields in docsFields. Lc-normalized fields
+    * compare through `graft_normalize` (stored raw value vs normalized
+    * forms); identity fields compare raw with full parquet pushdown.
+    * Used where lossy global-index rows are NOT allowed to
+    * over-approximate (unevaluated fields — the residual trusts the
+    * index there).
+    */
+  private def exactFieldDocs(field: String, forms: Seq[String]): DataFrame = {
+    val (src, valueCol) =
+      if (field == "TEXT")
+        (index.termPostings, col("term"))
+      else
+        (index.docsFields.filter(col("fieldName") === field), col("fieldValue"))
+    val cmp =
+      if (residualNorms.contains(field))
+        call_function("graft_normalize", valueCol).isin(forms: _*)
+      else valueCol.isin(forms: _*)
+    src.filter(cmp).select(col("partition"), col("language"), col("docId"))
+  }
 
   /** Index rows → candidate docs: exact uids exploded; lossy (ignore)
     * rows degrade to whole-(partition, language) candidate sets — the

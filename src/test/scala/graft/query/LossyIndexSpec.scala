@@ -52,6 +52,20 @@ class LossyIndexSpec extends SparkSuite {
     assert(ids("TEXT == 'rare' and TEXT != 'hot'") == Set(32L))
   }
 
+  test("unevaluated field stays exact under lossy shard fallback (fi-style verification)") {
+    // With TEXT unevaluated the residual compiles TEXT terms to TRUE, so
+    // a whole-shard fallback would leak all 40 docs; the engine must
+    // verify the overflowed shard against the exact termPostings (the
+    // reference walks the exact per-partition fi index the same way).
+    val engU = new WikiSearchEngine(spark, ix, EngineConfig(unevaluatedFields = Set("TEXT")))
+    def idsU(q: String): Set[Long] =
+      engU.run(q).select("docId").collect().map(_.getString(0).toLong).toSet
+    assert(idsU("TEXT == 'hot'") == (0L until 30L).toSet)
+    // negated lossy term: exact postings are empty (overflow), so the
+    // hidden docs must be pruned via the fi analogue too
+    assert(idsU("TEXT == 'rare' and TEXT != 'hot'") == Set(32L))
+  }
+
   test("exact term keeps exact uids in the index") {
     val row = ix.globalIndex
       .filter(col("fieldName") === "TEXT" && col("fieldValue") === "rare")
