@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *        substitutes `field == null` unconditionally,
   *        AbstractEvaluatingIterator.java:292-301): a term on an
   *        unevaluated field that the index could NOT answer (e.g. an
-  *        opaque mid-string regex) is never checked anywhere — that is
-  *        the cost of declaring a field unevaluated.
+  *        opaque mid-string regex, or a NEGATED regex — NRE terms never
+  *        prune) is never checked anywhere — that is the cost of
+  *        declaring a field unevaluated. Index-answerable terms
+  *        (EQ/NE/prefix/suffix/bounded range) stay EXACT even through
+  *        lossy shard fallbacks (fi-style verification).
   */
 case class EngineConfig(
     unevaluatedFields: Set[String] = Set.empty,
@@ -180,6 +183,15 @@ class WikiSearchEngine(
         unbase64(col("textB64")).cast("string").as("DOCUMENT"))
   }
 
+  /** Whether the query would take the index-assisted path (vs full
+    * scan) — a planning probe for tests/diagnostics; runs no jobs beyond
+    * bare-term rewrites.
+    */
+  private[query] def indexAnswerable(query: String): Boolean = {
+    val ast = rewriteBareTerms(QueryParser.parse(query))
+    analyze(ast, new Analysis).isDefined
+  }
+
   // ---- planning -----------------------------------------------------------
 
   /** Unfielded bare terms → OR over the fields where the global index
@@ -219,7 +231,13 @@ class WikiSearchEngine(
 
   private sealed trait PlanNode
   private case class EqLeaf(tag: Int, field: String, forms: Seq[String]) extends PlanNode
-  private case class ScanLeaf(tag: Int, ix: DataFrame) extends PlanNode
+  /** Distributed index-scan leaf (prefix/suffix/range — can match
+    * unboundedly many terms). `fiVerify` carries the exact fi-analogue
+    * lookup of the SAME predicate when the field is unevaluated, so
+    * lossy (ignore) rows verify exactly instead of leaking whole shards.
+    */
+  private case class ScanLeaf(tag: Int, ix: DataFrame, fiVerify: Option[DataFrame])
+      extends PlanNode
   private case object EmptyLeaf extends PlanNode
   private case class OrNode(children: Seq[PlanNode]) extends PlanNode
   private case class AndNode(positives: Seq[PlanNode], negatives: Seq[EqLeaf]) extends PlanNode
@@ -230,8 +248,8 @@ class WikiSearchEngine(
     def eqLeaf(field: String, forms: Seq[String]): EqLeaf = {
       val l = EqLeaf(nextTag, field, forms); nextTag += 1; leaves += l; l
     }
-    def scanLeaf(ix: DataFrame): ScanLeaf = {
-      val l = ScanLeaf(nextTag, ix); nextTag += 1; leaves += l; l
+    def scanLeaf(ix: DataFrame, fiVerify: Option[DataFrame]): ScanLeaf = {
+      val l = ScanLeaf(nextTag, ix, fiVerify); nextTag += 1; leaves += l; l
     }
   }
 
@@ -285,14 +303,22 @@ class WikiSearchEngine(
     t.op match {
       case Op.EQ => Some(an.eqLeaf(t.field, probeForms(t.field, t.literal)))
       case Op.RE =>
+        def fi(pred: Column => Column): Option[DataFrame] =
+          if (config.unevaluatedFields.contains(t.field))
+            Some(exactFieldPred(t.field, pred))
+          else None
         classifyRegex(norm) match {
           case Prefix(p) => // trailing wildcard → forward index prefix range
-            Some(an.scanLeaf(index.globalIndex
-              .filter(col("fieldName") === t.field && col("fieldValue").startsWith(p))))
+            Some(an.scanLeaf(
+              index.globalIndex
+                .filter(col("fieldName") === t.field && col("fieldValue").startsWith(p)),
+              fi(_.startsWith(p))))
           case Suffix(s) => // leading wildcard → reverse index prefix range
-            Some(an.scanLeaf(index.reverseIndex
-              .filter(col("fieldName") === t.field &&
-                col("fieldValue").startsWith(s.reverse))))
+            Some(an.scanLeaf(
+              index.reverseIndex
+                .filter(col("fieldName") === t.field &&
+                  col("fieldValue").startsWith(s.reverse)),
+              fi(_.endsWith(s))))
           case Opaque => None // mid-string wildcard: filter-only (RangeCalculator.java:357-420)
         }
       case _ => None // single-sided ranges handled (fused) at the AND level
@@ -330,25 +356,32 @@ class WikiSearchEngine(
 
   private def rangeNode(field: String, b: Bounds, an: Analysis): Option[ScanLeaf] = {
     if (!indexedFields.contains(field)) return None
-    val v = col("fieldValue")
     // Each bound compares in its own domain — numeric literals compare
     // numerically (matching the residual's try_cast semantics), string
-    // literals lexicographically on the normalized value.
-    def cond(raw: String, cmpNum: (Column, Column) => Column,
-        cmpStr: (Column, Column) => Column): Column = {
-      val n = normalizeLit(field, raw)
-      if (Compiler.isNumeric(n)) cmpNum(v.try_cast("double"), lit(n.toDouble))
-      else cmpStr(v, lit(n))
-    }
-    val conds =
-      b.los.map { case (l, strict) =>
-        if (strict) cond(l, _ > _, _ > _) else cond(l, _ >= _, _ >= _)
-      } ++ b.his.map { case (h, strict) =>
-        if (strict) cond(h, _ < _, _ < _) else cond(h, _ <= _, _ <= _)
+    // literals lexicographically on the normalized value. Parameterized
+    // over the value column so the same bounds apply to the index scan
+    // and (when the field is unevaluated) the exact fi verification.
+    def boundsPred(v: Column): Column = {
+      def cond(raw: String, cmpNum: (Column, Column) => Column,
+          cmpStr: (Column, Column) => Column): Column = {
+        val n = normalizeLit(field, raw)
+        if (Compiler.isNumeric(n)) cmpNum(v.try_cast("double"), lit(n.toDouble))
+        else cmpStr(v, lit(n))
       }
+      val conds =
+        b.los.map { case (l, strict) =>
+          if (strict) cond(l, _ > _, _ > _) else cond(l, _ >= _, _ >= _)
+        } ++ b.his.map { case (h, strict) =>
+          if (strict) cond(h, _ < _, _ < _) else cond(h, _ <= _, _ <= _)
+        }
+      conds.reduce(_ && _)
+    }
     val ix = index.globalIndex
-      .filter(conds.foldLeft(col("fieldName") === field)(_ && _))
-    Some(an.scanLeaf(ix))
+      .filter(col("fieldName") === field && boundsPred(col("fieldValue")))
+    val fiVerify =
+      if (config.unevaluatedFields.contains(field)) Some(exactFieldPred(field, boundsPred))
+      else None
+    Some(an.scanLeaf(ix, fiVerify))
   }
 
   /** True iff some AND node will need per-branch cardinalities to pick
@@ -503,8 +536,9 @@ class WikiSearchEngine(
           parts = Some((exact.map(_._1) ++ shards.map(_._1)).distinct))
       }
 
-    case ScanLeaf(tag, ix) =>
-      DistCand(toCandidates(ix, auth), stats.get(tag).map(_.card).getOrElse(0L))
+    case ScanLeaf(tag, ix, fiVerify) =>
+      DistCand(toCandidates(ix, auth, fiVerify.getOrElse(allDocs)),
+        stats.get(tag).map(_.card).getOrElse(0L))
 
     case OrNode(cs) =>
       val ms   = cs.map(materialize(_, stats, auth, auths))
@@ -624,31 +658,39 @@ class WikiSearchEngine(
     * over-approximate (unevaluated fields — the residual trusts the
     * index there).
     */
-  private def exactFieldDocs(field: String, forms: Seq[String]): DataFrame = {
+  private def exactFieldDocs(field: String, forms: Seq[String]): DataFrame =
+    exactFieldPred(field, _.isin(forms: _*))
+
+  /** Same, for an arbitrary value predicate (prefix / suffix / range
+    * shapes on unevaluated fields).
+    */
+  private def exactFieldPred(field: String, pred: Column => Column): DataFrame = {
     val (src, valueCol) =
       if (field == "TEXT")
         (index.termPostings, col("term"))
       else
         (index.docsFields.filter(col("fieldName") === field), col("fieldValue"))
-    val cmp =
-      if (residualNorms.contains(field))
-        call_function("graft_normalize", valueCol).isin(forms: _*)
-      else valueCol.isin(forms: _*)
-    src.filter(cmp).select(col("partition"), col("language"), col("docId"))
+    val v =
+      if (residualNorms.contains(field)) call_function("graft_normalize", valueCol)
+      else valueCol
+    src.filter(pred(v)).select(col("partition"), col("language"), col("docId"))
   }
 
   /** Index rows → candidate docs: exact uids exploded; lossy (ignore)
     * rows degrade to whole-(partition, language) candidate sets — the
     * reference's shard-range fallback (`RangeCalculator.java:683-705`).
     */
-  private def toCandidates(ix: DataFrame, auth: DataFrame => DataFrame): DataFrame = {
+  private def toCandidates(
+      ix: DataFrame,
+      auth: DataFrame => DataFrame,
+      shardSource: DataFrame): DataFrame = {
     val exact = ix.filter(!col("ignore"))
       .select(col("partition"), col("language"), explode(col("uids")).as("docId"))
     // no distinct/dropDuplicates: the broadcast HashedRelation dedupes
     // shard keys itself, and candidates only feed duplicate-tolerant
     // semi/anti-joins — each explicit dedup would add a shuffle stage
     val shards = ix.filter(col("ignore")).select("partition", "language")
-    val shardDocs = allDocs.join(broadcast(shards), Seq("partition", "language"), "left_semi")
+    val shardDocs = shardSource.join(broadcast(shards), Seq("partition", "language"), "left_semi")
     auth(exact.unionByName(shardDocs))
   }
 

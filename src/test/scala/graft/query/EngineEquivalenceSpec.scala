@@ -76,6 +76,59 @@ class EngineEquivalenceSpec extends SparkSuite {
   private def engineIds(q: String, auths: Seq[String]): Set[String] =
     eng.run(q, auths).select("docId").collect().map(_.getString(0)).toSet
 
+  test("unevaluated-mode engine ≡ default engine on index-answerable queries") {
+    // With TEXT unevaluated, the index decides TEXT-term truth. When
+    // EVERY leaf is index-answerable (EQ / NE / prefix / suffix /
+    // BOUNDED range — no single-sided ranges, no opaque or negated
+    // regex), per-leaf candidate sets are exact (fi-style verification
+    // through lossy fallbacks included), so OR-union / AND-intersect
+    // composition is exact and results must equal the default engine's.
+    // A single-sided range under an OR would legitimately diverge: it is
+    // residual-only, and the reference's own rewriter drops it from the
+    // index query while event evaluation sees the TRUE-substituted
+    // disjunction — the same over-approximation we produce (documented
+    // EngineConfig contract). Plan-None queries are skipped via the
+    // planner probe for the same reason.
+    // NE on the unevaluated field appears only as a DIRECT AND conjunct:
+    // there the exact-postings anti-join (plus fi pruning for lossy rows)
+    // enforces it. Inside an OR a negation cannot prune — the reference's
+    // event evaluation sees the same TRUE-substituted branch, so that
+    // divergence from the default engine is the documented contract.
+    val engU = new WikiSearchEngine(spark, ix, EngineConfig(unevaluatedFields = Set("TEXT")))
+    def safeLeaf(): String = rnd.nextInt(5) match {
+      case 0 => s"TEXT == '${word()}'"
+      case 1 => s"SOURCE == 'src${1 + rnd.nextInt(3)}'"
+      case 2 => s"(NCHARS >= ${20 + rnd.nextInt(40)} and NCHARS < ${60 + rnd.nextInt(60)})"
+      case 3 => s"TEXT =~ '${word().take(3)}.*'"
+      case 4 => s"TEXT =~ '.*${word().takeRight(3)}'"
+    }
+    def safeExpr(depth: Int): String =
+      if (depth == 0) safeLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${safeExpr(depth - 1)} and ${safeExpr(depth - 1)})"
+        case 1 => s"(${safeExpr(depth - 1)} or ${safeExpr(depth - 1)})"
+        case 2 => s"(${safeLeaf()} and ${safeExpr(depth - 1)})"
+        case _ => safeLeaf()
+      }
+    var checked = 0
+    (1 to 40).foreach { i =>
+      val base = safeExpr(1 + rnd.nextInt(2))
+      val q =
+        if (rnd.nextInt(3) == 0) s"($base and TEXT != '${word()}')"
+        else base
+      try {
+        if (engU.indexAnswerable(q)) {
+          val got  = engU.run(q).select("docId").collect().map(_.getString(0)).toSet
+          val want = engineIds(q, Nil)
+          assert(got == want,
+            s"unevaluated divergence on #$i: $q\n unev=${got.toSeq.sorted}\n default=${want.toSeq.sorted}")
+          checked += 1
+        }
+      } catch { case _: IllegalArgumentException => () }
+    }
+    assert(checked >= 20, s"only $checked unevaluated queries actually checked")
+  }
+
   test("60 random queries: index-assisted path ≡ full-scan residual (incl. auths)") {
     var checked = 0
     (1 to 60).foreach { i =>
