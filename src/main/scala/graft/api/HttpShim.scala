@@ -105,7 +105,13 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       } catch {
         case e: NoSuchElementException   => (404, "text/plain", s"not found: ${e.getMessage}")
         case e: IllegalArgumentException => (400, "text/plain", s"bad request: ${e.getMessage}")
-        case e: Exception                => (400, "text/plain", s"bad request: ${e.getMessage}")
+        case e: graft.query.QueryParser.ParseException =>
+          (400, "text/plain", s"bad request: ${e.getMessage}")
+        case e: NumberFormatException    => (400, "text/plain", s"bad request: ${e.getMessage}")
+        // anything else is a SERVER fault (engine/Spark failure) — a 4xx
+        // here would misdirect monitoring and suppress client retries
+        case e: Exception =>
+          (500, "text/plain", s"internal error: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)

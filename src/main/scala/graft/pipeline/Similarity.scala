@@ -39,11 +39,18 @@ object Similarity {
     * primitive arrays (~20× over interpreted expression-tree scoring on
     * millions of pairs).
     */
-  def bruteForcePairs(emb: DataFrame, tau: Double, blocks: Int = 8): DataFrame = {
+  def bruteForcePairs(emb: DataFrame, tau: Double, blocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Size blocks so one block (one grouped row) stays ~tens of MB: a
+    // fixed block count would concentrate corpus/blocks vectors into a
+    // single Tungsten row and overflow its 2 GB limit at scale. One
+    // count() job is noise next to the O(n²) work this op does anyway.
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(8, math.ceil(emb.count() / 16384.0).toInt)
     val grouped = emb.select(
-        pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"),
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"),
         col("vec_id").cast("long").as("id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
@@ -55,7 +62,7 @@ object Similarity {
         (blk, vs.map(_._2), vs.map(_._3), norms)
       }
       .toDF("blk", "ids", "embs", "nrms")
-    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+    val bp = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("bi", "bj")
     bp
       .join(grouped.select(col("blk").as("bi"), col("ids").as("ia"),

@@ -143,7 +143,7 @@ class WikiSearchEngine(
         // come back as bounded local relations, so the candidate
         // semi-join below broadcasts — no per-branch jobs, no repeated
         // index scans.
-        val stats = collectLeafStats(analysis, needCards(tree))
+        val stats = collectLeafStats(tree, needCards(tree))
         val cand  = materialize(tree, stats, authFilter, auths)
         // Candidates restrict the stored event view by semi-join (index
         // nested-loop doc fetch J3, as a distributed semi-join). When the
@@ -303,8 +303,13 @@ class WikiSearchEngine(
     t.op match {
       case Op.EQ => Some(an.eqLeaf(t.field, probeForms(t.field, t.literal)))
       case Op.RE =>
+        // In unevaluated mode the residual may constant-fold a SIBLING
+        // branch to TRUE (an OR over an unevaluated term), so a lossy
+        // whole-shard fallback on ANY field could leak unfiltered docs —
+        // verify exactly whenever any field is unevaluated, not just
+        // when this one is.
         def fi(pred: Column => Column): Option[DataFrame] =
-          if (config.unevaluatedFields.contains(t.field))
+          if (config.unevaluatedFields.nonEmpty)
             Some(exactFieldPred(t.field, pred))
           else None
         classifyRegex(norm) match {
@@ -378,8 +383,8 @@ class WikiSearchEngine(
     }
     val ix = index.globalIndex
       .filter(col("fieldName") === field && boundsPred(col("fieldValue")))
-    val fiVerify =
-      if (config.unevaluatedFields.contains(field)) Some(exactFieldPred(field, boundsPred))
+    val fiVerify = // see termNode: ANY unevaluated field forces exactness
+      if (config.unevaluatedFields.nonEmpty) Some(exactFieldPred(field, boundsPred))
       else None
     Some(an.scanLeaf(ix, fiVerify))
   }
@@ -419,6 +424,19 @@ class WikiSearchEngine(
           size() > config.termCacheSize
       })
 
+  /** Leaves actually reachable from the materialized plan tree — NOT the
+    * Analysis buffer, which may hold orphans from subtrees analyze()
+    * rejected (e.g. an OR branch with an unanswerable sibling); orphans
+    * would add dead pruned scans to the plan-time job.
+    */
+  private def treeLeaves(n: PlanNode): Seq[PlanNode] = n match {
+    case l: EqLeaf         => Seq(l)
+    case l: ScanLeaf       => Seq(l)
+    case EmptyLeaf         => Nil
+    case OrNode(cs)        => cs.flatMap(treeLeaves)
+    case AndNode(ps, negs) => ps.flatMap(treeLeaves) ++ negs
+  }
+
   /** Resolve every leaf in one Spark job: EQ leaves return their pruned
     * index rows; scan leaves (when a cardinality decision is pending)
     * return a pre-aggregated Σcount. This replaces the reference's (and
@@ -427,15 +445,19 @@ class WikiSearchEngine(
     * cached terms skip the job entirely, so a hot all-EQ query plans with
     * ZERO Spark jobs.
     */
-  private def collectLeafStats(an: Analysis, withScanCards: Boolean): Map[Int, LeafStats] = {
-    val eqs   = an.leaves.collect { case l: EqLeaf => l }.toSeq
-    val scans = if (withScanCards) an.leaves.collect { case l: ScanLeaf => l }.toSeq else Nil
-    val (hits, misses) =
+  private def collectLeafStats(tree: PlanNode, withScanCards: Boolean): Map[Int, LeafStats] = {
+    val leaves = treeLeaves(tree)
+    val eqs    = leaves.collect { case l: EqLeaf => l }
+    val scans  = if (withScanCards) leaves.collect { case l: ScanLeaf => l } else Nil
+    // single atomic get per key — a containsKey/get pair could race with
+    // a concurrent query's LRU eviction between the two calls
+    val lookups =
       if (config.termCacheSize > 0)
-        eqs.partition(l => termCache.containsKey((l.field, l.forms)))
-      else (Nil, eqs)
-    val cachedStats = hits.map { l =>
-      val rows = termCache.get((l.field, l.forms))
+        eqs.map(l => l -> Option(termCache.get((l.field, l.forms))))
+      else eqs.map(l => l -> None)
+    val hits   = lookups.collect { case (l, Some(rows)) => (l, rows) }
+    val misses = lookups.collect { case (l, None) => l }
+    val cachedStats = hits.map { case (l, rows) =>
       l.tag -> LeafStats(rows, rows.map(_.count).sum)
     }
     if (misses.isEmpty && scans.isEmpty) return cachedStats.toMap
@@ -523,8 +545,8 @@ class WikiSearchEngine(
         // walks the EXACT per-partition fi index within the shard
         // (`BooleanLogicIterator`); our fi analogues are termPostings
         // (TEXT) and docsFields (event fields).
-        val shardSource =
-          if (config.unevaluatedFields.contains(field)) exactFieldDocs(field, forms)
+        val shardSource = // see termNode: ANY unevaluated field forces exactness
+          if (config.unevaluatedFields.nonEmpty) exactFieldDocs(field, forms)
           else allDocs
         val shardDocs = shardSource.join(
           broadcast(shards.toDF("partition", "language")),

@@ -30,7 +30,19 @@ class LiveIndexMaintainer(
     dir: String,
     numPartitions: Int) {
 
-  @volatile private var version: Long = -1L
+  // Recover the committed snapshot pointer on (re)construction: a
+  // restarted maintainer must merge into the last snapshot, not start
+  // from scratch — Structured Streaming's checkpoint resumes at the
+  // next batch id and the pre-crash batches exist only in snapshots.
+  @volatile private var version: Long = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong))
+      .filter(_.nonEmpty)
+      .map(_.max)
+      .getOrElse(-1L)
+  }
 
   /** Latest committed snapshot of the global index, if any batch has
     * been processed yet.
@@ -40,9 +52,30 @@ class LiveIndexMaintainer(
 
   def latestVersion: Long = version
 
+  /** Largest committed snapshot version strictly below `batchId` — the
+    * correct merge base even when Structured Streaming REPLAYS a batch
+    * after a crash (merging a replayed delta into its own output would
+    * double-count; basing on the predecessor makes the write idempotent).
+    */
+  private def baseVersionFor(batchId: Long): Long = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong).filter(_ < batchId))
+      .filter(_.nonEmpty)
+      .map(_.max)
+      .getOrElse(-1L)
+  }
+
   /** Attach to a streaming Dataset with the `documents` schema
     * (doc_id, text, lang, source, n_chars) and start maintaining the
     * index. Caller owns the returned query's lifecycle.
+    *
+    * Restart contract: reuse the SAME `checkpoint` across restarts (the
+    * standard Structured Streaming rule) — batch ids then continue past
+    * the recovered snapshots and replayed batches merge idempotently
+    * against their predecessor. A fresh checkpoint restarts batch ids at
+    * 0 and would overwrite the v0 snapshot.
     */
   def attach(docsStream: Dataset[Row], checkpoint: String): StreamingQuery =
     docsStream.writeStream
@@ -51,12 +84,12 @@ class LiveIndexMaintainer(
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val delta = IndexBuilder.buildGlobalIndex(
           IndexBuilder.documentIndexRows(batch, numPartitions))
-        val merged = latest match {
-          case Some(base) => IncrementalIndex.merge(base, delta)
-          case None       => delta
-        }
+        val baseV = baseVersionFor(batchId)
+        val merged =
+          if (baseV < 0) delta
+          else IncrementalIndex.merge(spark.read.parquet(s"$dir/v$baseV"), delta)
         merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-        version = batchId // committed — advance the pointer last
+        version = math.max(version, batchId) // committed — advance last
       }
       .start()
 }

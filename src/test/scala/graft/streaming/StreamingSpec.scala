@@ -121,6 +121,12 @@ class StreamingSpec extends SparkSuite {
 
     // snapshots are immutable + versioned: v0 still readable after v1 commits
     assert(spark.read.parquet(s"$dir/v0").count() > 0)
+
+    // a restarted maintainer recovers the committed pointer from disk —
+    // a fresh instance must NOT restart the index from scratch
+    val recovered = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
+    assert(recovered.latestVersion == 1L)
+    assert(canon(recovered.latest.get) == canon(batchBuilt))
   }
 
   test("incremental index merge preserves lossy UidList semantics") {
