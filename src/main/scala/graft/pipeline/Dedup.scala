@@ -189,10 +189,37 @@ object Dedup {
     sig
   }
 
-  private val minhashUdf = udf((ts: Seq[String]) => minhashSignature(ts))
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer. */
+  def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  /** MinHash signature over PRE-HASHED elements: permutation i is
+    * simulated by mixing each element hash with a per-i offset. Same
+    * banding math as the string form, but the corpus-wide pass never
+    * materializes or shuffles element strings.
+    */
+  def minhashSignatureHashed(elems: Seq[Long], k: Int = NumHashes): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    elems.foreach { e =>
+      var i = 0
+      while (i < k) {
+        val h = mix64(e ^ (i * 0x9e3779b97f4a7c15L + 1))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minhashUdf = udf((es: Seq[Long]) => minhashSignatureHashed(es))
 
   /** (doc_id, band, band_hash): LSH banding of a MinHash signature over
-    * the given per-doc element sets (doc_id, elems: array<string>).
+    * the given per-doc element-hash sets (doc_id, elems: array<long>).
     * Candidate pairs are docs sharing any full band. One narrow shuffle
     * keyed by (band, band_hash).
     */
@@ -218,10 +245,17 @@ object Dedup {
     * band shuffle and the candidate join — both keyed, both bounded.
     */
   def minhashPairs(docs: DataFrame, tau: Double, bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    // element sets are 64-bit hashes end-to-end (same rationale as
+    // jaccardPairs): the corpus-wide pass never materializes or shuffles
+    // shingle strings; exact verification intersects hash sets — equal
+    // to string-set jaccard up to fnv1a collisions (~|shingles|²/2⁶⁴)
+    val tokenHashUdf = udf((t: String) => fnv1a(t, 0L))
     val sets =
-      (if (shingleN <= 1) docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("shingle"))
-       else shingles(docs, shingleN))
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("elems"))
+      (if (shingleN <= 1)
+         docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("shingle"))
+           .select(col("doc_id"), tokenHashUdf(col("shingle")).as("sh"))
+       else shingleHashes(docs, shingleN))
+        .groupBy("doc_id").agg(collect_set(col("sh")).as("elems"))
         .cache()
     val b = minhashBands(sets, bands)
     val candidates = b.as("x")
