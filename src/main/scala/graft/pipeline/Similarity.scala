@@ -237,4 +237,82 @@ object Similarity {
       .filter(col("cosine") >= tau)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Multi-table LSH — the recall dial single-table banding lacks: L
+    * independent hyperplane tables of b bits each; a pair is a candidate
+    * if ANY table buckets it together, so P(miss) = (1-p^b)^L with
+    * p = 1-θ/π (e.g. cosine 0.9, b=4, L=16 ⇒ miss ≈ 4e-6, vs 0.91 for
+    * one 8-bit table). Cost: L narrow shuffles on small keys + exact
+    * rerank on the deduped candidate union — still never all-pairs.
+    */
+  def lshPairsMulti(
+      emb: DataFrame, dim: Int, tau: Double, bits: Int = 4, tables: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding")).cache()
+    val candidates = (0 until tables).map { t =>
+      val b = lshBuckets(e, dim, bits, seed = 42L + 1000L * t)
+        .select(col("vec_id"), col("bucket"))
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    }.reduce(_ unionByName _).distinct() // dedup across tables BEFORE the exact rerank
+    candidates
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---- persisted IVF index ------------------------------------------------
+
+  /** A trained IVF index: centroid matrix + the corpus with its cell
+    * assignment and norm precomputed — built ONCE at ingest, then any
+    * number of query batches probe it (`ivfTopKWith`). At 100 TB
+    * `assigned` persists as parquet partitioned by cell, so a probe
+    * reads nprobe/cells of the corpus.
+    */
+  case class IvfIndex(cents: Array[Array[Double]], assigned: DataFrame)
+
+  def buildIvf(emb: DataFrame, cells: Int = 16, iters: Int = 2): IvfIndex = {
+    val spark = emb.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val cents = trainIvf(emb, cells, iters)
+    val bc    = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
+    IvfIndex(cents,
+      emb.select(col("vec_id"), col("embedding"),
+        assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm")).cache())
+  }
+
+  /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the
+    * per-call training).
+    */
+  def ivfTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ivf.assigned.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val bc = spark.sparkContext.broadcast(ivf.cents)
+    val probeUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      bc.value.indices
+        .map(c => (c, {
+          var d = 0.0; var i = 0
+          val ct = bc.value(c); val n = math.min(a.length, ct.length)
+          while (i < n) { val t = a(i) - ct(i); d += t * t; i += 1 }
+          d
+        }))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+      explode(probeUdf(col("embedding"))).as("cell"), norm(col("embedding")).as("qnrm"))
+    val scored = ivf.assigned.join(broadcast(qs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 }

@@ -114,6 +114,35 @@ class PipelineSpec extends SparkSuite {
     assert(top.size == 3)
   }
 
+  test("multi-table LSH recovers high-cosine pairs a single narrow table can miss") {
+    // 30 background vectors + one planted near-dup pair (cosine ≈ 0.995):
+    // P(single 8-bit table buckets the pair) ≈ 0.87^8 ≈ 0.33, while 16
+    // 4-bit tables miss with prob (1-0.87^4)^16 ≈ 2e-3 — the multi-table
+    // variant must find the planted pair.
+    val rnd = new scala.util.Random(5)
+    val bg = (0 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.05f else 0.0f) }
+    val emb = (bg :+ (100L, base) :+ (101L, near)).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshPairsMulti(emb, dim = 16, tau = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("prebuilt IVF index answers identically to train-per-call ivfTopK") {
+    val emb = (0 until 40).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i % 5) + d) })
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val direct = Similarity.ivfTopK(emb, queries, k = 3, cells = 4, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val ivf = Similarity.buildIvf(emb, cells = 4)
+    val probed = Similarity.ivfTopKWith(ivf, queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed == direct)
+  }
+
   test("LSH buckets put identical vectors together") {
     val emb = Seq(
       (1L, Array.fill(8)(0.5f)),
