@@ -129,6 +129,56 @@ class EngineEquivalenceSpec extends SparkSuite {
     assert(checked >= 20, s"only $checked unevaluated queries actually checked")
   }
 
+  test("diacritic corpus: index path ≡ full-scan residual under the Lc normalizer") {
+    // fromArticles indexes TITLE under BOTH NoOp and Lc and TEXT under Lc
+    // (tokens normalized at build). Query literals with mixed case and
+    // accents must agree between the probe expansion (probeForms /
+    // graft_normalize at build) and the residual comparison
+    // (Compiler.FieldNorm) — the metamorphic check is the same: engine
+    // result ≡ residual-only full scan.
+    import graft.ingest.{Article, XmlIngest}
+    val accented = Seq("ábaco", "cálculo", "función", "naïve", "Über", "plain", "café", "niño")
+    val arts = (0 until 24).map { i =>
+      val words = Seq.fill(5)(accented(rnd.nextInt(accented.size))) :+ s"w$i"
+      Article(2000 + i, s"Títle$i", 1L, "c", words.mkString(" "), "eswiki")
+    }
+    val ixA  = IndexBuilder.fromArticles(spark, spark.createDataset(arts), 1).cacheAll()
+    val engA = new WikiSearchEngine(spark, ixA)
+    def scanA(q: String): Set[String] = {
+      val ast = QueryParser.parse(q)
+      // residual norms mirror the engine's: Lc fields compare through
+      // graft_normalize (metadata-driven, same as WikiSearchEngine)
+      val norms = Map(
+        "TEXT" -> Compiler.FieldNorm(
+          v => call_function("graft_normalize", v),
+          graft.functions.TextFunctions.lcNoDiacritics),
+        "TITLE" -> Compiler.FieldNorm(
+          v => call_function("graft_normalize", v),
+          graft.functions.TextFunctions.lcNoDiacritics))
+      ixA.events.filter(Compiler.compile(ast, norms = norms))
+        .select("docId").collect().map(_.getString(0)).toSet
+    }
+    var checked = 0
+    (1 to 25).foreach { i =>
+      val w = accented(rnd.nextInt(accented.size))
+      val lit = rnd.nextInt(3) match {
+        case 0 => w
+        case 1 => graft.functions.TextFunctions.lcNoDiacritics(w) // folded form
+        case 2 => w.toUpperCase
+      }
+      val q = rnd.nextInt(3) match {
+        case 0 => s"TEXT == '$lit'"
+        case 1 => s"TEXT == '$lit' and TEXT == '${accented(rnd.nextInt(accented.size))}'"
+        case 2 => s"TEXT == '$lit' or TITLE == 'Títle${rnd.nextInt(24)}'"
+      }
+      val got  = engA.run(q, Seq("eswiki")).select("docId").collect().map(_.getString(0)).toSet
+      val want = scanA(q)
+      assert(got == want, s"diacritic divergence on #$i: $q\n engine=$got\n scan=$want")
+      checked += 1
+    }
+    assert(checked == 25)
+  }
+
   test("60 random queries: index-assisted path ≡ full-scan residual (incl. auths)") {
     var checked = 0
     (1 to 60).foreach { i =>
