@@ -37,13 +37,19 @@ object Bench {
       // best of two runs: first-touch costs (codegen compile, parquet
       // footers, page cache) and host noise otherwise dominate sub-second
       // queries — the reference baseline likewise reports warm times.
-      // -1 marks a failed query — never report its elapsed time as a result
-      val elapsed =
-        try math.min(once(), once())
+      // Each run is guarded separately: a transient failure on the rerun
+      // must not discard a valid first measurement.
+      // -1 marks a fully-failed query — never reported as a result
+      def guarded(): Option[Double] =
+        try Some(once())
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      name -> elapsed
+      val runs: Seq[Double] = guarded() match {
+        case Some(t1) => Seq(t1) ++ guarded().toSeq
+        case None     => Nil
+      }
+      name -> runs.reduceOption(math.min(_: Double, _: Double)).getOrElse(-1.0)
     }
     // Concurrent random-query throughput — the shape of the reference's
     // baseline (README.md:192-204: clients submitting ANDs of 3-5 random

@@ -14,10 +14,12 @@ object PipelineQueries {
 
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  // one trained IVF index per data dir within a session (ingest-time
-  // build; queries only probe)
+  // one trained IVF index per (session, data dir) — keyed by the session
+  // too, since the cached/assigned DataFrame is session-bound and must
+  // not outlive it (a dir-only key would serve a dead session's plan to
+  // a later one in the same JVM)
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Similarity.IvfIndex]
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -157,7 +159,7 @@ object PipelineQueries {
       // results are identical to the train-per-call ivfTopK (same
       // deterministic training)
       val emb = Tables.load(s, dir, "embeddings")
-      val ivf = ivfCache.getOrElseUpdate(dir, Similarity.buildIvf(emb))
+      val ivf = ivfCache.getOrElseUpdate((s, dir), Similarity.buildIvf(emb))
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy("query_id", "rank")
     },

@@ -167,43 +167,14 @@ object Similarity {
 
   /** IVF-accelerated top-k: corpus partitioned into k cells (one narrow
     * shuffle on cell id); each query probes its `nprobe` nearest cells and
-    * exact-reranks only those — the classic recall/cost dial. At 100 TB
-    * the cell assignment is written once at ingest; queries touch
-    * nprobe/k of the corpus.
+    * exact-reranks only those — the classic recall/cost dial. One-shot
+    * convenience over `buildIvf` + `ivfTopKWith` (single implementation,
+    * so the two forms cannot drift); at 100 TB build the index once at
+    * ingest and probe it instead.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, cells: Int = 16, nprobe: Int = 4)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.plans.GraftFunctions.register(spark)
-    val cents = trainIvf(emb, cells)
-    val bc    = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
-    val probeUdf = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      bc.value.indices
-        .map(c => (c, {
-          var d = 0.0; var i = 0
-          val ct = bc.value(c); val n = math.min(a.length, ct.length)
-          while (i < n) { val t = a(i) - ct(i); d += t * t; i += 1 }
-          d
-        }))
-        .sortBy(_._2).take(nprobe).map(_._1)
-    })
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm"))
-    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-      explode(probeUdf(col("embedding"))).as("cell"), norm(col("embedding")).as("qnrm"))
-    val scored = corpus.join(broadcast(qs), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
-  }
+      : DataFrame =
+    ivfTopKWith(buildIvf(emb, cells, persist = false), queries, k, nprobe)
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dots with fixed
     * pseudo-random hyperplanes (deterministic seed). Vectors sharing a
@@ -241,12 +212,16 @@ object Similarity {
   /** Multi-table LSH — the recall dial single-table banding lacks: L
     * independent hyperplane tables of b bits each; a pair is a candidate
     * if ANY table buckets it together, so P(miss) = (1-p^b)^L with
-    * p = 1-θ/π (e.g. cosine 0.9, b=4, L=16 ⇒ miss ≈ 4e-6, vs 0.91 for
-    * one 8-bit table). Cost: L narrow shuffles on small keys + exact
-    * rerank on the deduped candidate union — still never all-pairs.
+    * p = 1-θ/π. Defaults b=8, L=8: at cosine 0.9 (p ≈ 0.856, p^8 ≈
+    * 0.29) miss ≈ 0.06, vs ≈ 0.71 for one 8-bit table — while random
+    * pairs collide with prob ≈ L/2^b ≈ 3%, keeping the candidate set
+    * sub-quadratic. `bits` is the precision dial and must GROW with
+    * corpus size (≈ log2(n) keeps per-bucket occupancy constant);
+    * `tables` is the recall dial. Cost: L narrow shuffles on small keys
+    * + exact rerank on the deduped candidate union.
     */
   def lshPairsMulti(
-      emb: DataFrame, dim: Int, tau: Double, bits: Int = 4, tables: Int = 16): DataFrame = {
+      emb: DataFrame, dim: Int, tau: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding")).cache()
     val candidates = (0 until tables).map { t =>
@@ -274,15 +249,16 @@ object Similarity {
     */
   case class IvfIndex(cents: Array[Array[Double]], assigned: DataFrame)
 
-  def buildIvf(emb: DataFrame, cells: Int = 16, iters: Int = 2): IvfIndex = {
+  def buildIvf(
+      emb: DataFrame, cells: Int = 16, iters: Int = 2, persist: Boolean = true): IvfIndex = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val cents = trainIvf(emb, cells, iters)
     val bc    = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
-    IvfIndex(cents,
-      emb.select(col("vec_id"), col("embedding"),
-        assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm")).cache())
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm"))
+    IvfIndex(cents, if (persist) assigned.cache() else assigned)
   }
 
   /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the

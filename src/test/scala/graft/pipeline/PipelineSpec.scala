@@ -114,17 +114,23 @@ class PipelineSpec extends SparkSuite {
     assert(top.size == 3)
   }
 
-  test("multi-table LSH recovers high-cosine pairs a single narrow table can miss") {
-    // 30 background vectors + one planted near-dup pair (cosine ≈ 0.995):
-    // P(single 8-bit table buckets the pair) ≈ 0.87^8 ≈ 0.33, while 16
-    // 4-bit tables miss with prob (1-0.87^4)^16 ≈ 2e-3 — the multi-table
-    // variant must find the planted pair.
+  test("multi-table LSH recovers a cosine-0.9 pair a single table usually misses") {
+    // Planted pair at EXACTLY cosine 0.9 (Gram-Schmidt construction):
+    // p = 1-acos(0.9)/π ≈ 0.856, so one 8-bit table buckets it with prob
+    // p^8 ≈ 0.29, while 16 such tables miss with (1-p^8)^16 ≈ 0.004 —
+    // the multi-table union must find it (deterministic: fixed seeds).
     val rnd = new scala.util.Random(5)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
     val bg = (0 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
-    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
-    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.05f else 0.0f) }
-    val emb = (bg :+ (100L, base) :+ (101L, near)).toDF("vec_id", "embedding")
-    val pairs = Similarity.lshPairsMulti(emb, dim = 16, tau = 0.9)
+    val u1 = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val g2 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val d  = u1.zip(g2).map { case (a, b) => a * b }.sum
+    val u2 = unit(g2.zip(u1).map { case (b, a) => b - d * a }) // ⊥ u1
+    val near = u1.zip(u2).map { case (a, b) => 0.9f * a + math.sqrt(1 - 0.81).toFloat * b }
+    val emb = (bg :+ (100L, u1) :+ (101L, near)).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshPairsMulti(emb, dim = 16, tau = 0.85, tables = 16)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((100L, 101L)))
   }

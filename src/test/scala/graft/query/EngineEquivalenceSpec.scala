@@ -136,7 +136,7 @@ class EngineEquivalenceSpec extends SparkSuite {
     // graft_normalize at build) and the residual comparison
     // (Compiler.FieldNorm) — the metamorphic check is the same: engine
     // result ≡ residual-only full scan.
-    import graft.ingest.{Article, XmlIngest}
+    import graft.ingest.Article
     val accented = Seq("ábaco", "cálculo", "función", "naïve", "Über", "plain", "café", "niño")
     val arts = (0 until 24).map { i =>
       val words = Seq.fill(5)(accented(rnd.nextInt(accented.size))) :+ s"w$i"
