@@ -153,6 +153,13 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    NamedQuery.rowsOnly("sim_lsh_multi") { (s, dir) =>
+      // multi-table recall dial on the driver surface (union of 8 narrow
+      // tables + one exact rerank); superset of sim_lsh_pairs candidates
+      Similarity.lshPairsMulti(Tables.load(s, dir, "embeddings"), dim = 64, tau = 0.4)
+        .orderBy("a", "b")
+    },
+
     NamedQuery.rowsOnly("sim_ivf_topk") { (s, dir) =>
       // served from a PREBUILT index (train/assign once per dir, cached) —
       // the at-scale shape where cell assignment is written at ingest;

@@ -428,6 +428,29 @@ object RelationalQueries {
           |                   FROM customer WHERE c_acctbal > 0)
           |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) < 3
           |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin)
+    },
+
+    // -- q23: explicit window FRAME (ROWS BETWEEN) — cumulative running
+    // total per partition, the frame-spec variant of §2.5 the row_number/
+    // lag/rollup queries don't exercise. Decimal-summed per frame then
+    // cast, so the running values are order-independent-exact.
+    NamedQuery(
+      "q23_running_total",
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
+            .cast("decimal(18,2)").cast("double").as("running_total"))
+        .orderBy("custkey", "orderkey")
     }
   )
 }
