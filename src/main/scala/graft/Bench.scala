@@ -34,22 +34,22 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      // best of two runs: first-touch costs (codegen compile, parquet
-      // footers, page cache) and host noise otherwise dominate sub-second
-      // queries — the reference baseline likewise reports warm times.
-      // Each run is guarded separately: a transient failure on the rerun
-      // must not discard a valid first measurement.
+      // median of three runs: this host shows 2-3× run-to-run variance
+      // (noisy neighbors, GC/JIT), so a single run is unreliable and a
+      // min biases optimistic — the median is the robust center that
+      // keeps cross-round comparisons meaningful. First-touch costs
+      // (codegen compile, parquet footers) land in run 1 and are voted
+      // out by the median, matching the reference's warm-time baseline.
+      // Each run is guarded separately: a transient failure must not
+      // discard the other valid measurements.
       // -1 marks a fully-failed query — never reported as a result
       def guarded(): Option[Double] =
         try Some(once())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      val runs: Seq[Double] = guarded() match {
-        case Some(t1) => Seq(t1) ++ guarded().toSeq
-        case None     => Nil
-      }
-      name -> runs.reduceOption(math.min(_: Double, _: Double)).getOrElse(-1.0)
+      val runs = Seq.fill(3)(guarded()).flatten.sorted
+      name -> (if (runs.isEmpty) -1.0 else runs((runs.size - 1) / 2))
     }
     // Concurrent random-query throughput — the shape of the reference's
     // baseline (README.md:192-204: clients submitting ANDs of 3-5 random

@@ -91,11 +91,15 @@ object Dedup {
     * construction). The reported jaccard is therefore EXACT, and the
     * join cost is bounded by dfCap²·|hotShingles| + Σ(cold df²).
     *
-    * No-false-negative condition (proved in PipelineSpec): a true pair
-    * (J ≥ tau) is missed only if it shares NO cold shingle. Since the
-    * shared set has ≥ tau·max(na,nb) elements and hot-shared ≤
-    * min(ha,hb) (h = per-doc hot count), `h_d < tau·n_d` for every doc d
-    * guarantees at least one cold shared shingle, hence candidacy.
+    * No false negatives, unconditionally: a true pair (J ≥ tau) could
+    * only be missed if it shares NO cold shingle. The shared set has
+    * ≥ tau·max(na,nb) elements and hot-shared ≤ min(ha,hb) (h = per-doc
+    * hot count), so `h_d < tau·n_d` for EITHER endpoint forces a cold
+    * shared shingle, hence candidacy through the cold join. Docs
+    * violating that bound (h_d ≥ tau·n_d — mostly-boilerplate docs) are
+    * detected at runtime and their HOT rows joined too, restricted to
+    * violator×violator — quadratic only within the violator set, whose
+    * pairs are intrinsically near-dup-dense (they're what dedup is for).
     */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double, dfCap: Int = 0): DataFrame = {
     // Join on a 64-bit shingle hash, not the string: same equality
@@ -107,15 +111,33 @@ object Dedup {
     val sh = shingleHashes(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
-    val (joinSide, hotCorrection) =
-      if (dfCap <= 0) (sh, (df: DataFrame) => df)
+    val (joinSide, extraPairs, hotCorrection) =
+      if (dfCap <= 0)
+        (sh, None: Option[DataFrame], (df: DataFrame) => df)
       else {
         val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > dfCap).select("sh")
-        val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        val cold    = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        val hotRows = sh.join(broadcast(hot), Seq("sh"), "left_semi")
         // per-doc hot-shingle sets: ≤ |hot| elements each, usually ~0
-        val hotPerDoc = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+        val hotPerDoc = hotRows
           .groupBy("doc_id").agg(collect_set(col("sh")).as("hot_set"))
+        // Precondition violators (h_d ≥ tau·n_d): a pair of such docs may
+        // share ONLY hot shingles, unreachable through the cold join —
+        // keep them reachable by self-joining their hot rows. No distinct
+        // on the pairs: they enter the aggregation with inter=0, so
+        // duplicates are harmless and partial aggregation absorbs them.
+        val violators = hotPerDoc
+          .select(col("doc_id"), size(col("hot_set")).cast("long").as("h"))
+          .join(sizes, "doc_id")
+          .filter(col("h") >= lit(tau) * col("n_shingles"))
+          .select("doc_id")
+        val violRows = hotRows.join(violators, Seq("doc_id"), "left_semi")
+        val extra = violRows.as("a")
+          .join(violRows.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+            lit(0L).as("inter"))
         val correct: DataFrame => DataFrame = interCold =>
           interCold
             .join(hotPerDoc.select(col("doc_id").as("a"), col("hot_set").as("hot_a")), Seq("a"), "left")
@@ -124,15 +146,16 @@ object Dedup {
               col("inter") + coalesce(
                 size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"), lit(0L)))
             .select("a", "b", "inter")
-        (cold, correct)
+        (cold, Some(extra), correct)
       }
 
+    val coldInter = joinSide.as("a")
+      .join(joinSide.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"), lit(1L).as("inter"))
     val inter = hotCorrection(
-      joinSide.as("a")
-        .join(joinSide.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-        .agg(count(lit(1)).as("inter")))
+      extraPairs.fold(coldInter)(coldInter.unionByName(_))
+        .groupBy("a", "b").agg(sum("inter").as("inter")))
     inter
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_shingles").as("na"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_shingles").as("nb"))), "b")

@@ -21,6 +21,18 @@ object PipelineQueries {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Similarity.IvfIndex]
 
+  /** Cache lookup with dead-session eviction: entries whose SparkContext
+    * has stopped would otherwise pin the session, its cached `assigned`
+    * DataFrame and broadcast centroids for the JVM lifetime.
+    */
+  private def cachedIvf(
+      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfIndex = {
+    ivfCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) ivfCache.remove(k)
+    }
+    ivfCache.getOrElseUpdate((s, dir), Similarity.buildIvf(Tables.load(s, dir, "embeddings")))
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -166,7 +178,7 @@ object PipelineQueries {
       // results are identical to the train-per-call ivfTopK (same
       // deterministic training)
       val emb = Tables.load(s, dir, "embeddings")
-      val ivf = ivfCache.getOrElseUpdate((s, dir), Similarity.buildIvf(emb))
+      val ivf = cachedIvf(s, dir)
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy("query_id", "rank")
     },

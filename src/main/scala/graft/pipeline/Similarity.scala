@@ -199,7 +199,10 @@ object Similarity {
     */
   def lshPairs(emb: DataFrame, dim: Int, tau: Double, bits: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val b = lshBuckets(emb, dim, bits).cache()
+    // no cache: the self-join shuffles both sides identically, so the
+    // bucket projection runs once under ReusedExchange — and nothing is
+    // left pinned in the storage pool after the query
+    val b = lshBuckets(emb, dim, bits)
     b.as("x")
       .join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -223,14 +226,29 @@ object Similarity {
   def lshPairsMulti(
       emb: DataFrame, dim: Int, tau: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("embedding")).cache()
-    val candidates = (0 until tables).map { t =>
-      val b = lshBuckets(e, dim, bits, seed = 42L + 1000L * t)
-        .select(col("vec_id"), col("bucket"))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-    }.reduce(_ unionByName _).distinct() // dedup across tables BEFORE the exact rerank
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // ALL tables' buckets in ONE projection pass: a (tables × bits × dim)
+    // plane literal, signature per table via nested fold, posexplode to
+    // (vec_id, table, bucket). One scan instead of `tables` scans — and
+    // no cache to leak (the self-join's identical shuffle is reused by
+    // Spark's ReusedExchange, so the projection still runs once).
+    // Per-table planes are IDENTICAL to lshBuckets(seed = 42 + 1000·t).
+    val planesAll: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      val rng = new scala.util.Random(42L + 1000L * t)
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    val bucketPerTable = transform(typedLit(planesAll), tp =>
+      aggregate(
+        transform(tp, p =>
+          when(aggregate(zip_with(col("embedding"), p, (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b))
+    val b = e.select(col("vec_id"), posexplode(bucketPerTable).as(Seq("table", "bucket")))
+    val candidates = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct() // dedup across tables BEFORE the exact rerank
     candidates
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))

@@ -381,8 +381,21 @@ class WikiSearchEngine(
         }
       conds.reduce(_ && _)
     }
+    // Bounds compare NORMALIZED values, but a multi-normalizer field
+    // also stores raw-form rows (IndexBuilder.rawTitleRows) that can
+    // satisfy the lexicographic bounds while their normalized form does
+    // not (raw 'café' ∈ ['cafz','cb'] though normalized 'cafe' is below
+    // the low bound) — and exact rows bypass fiVerify (it only replaces
+    // lossy shard fallbacks). Restrict the scan to canonical rows: the
+    // normalized row always exists by construction, so no matching doc
+    // is lost. Identity-normalized fields (TIMESTAMP, ID) store only
+    // raw rows, which ARE canonical for them — no restriction there.
+    val canonical =
+      if (residualNorms.contains(field))
+        col("fieldValue") === call_function("graft_normalize", col("fieldValue"))
+      else lit(true)
     val ix = index.globalIndex
-      .filter(col("fieldName") === field && boundsPred(col("fieldValue")))
+      .filter(col("fieldName") === field && canonical && boundsPred(col("fieldValue")))
     val fiVerify = // see termNode: ANY unevaluated field forces exactness
       if (config.unevaluatedFields.nonEmpty) Some(exactFieldPred(field, boundsPred))
       else None

@@ -34,15 +34,20 @@ class LiveIndexMaintainer(
   // restarted maintainer must merge into the last snapshot, not start
   // from scratch — Structured Streaming's checkpoint resumes at the
   // next batch id and the pre-crash batches exist only in snapshots.
-  @volatile private var version: Long = {
+  // A snapshot counts only once its _SUCCESS marker exists (written by
+  // the committer after all part files) — a crash mid-write leaves a
+  // partial dir that recovery and readers must ignore.
+  private def committedVersions: Seq[Long] = {
     val d = new java.io.File(dir)
     Option(d.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists())
         .map(_.getName.drop(1).toLong))
-      .filter(_.nonEmpty)
-      .map(_.max)
-      .getOrElse(-1L)
+      .getOrElse(Nil)
   }
+
+  @volatile private var version: Long =
+    committedVersions.foldLeft(-1L)(math.max)
 
   /** Latest committed snapshot of the global index, if any batch has
     * been processed yet.
@@ -57,15 +62,8 @@ class LiveIndexMaintainer(
     * after a crash (merging a replayed delta into its own output would
     * double-count; basing on the predecessor makes the write idempotent).
     */
-  private def baseVersionFor(batchId: Long): Long = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toLong).filter(_ < batchId))
-      .filter(_.nonEmpty)
-      .map(_.max)
-      .getOrElse(-1L)
-  }
+  private def baseVersionFor(batchId: Long): Long =
+    committedVersions.filter(_ < batchId).foldLeft(-1L)(math.max)
 
   /** Attach to a streaming Dataset with the `documents` schema
     * (doc_id, text, lang, source, n_chars) and start maintaining the
@@ -82,14 +80,24 @@ class LiveIndexMaintainer(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val delta = IndexBuilder.buildGlobalIndex(
-          IndexBuilder.documentIndexRows(batch, numPartitions))
-        val baseV = baseVersionFor(batchId)
-        val merged =
-          if (baseV < 0) delta
-          else IncrementalIndex.merge(spark.read.parquet(s"$dir/v$baseV"), delta)
-        merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-        version = math.max(version, batchId) // committed — advance last
+        // Post-crash replay of an already-committed batch: the existing
+        // snapshot is already correct (the merge is idempotent — it was
+        // built from the same delta and predecessor), and rewriting it
+        // in place would race a concurrent reader of `latest`. Skip.
+        if (new java.io.File(s"$dir/v$batchId/_SUCCESS").exists())
+          version = math.max(version, batchId)
+        else {
+          val delta = IndexBuilder.buildGlobalIndex(
+            IndexBuilder.documentIndexRows(batch, numPartitions))
+          val baseV = baseVersionFor(batchId)
+          val merged =
+            if (baseV < 0) delta
+            else IncrementalIndex.merge(spark.read.parquet(s"$dir/v$baseV"), delta)
+          // overwrite is safe here: the target is absent or a partial
+          // crash leftover, which committedVersions hides from readers
+          merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+          version = math.max(version, batchId) // committed — advance last
+        }
       }
       .start()
 }

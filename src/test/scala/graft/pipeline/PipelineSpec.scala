@@ -56,6 +56,27 @@ class PipelineSpec extends SparkSuite {
     assert(df >= 1)
   }
 
+  test("hot-shingle DF cap: hot-only pairs (precondition violators) are still found") {
+    // A cluster of 5 identical boilerplate docs: every shingle has DF 5
+    // > cap 3, so ALL their shingles are hot and the pairs share no cold
+    // shingle — unreachable through the cold self-join alone. The
+    // violator join (h_d ≥ tau·n_d docs) must keep them as candidates,
+    // and the hot-set correction must restore the exact jaccard (1.0).
+    val boiler = Seq(
+      (1L, "terms of service apply here always forever"),
+      (2L, "terms of service apply here always forever"),
+      (3L, "terms of service apply here always forever"),
+      (4L, "terms of service apply here always forever"),
+      (5L, "terms of service apply here always forever"),
+      (6L, "totally unrelated fresh content words elsewhere")
+    ).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.jaccardPairs(boiler, n = 3, tau = 0.5, dfCap = cap)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val uncapped = run(0)
+    assert(uncapped.size == 10 && uncapped.forall(_._3 == 1.0))
+    assert(run(3) == uncapped)
+  }
+
   test("minhash LSH recovers the same near-dup pairs on this corpus") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

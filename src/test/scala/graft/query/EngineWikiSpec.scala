@@ -111,6 +111,28 @@ class EngineWikiSpec extends SparkSuite {
     assert(docIds("TITLE == 'Abacus'") == Set("655"))
   }
 
+  test("range scan ignores raw-form index rows (canonical-row restriction)") {
+    import spark.implicits._
+    // Raw title 'Ábacus' (Á = U+00C1 > 'z') sits lexicographically
+    // inside ['z','þ'] while its normalized form 'abacus' is below the
+    // low bound. Exact index rows bypass fi verification, so under
+    // unevaluatedFields (residual compiles TITLE terms to TRUE) the raw
+    // NoOp row would leak the doc without the canonical-row restriction.
+    val arts = Seq(
+      Article(2001, "Ábacus", 1L, "c", "alpha words", "enwiki"),
+      Article(2002, "zebra crossing", 1L, "c", "beta words", "enwiki")).toDS()
+    val ix  = IndexBuilder.fromArticles(spark, arts, numPartitions = 1).cacheAll()
+    val eng = new WikiSearchEngine(spark, ix,
+      EngineConfig(unevaluatedFields = Set("TITLE")))
+    def ids(q: String): Set[String] =
+      eng.run(q, Seq("enwiki")).select("docId").collect().map(_.getString(0)).toSet
+    // normalized titles: 'abacus', 'zebra crossing' — only the zebra doc
+    // is in ['z','þ']; the raw 'Ábacus' row must not leak doc 2001
+    assert(ids("TITLE >= 'z' and TITLE <= 'þ'") == Set("2002"))
+    // normalized-range hit still works through the canonical rows
+    assert(ids("TITLE >= 'a' and TITLE <= 'b'") == Set("2001"))
+  }
+
   test("wiki markup is suppressed by the tokenizer: file/template/url junk doesn't index") {
     import spark.implicits._
     val arts = Seq(
