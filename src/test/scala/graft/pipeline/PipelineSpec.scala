@@ -77,6 +77,31 @@ class PipelineSpec extends SparkSuite {
     assert(run(3) == uncapped)
   }
 
+  test("connected components: chains, cliques, and isolated nodes") {
+    // one 10-node chain (needs multiple star rounds — diameter 9), one
+    // triangle, one isolated pair; node 100 appears in no pair
+    val chain  = (1L until 10L).map(i => (i, i + 1))
+    val tri    = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pair   = Seq((31L, 30L)) // reversed orientation on purpose
+    val pairs  = (chain ++ tri ++ pair).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(comp(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+    assert(!comp.contains(100L)) // isolated docs are the caller's join
+  }
+
+  test("dedupClusters: keep-first verdict per component, isolated docs keep") {
+    val docs  = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.dedupClusters(docs, pairs)
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, "keep"), (2L, 1L, "drop"), (3L, 1L, "drop"),
+      (4L, 4L, "keep"), (5L, 5L, "keep")))
+  }
+
   test("minhash LSH recovers the same near-dup pairs on this corpus") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
