@@ -65,6 +65,45 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // Pairwise near-dups → connected components → keep-first verdicts:
+    // the clustering step a real dedup pipeline runs after ANY pairwise
+    // stage. Oracled end-to-end: DuckDB re-derives the pairs and computes
+    // components via a recursive transitive-closure CTE (fine at oracle
+    // scale; the Spark side is the O(log²)-round star algorithm).
+    NamedQuery(
+      "dd_cluster",
+      s"""WITH RECURSIVE
+         | t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | pr AS (SELECT a, b FROM (
+         |   SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
+         |   FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
+         |   WHERE j >= 0.1),
+         | e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         | reach(u, v) AS (
+         |   SELECT u, v FROM e
+         |   UNION
+         |   SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         | comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupClusters(docs,
+        Dedup.jaccardPairs(docs, n = 3, tau = 0.1, dfCap = 200))
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH with a RECALL oracle: at tau = 0.6 the 32-band × 2-row
     // geometry misses a qualifying pair with prob (1-j²)^32 ≤ 6e-7, so
     // the LSH candidate set provably contains every exact-Jaccard ≥ 0.6
@@ -180,6 +219,30 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val ivf = cachedIvf(s, dir)
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF with nprobe = cells (probe everything): the result must EQUAL
+    // brute-force top-k, which DuckDB can compute — so the IVF machinery
+    // (cell assignment covers every vector, per-cell scoring, global
+    // rank merge) gets a cell-exact oracle even though the k-means
+    // training itself isn't SQL-expressible. The nprobe<cells recall
+    // dial stays exercised (rows-only) in sim_ivf_topk.
+    NamedQuery(
+      "sim_ivf_full_probe",
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val ivf = cachedIvf(s, dir)
+      Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        nprobe = ivf.cents.length)
         .orderBy("query_id", "rank")
     },
 
