@@ -92,11 +92,24 @@ object Bench {
     val concWall = walls.sorted.apply(1)
     pool.shutdown()
 
+    // The harness that invokes this main captures only the LAST ~2000
+    // characters of the build output, and an sbt success trailer (~90
+    // chars) follows us. The JSON line must therefore stay well under
+    // that budget or its head gets truncated and the whole report is
+    // unparseable (this happened when values carried full double
+    // precision). Millisecond resolution is plenty for 0.1-10 s
+    // queries, and printing after spark.stop() guarantees no shutdown
+    // logging lands between the JSON and end-of-output.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = (results :+ ("index_build" -> indexBuild))
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":$concWall,"qps":${nQueries / concWall},"results":${resultsCnt.head.sum}}}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f3(concWall)},"qps":${f3(nQueries / concWall)},"results":${resultsCnt.head.sum}}}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars; tail capture may truncate it")
   }
 }
