@@ -33,6 +33,48 @@ object PipelineQueries {
     ivfCache.getOrElseUpdate((s, dir), Similarity.buildIvf(Tables.load(s, dir, "embeddings")))
   }
 
+  /** DuckDB re-derivation of `Similarity.lshPairs` / `lshPairsMulti`:
+    * plane weights from the same fnv1a+fmix64 integer hash (mod-2⁶⁴
+    * arithmetic via HUGEINT, exactly the dd_simhash technique), bucket =
+    * big-endian sign-bit fold, candidates = same-(table, bucket) pairs,
+    * exact cosine rerank. `list_dot_product` and Spark's
+    * `aggregate(zip_with(...))` both fold left-to-right in double
+    * precision, so the sign bits agree bit-exactly.
+    */
+  private def lshOracleSql(tables: Int, bits: Int, tau: Double): String = {
+    val nPlanes = tables * bits
+    s"""WITH p0 AS (SELECT pidx, d,
+       |  CAST((CAST(xor(
+       |    CAST((CAST(xor(CAST(14695981039346656037 AS UBIGINT), CAST(pidx AS UBIGINT)) AS HUGEINT)
+       |          * 1099511628211) % 18446744073709551616 AS UBIGINT),
+       |    CAST(d AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT) AS h
+       |  FROM generate_series(0, ${nPlanes - 1}) g1(pidx), generate_series(0, 63) g2(d)),
+       | p1 AS (SELECT pidx, d,
+       |  CAST((CAST(xor(h, h >> 33) AS HUGEINT) * 18397679294719823053) % 18446744073709551616 AS UBIGINT) AS h
+       |  FROM p0),
+       | pw AS (SELECT pidx, d,
+       |  CASE WHEN xor(h, h >> 33) >= CAST(9223372036854775808 AS UBIGINT)
+       |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS w
+       |  FROM p1),
+       | pl AS (SELECT pidx, list(w ORDER BY d) AS wv FROM pw GROUP BY pidx),
+       | sig AS (SELECT e.vec_id, p.pidx // $bits AS t, p.pidx % $bits AS bp,
+       |    CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.wv) >= 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN pl p),
+       | bk AS (SELECT vec_id, t, sum(bit * (1 << (${bits - 1} - bp))) AS bucket
+       |        FROM sig GROUP BY vec_id, t),
+       | cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |          FROM bk x JOIN bk y
+       |            ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT c.a, c.b,
+       |  ROUND(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cosine
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.a
+       |JOIN embeddings eb ON eb.vec_id = c.b
+       |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= $tau
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -199,12 +241,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    NamedQuery.rowsOnly("sim_lsh_pairs") { (s, dir) =>
+    // Hyperplane LSH fully oracled: the planes are portable ±1 Rademacher
+    // vectors (Similarity.planeWeight = fnv1a + murmur fmix64, pure
+    // integer math), so DuckDB re-derives the exact buckets, the exact
+    // candidate set, and the exact rerank — cell-exact, not rows-only.
+    NamedQuery("sim_lsh_pairs", lshOracleSql(tables = 1, bits = 8, tau = 0.4)) { (s, dir) =>
       Similarity.lshPairs(Tables.load(s, dir, "embeddings"), dim = 64, tau = 0.4)
         .orderBy("a", "b")
     },
 
-    NamedQuery.rowsOnly("sim_lsh_multi") { (s, dir) =>
+    NamedQuery("sim_lsh_multi", lshOracleSql(tables = 8, bits = 8, tau = 0.4)) { (s, dir) =>
       // multi-table recall dial on the driver surface (union of 8 narrow
       // tables + one exact rerank); superset of sim_lsh_pairs candidates
       Similarity.lshPairsMulti(Tables.load(s, dir, "embeddings"), dim = 64, tau = 0.4)

@@ -176,16 +176,36 @@ object Similarity {
       : DataFrame =
     ivfTopKWith(buildIvf(emb, cells, persist = false), queries, k, nprobe)
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dots with fixed
-    * pseudo-random hyperplanes (deterministic seed). Vectors sharing a
-    * signature bucket are near-duplicate candidates. This is the
-    * 100 TB path: one narrow shuffle on the bucket key, quadratic work
-    * only within buckets.
+  /** Rademacher (±1) hyperplane weight for global plane `pidx`,
+    * dimension `d`: the sign bit of fnv1a over the two values. Sign-LSH
+    * with ±1 planes (Achlioptas-style sparse projections) preserves the
+    * angular locality property of Gaussian planes, and — unlike seeded
+    * Gaussians — is a pure integer-hash function both this engine and a
+    * SQL oracle can compute bit-identically, which is what lets the LSH
+    * queries be verified cell-exact end-to-end.
     */
-  def lshBuckets(emb: DataFrame, dim: Int, bits: Int, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
+  private[pipeline] def planeWeight(pidx: Int, d: Int): Double = {
+    val Prime = 0x100000001b3L
+    var h = 0xcbf29ce484222325L
+    h = (h ^ pidx) * Prime
+    h = (h ^ d) * Prime
+    // murmur3 fmix64 finalizer: raw fnv1a over two sub-byte inputs never
+    // avalanches into the high bits (empirically the top bit is 0 for all
+    // 4096 (pidx, d) pairs used here), so the sign must come from a mixed
+    // hash or every plane degenerates to the all-(-1) vector
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    if (h < 0) 1.0 else -1.0 // top bit of the unsigned hash
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dots with fixed
+    * pseudo-random ±1 hyperplanes (`planeWeight`, planes `planeOffset`
+    * until `planeOffset + bits`). Vectors sharing a signature bucket are
+    * near-duplicate candidates. This is the 100 TB path: one narrow
+    * shuffle on the bucket key, quadratic work only within buckets.
+    */
+  def lshBuckets(emb: DataFrame, dim: Int, bits: Int, planeOffset: Int = 0): DataFrame = {
     val planes: Array[Array[Double]] =
-      Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+      Array.tabulate(bits)(p => Array.tabulate(dim)(d => planeWeight(planeOffset + p, d)))
     val planesCol = typedLit(planes.map(_.toSeq).toSeq)
     val sigBits = transform(planesCol, p =>
       when(aggregate(zip_with(col("embedding"), p, (x, w) => x.cast("double") * w),
@@ -232,10 +252,10 @@ object Similarity {
     // (vec_id, table, bucket). One scan instead of `tables` scans — and
     // no cache to leak (the self-join's identical shuffle is reused by
     // Spark's ReusedExchange, so the projection still runs once).
-    // Per-table planes are IDENTICAL to lshBuckets(seed = 42 + 1000·t).
+    // Per-table planes are IDENTICAL to lshBuckets(planeOffset = t·bits),
+    // so table 0 reproduces the single-table query exactly.
     val planesAll: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
-      val rng = new scala.util.Random(42L + 1000L * t)
-      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+      Seq.tabulate(bits)(p => Seq.tabulate(dim)(d => planeWeight(t * bits + p, d)))
     }
     val bucketPerTable = transform(typedLit(planesAll), tp =>
       aggregate(
