@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic splits, stratified
+  * sampling, eval-set decontamination, domain mixture weights, and
+  * context-window sequence packing. These are the steps between a
+  * deduplicated corpus and a training run; like the Dedup/Similarity
+  * ops they are pure DataFrame programs whose shuffle structure is
+  * documented for the 100 TB case.
+  *
+  * Determinism contract: every assignment derives from splitmix64 over
+  * the stable `doc_id` (never from `rand()` or task placement), so
+  * splits are reproducible run-to-run, survive corpus re-partitioning,
+  * and are portable — a SQL engine re-derives them bit-identically
+  * (the property the oracle checks exploit).
+  */
+object Curation {
+
+  /** Unsigned permille bucket of a salted splitmix64 over doc_id.
+    * A UDF on purpose: the wrapping 64-bit multiplies of the mixer are
+    * hostile to ANSI-mode Catalyst arithmetic (overflow would throw),
+    * and this is a once-per-row narrow projection, not a join-side
+    * hot path.
+    */
+  private def bucketUdf(salt: Long) = udf { id: Long =>
+    java.lang.Long.remainderUnsigned(Dedup.mix64(id ^ salt), 1000L).toInt
+  }
+
+  /** Salts keep the split and sampling decisions independent: the same
+    * doc must not be "always test AND always dropped from sampling".
+    */
+  val SplitSalt  = 0L
+  val SampleSalt = 0x5ca1ab1eL
+
+  /** Deterministic train/val/test assignment: bucket = splitmix64
+    * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
+    * test. Zero shuffles — a narrow projection the optimizer pipelines
+    * into whatever reads it. This is how a 100 TB corpus is split in
+    * practice: no global sort, no sampling pass, stable under
+    * re-ingestion of any subset.
+    */
+  def assignSplit(
+      docs: DataFrame, trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    val b = bucketUdf(SplitSalt)(col("doc_id"))
+    docs.select(col("doc_id"), b.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, lit("train"))
+          .when(col("bucket") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Stratified downsampling: keep a document iff its (independent)
+    * permille bucket falls under its stratum's rate. Rates are a small
+    * driver-side map (strata are languages/domains — bounded), compiled
+    * into a when-chain so the filter stays a codegen'd narrow
+    * projection; unknown strata use `defaultPermille`.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    val b = bucketUdf(SampleSalt)(col("doc_id"))
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("bucket", b).filter(col("bucket") < rate).drop("bucket")
+  }
+
+  /** Eval-set decontamination: per corpus document, the number of its
+    * distinct word n-grams that also occur anywhere in the eval set.
+    *
+    * Shuffle structure: the eval side collapses to DISTINCT n-gram
+    * hashes — benchmark suites are tiny relative to the corpus, so that
+    * set broadcasts and the corpus-side probe is a narrow broadcast
+    * semi-join inside the shingling projection's stage (no corpus
+    * shuffle at all); the final per-doc count is one aggregation keyed
+    * by doc_id. Hash-equality semantics match string equality up to
+    * fnv1a collisions (~|shingles|²/2⁶⁴) — same contract as
+    * `Dedup.jaccardPairs`.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    val evalSh = Dedup.shingleHashes(evalDocs, n).select("sh").distinct()
+    val hits = Dedup.shingleHashes(docs, n)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("verdict",
+        when(col("n_contaminated") > 0, lit("contaminated")).otherwise(lit("clean")))
+  }
+
+  /** Domain mixture table: per source, document and token counts plus
+    * an integer sampling weight proportional to token share
+    * (`tokens·1000 // total` — integer math, so the table is exact and
+    * portable). One partial-aggregated shuffle on the (bounded) source
+    * key; the total is a broadcast-size second aggregation.
+    */
+  def mixtureWeights(docs: DataFrame, domain: Column): DataFrame = {
+    val per = docs
+      .groupBy(domain.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+    val total = per.agg(sum("n_tokens")).collect()(0).getLong(0)
+    // `div`, not `/`: Spark's `/` on longs is double division — the
+    // integer quotient keeps the table exact at any token count
+    per.withColumn("weight_permille", expr(s"n_tokens * 1000L div ${total}L"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
+  }
+
+  /** Context-window packing: concatenate documents in doc_id order and
+    * cut the stream into sequences of `budget` tokens; each document
+    * reports the sequence where its first token lands and its offset in
+    * that sequence (GPT-style concat-and-chunk).
+    *
+    * The global running sum is NOT a single-partition `Window.orderBy`
+    * (which serializes the whole corpus through one task). Distributed
+    * prefix-scan instead: (1) deterministic range buckets from the id
+    * domain — `pid = doc_id·P // (max_id+1)` — so bucketing needs no
+    * sampling pass and is reproducible; (2) per-bucket token sums,
+    * collected (P rows — driver state is O(P), never corpus-sized) and
+    * prefix-summed; (3) per-bucket cumulative sums under
+    * `Window.partitionBy(pid)` — P parallel sorted partitions — plus the
+    * broadcast bucket offset. Two narrow shuffles total (the groupBy
+    * and the window), each keyed by pid.
+    */
+  def packSequences(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val withPid = docs
+      .select(col("doc_id"), size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
+      // integer `div` keeps bucketing exact for any id domain (long `/`
+      // would round through double)
+      .withColumn("pid", expr(s"cast(doc_id * $buckets div ${maxId}L as int)"))
+    val bucketTotals = withPid.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until buckets).scanLeft(0L) { (acc, p) =>
+      acc + bucketTotals.getOrElse(p, 0L)
+    } // prefix(p) = tokens in buckets < p
+    val prefixCol = element_at(
+      typedLit(prefix.take(buckets).toSeq), col("pid") + 1)
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)) + prefixCol)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div ${budget}L").as("seq_id"),
+        (col("cum_before") % budget).as("seq_offset"))
+  }
+}

@@ -75,6 +75,28 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** (h · c) mod 2⁶⁴ in DuckDB with c split into 32-bit halves — a full
+    * 64×64 product overflows INT128, so: h·c ≡ h·lo + ((h·hi mod 2³²) « 32).
+    */
+  private def mulModSql(col: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xFFFFFFFFL
+    s"CAST(((CAST($col AS HUGEINT) * $lo) + ((CAST($col AS HUGEINT) * $hi) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+  }
+
+  /** CTE chain re-deriving `Curation.bucketUdf` (salted splitmix64 mod
+    * 1000 of doc_id) — constants are generated from the same Scala
+    * values the engine uses, so they cannot drift.
+    */
+  private def bucketCtes(salt: Long, where: String = "TRUE"): String = {
+    val s = java.lang.Long.toUnsignedString(salt)
+    s"""b0 AS (SELECT doc_id, lang, xor(CAST(doc_id AS UBIGINT), CAST($s AS UBIGINT)) AS h
+       |       FROM documents WHERE $where),
+       | b1 AS (SELECT doc_id, lang, ${mulModSql("xor(h, h >> 30)", 0xbf58476d1ce4e5b9L)} AS h FROM b0),
+       | b2 AS (SELECT doc_id, lang, ${mulModSql("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM b1),
+       | bk AS (SELECT doc_id, lang, CAST(xor(h, h >> 31) % 1000 AS INT) AS bucket FROM b2)""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -399,6 +421,81 @@ object PipelineQueries {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    },
+
+    // ---- curation: split / sample / decontaminate / mix / pack ----------
+    NamedQuery(
+      "cu_split",
+      s"""WITH ${bucketCtes(Curation.SplitSalt)}
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.assignSplit(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "cu_sample",
+      s"""WITH ${bucketCtes(Curation.SampleSalt)}
+         |SELECT doc_id, lang FROM bk
+         |WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800 ELSE 300 END)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.stratifiedSample(Tables.load(s, dir, "documents"), col("lang"),
+          Map("en" -> 500, "zh" -> 800), defaultPermille = 300)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Decontamination vs a held-out "benchmark" slice (doc_id % 97 = 0):
+    // per corpus doc, how many of its distinct trigrams appear anywhere
+    // in the eval slice. Oracle re-derives via string trigrams (hash ≡
+    // string equality up to fnv collisions, the dd_ngram_jaccard
+    // contract).
+    NamedQuery(
+      "cu_contam",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         | hits AS (SELECT doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |          WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+         |  CASE WHEN coalesce(h.n, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Curation.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    },
+
+    NamedQuery(
+      "cu_mix",
+      s"""SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens * 1000 // (CAST(sum(n_tokens) OVER () AS BIGINT)) AS BIGINT)
+         |    AS weight_permille
+         |FROM (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY source) q
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      Curation.mixtureWeights(Tables.load(s, dir, "documents"), col("source"))
+        .orderBy("source")
+    },
+
+    NamedQuery(
+      "cu_pack",
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |   FROM t)
+         |SELECT doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.packSequences(Tables.load(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")
     }
   )

@@ -244,4 +244,68 @@ class PipelineSpec extends SparkSuite {
     assert(st.getAs[Int]("n_stopwords") == 2)
     assert(st.getAs[Int]("max_token_len") == 5)
   }
+
+  // ---- curation ----------------------------------------------------------
+
+  test("split assignment is deterministic and independent of sampling") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run() = Curation.assignSplit(d).as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2) // stable run-to-run
+    val splits = s1.values.map(_._2).toSeq
+    assert(splits.count(_ == "train") > 120 && splits.count(_ == "test") > 5)
+    // independence: the sampling hash must not reuse the split hash
+    val kept = Curation
+      .stratifiedSample(d.withColumn("lang", lit("en")), col("lang"), Map("en" -> 500), 0)
+      .select("doc_id").as[Long].collect().toSet
+    val trainIds = s1.collect { case (id, (_, "train")) => id }.toSet
+    assert(kept.exists(id => !trainIds.contains(id))) // not the same partition of ids
+  }
+
+  test("stratified sampling respects per-stratum rates") {
+    val d = (0L until 400L).map(i => (i, "x", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Curation.stratifiedSample(d, col("lang"), Map("en" -> 1000), 0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en") && kept.length == 200) // rate 1000 keeps all, 0 drops all
+  }
+
+  test("contamination counts planted eval-set trigram overlaps exactly") {
+    val evals  = Seq((100L, "secret eval question about spark joins")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares exactly 2 trigrams: "secret eval question", "eval question about"
+      (1L, "this doc leaks the secret eval question about nothing"),
+      (2L, "entirely unrelated words here friend")
+    ).toDF("doc_id", "text")
+    val c = Curation.contamination(corpus, evals)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(c(1L) == ((2L, "contaminated")))
+    assert(c(2L) == ((0L, "clean")))
+  }
+
+  test("mixture weights: integer token shares per source") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "e f", "s1"), (3L, "g h", "s2")
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.mixtureWeights(d, col("source"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("s1") == (("s1", 2L, 6L, 750L)))
+    assert(m("s2") == (("s2", 1L, 2L, 250L)))
+  }
+
+  test("sequence packing equals a single-partition running sum, across bucket boundaries") {
+    val d = (0L until 97L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // expected: plain cumulative sum in doc_id order
+    val counts = (0L until 97L).map(i => (i % 7) + 1)
+    val cum = counts.scanLeft(0L)(_ + _)
+    val expected = (0L until 97L).map { i =>
+      (i, counts(i.toInt), cum(i.toInt) / 10, cum(i.toInt) % 10)
+    }.toSet
+    // buckets=5 forces several bucket-boundary handoffs
+    val got = Curation.packSequences(d, budget = 10, buckets = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
