@@ -83,4 +83,24 @@ object EventStreams {
           }
         })
   }
+
+  /** Streaming exact dedup at ingest: keep the first arrival of each
+    * content hash, drop duplicates that arrive within the watermark
+    * horizon. This is the streaming face of `Dedup.exactGroups` — a
+    * training-data pipeline dedups at ingest so duplicates never reach
+    * storage.
+    *
+    * State posture at scale: `dropDuplicatesWithinWatermark` keys state
+    * by the 256-bit content hash (never the document text) and expires
+    * each key once the watermark passes its arrival time, so state is
+    * bounded by (ingest rate × watermark), independent of corpus
+    * history. Exact global dedup over all history instead composes the
+    * batch `exactGroups` over the landed table — unbounded keyed state
+    * in the stream is the one shape a 100 TB pipeline must not hold.
+    */
+  def dedupStream(docs: DataFrame, eventTime: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicate content, keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupStream(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "same content"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "same content"), // dup within watermark
+        (3L, Timestamp.valueOf("2024-01-01 10:02:00"), "other content"))
+      q.processAllAvailable()
+      // a later micro-batch with another duplicate, still inside the horizon
+      input.addData((4L, Timestamp.valueOf("2024-01-01 10:05:00"), "same content"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L)) // first arrivals only, across micro-batches
+    } finally q.stop()
+  }
+
   test("foreachBatch maintains the global index incrementally across micro-batches") {
     import graft.ingest.IndexBuilder
     import org.apache.spark.sql.DataFrame
