@@ -1,5 +1,26 @@
 package graft
 object Bench {
+
+  /** The seeded reference-shape concurrent workload (ANDs of 3-5 random
+    * common TEXT words, README.md:192-204 shape) — one definition shared
+    * by Bench and ProfileServe so the profiler always replays exactly
+    * the benchmarked workload. Plain-token vocab only: a quote or
+    * backslash in a sampled token would make the interpolated JEXL
+    * unparseable and crash the whole run.
+    */
+  def concurrentWorkload(ix: ingest.WikiIndex, n: Int): Seq[String] = {
+    val vocab = ix.globalIndex
+      .filter(org.apache.spark.sql.functions.col("fieldName") === "TEXT")
+      .select("fieldValue").distinct().collect().map(_.getString(0))
+      .filter(_.matches("[A-Za-z0-9]+")).sorted
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n) {
+      val k = 3 + rnd.nextInt(3)
+      Seq.fill(k)(vocab(rnd.nextInt(vocab.length)))
+        .map(w => s"TEXT == '$w'").mkString(" and ")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,22 +53,10 @@ object Bench {
     // running it after the 65-query batch section made it measure that
     // section's accumulated heap/cache state instead (observed 3-7 qps
     // there vs ~24 in a fresh process on identical code).
-    // The shape of the reference's baseline (README.md:192-204: clients
-    // submitting ANDs of 3-5 random common words; ~24-26 q/s aggregate
-    // on 10 nodes). Seeded, so the workload is identical across rounds.
-    // Plain-token vocab only: a quote/backslash in a sampled token would
-    // make the interpolated JEXL unparseable and crash the whole run.
-    val vocab = ix.globalIndex
-      .filter(org.apache.spark.sql.functions.col("fieldName") === "TEXT")
-      .select("fieldValue").distinct().collect().map(_.getString(0))
-      .filter(_.matches("[A-Za-z0-9]+")).sorted
-    val rnd = new scala.util.Random(42)
+    // The shape of the reference's baseline (~24-26 q/s aggregate on 10
+    // nodes). Seeded, so the workload is identical across rounds.
     val nQueries = 40
-    val workload = Seq.fill(nQueries) {
-      val k = 3 + rnd.nextInt(3)
-      Seq.fill(k)(vocab(rnd.nextInt(vocab.length)))
-        .map(w => s"TEXT == '$w'").mkString(" and ")
-    }
+    val workload = concurrentWorkload(ix, nQueries)
     val eng  = search.SearchQueries.engine(spark, sfDir)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -95,7 +104,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       val runs = Seq.fill(3)(guarded()).flatten.sorted
-      name -> (if (runs.isEmpty) -1.0 else runs((runs.size - 1) / 2))
+      // UPPER median (size/2): with one failed run the lower median
+      // would degenerate to the min of the two survivors — exactly the
+      // optimistic bias the median exists to avoid
+      name -> (if (runs.isEmpty) -1.0 else runs(runs.size / 2))
     }
 
     // The harness that invokes this main captures only the LAST ~2000

@@ -66,7 +66,9 @@ object Curation {
     val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
       when(stratum === k, lit(v)).otherwise(acc)
     }
-    docs.withColumn("bucket", b).filter(col("bucket") < rate).drop("bucket")
+    // filter on the expression directly — a temp `bucket` column would
+    // clobber a caller's column of that name (assignSplit emits one)
+    docs.filter(b < rate)
   }
 
   /** Eval-set decontamination: per corpus document, the number of its
@@ -105,10 +107,15 @@ object Curation {
       .groupBy(domain.as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
-    val total = per.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val totalRow = per.agg(sum("n_tokens")).collect()(0)
+    // empty corpus / all-empty texts → sum is null / 0: weights are 0,
+    // not an NPE or a null-producing division
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     // `div`, not `/`: Spark's `/` on longs is double division — the
     // integer quotient keeps the table exact at any token count
-    per.withColumn("weight_permille", expr(s"n_tokens * 1000L div ${total}L"))
+    val weight =
+      if (total == 0L) lit(0L) else expr(s"n_tokens * 1000L div ${total}L")
+    per.withColumn("weight_permille", weight)
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
   }
 
@@ -130,12 +137,18 @@ object Curation {
     */
   def packSequences(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val maxRow = docs.agg(max("doc_id")).collect()(0)
+    val maxId  = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // pid = doc_id / width: same deterministic range bucketing as
+    // doc_id·buckets/idDomain but with NO multiply (which would wrap
+    // Long for hash-derived ids ≥ 2⁶³/buckets) and no +1 that could
+    // overflow at Long.MaxValue; width ≥ maxId/buckets ⇒ pid < buckets
+    val width = maxId / buckets + 1
     val withPid = docs
       .select(col("doc_id"), size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
       // integer `div` keeps bucketing exact for any id domain (long `/`
       // would round through double)
-      .withColumn("pid", expr(s"cast(doc_id * $buckets div ${maxId}L as int)"))
+      .withColumn("pid", expr(s"cast(doc_id div ${width}L as int)"))
     val bucketTotals = withPid.groupBy("pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix = (0 until buckets).scanLeft(0L) { (acc, p) =>

@@ -70,18 +70,31 @@ object Dedup {
       sig = signature(e)
       round += 1
     }
+    // Non-convergence must be LOUD: returning the partial edge set would
+    // silently split components and mark duplicate docs "keep". The
+    // star algorithm converges in O(log²) rounds, so 50 is unreachable
+    // except under a logic regression — fail, don't guess.
+    if (sig != prevSig)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
     // converged: every edge points (node → component min)
     e.select(col("u").as("doc_id"), col("v").as("component"))
       .union(e.select(col("v").as("doc_id"), col("v").as("component")))
       .groupBy("doc_id").agg(min("component").as("component"))
   }
 
-  /** Order-invariant convergence signature: (edge count, sum of row
-    * hashes) — one tiny job per round; equal signatures on consecutive
-    * rounds ⇒ the edge set is stable (collision odds ~2⁻⁶⁴).
+  /** Order-invariant convergence signature: (edge count, XOR of 64-bit
+    * row hashes) — one tiny job per round; equal signatures on
+    * consecutive rounds ⇒ the edge set is stable. xxhash64 + bit_xor,
+    * not sum(hash): the 32-bit `hash` gives a realistic 2⁻³² per-round
+    * silent-wrong-components risk at 100 TB pair volumes, and a Long
+    * SUM of 64-bit hashes overflows under ANSI mode — XOR is
+    * order-invariant, overflow-free, and collision-safe on the distinct
+    * edge set (2⁻⁶⁴).
     */
   private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
+    val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
       .collect().head
     (r.getLong(0), r.getLong(1))
   }

@@ -5,10 +5,12 @@ import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable entries for the LLM-data-pipeline operators.
-  * SQL-expressible ops carry a DuckDB oracle that re-derives the result
-  * from raw data; hash-based ops (MinHash/SimHash/LSH — platform hash
-  * functions aren't portable SQL) are rows-only checks, with their exact
-  * counterparts (`dd_ngram_jaccard`, `sim_pairs_brute`) oracled.
+  * Every op carries a DuckDB oracle that re-derives the result from raw
+  * data — including the hash-based ones, whose hashes (fnv1a, splitmix64,
+  * fmix64, Rademacher planes) are deliberately portable integer math the
+  * oracle reproduces in mod-2⁶⁴ HUGEINT arithmetic. The one exception is
+  * `sim_ivf_topk` (k-means training isn't SQL-expressible): rows-only,
+  * with the IVF machinery pinned by the oracled `sim_ivf_full_probe`.
   */
 object PipelineQueries {
 
@@ -50,7 +52,7 @@ object PipelineQueries {
        |    CAST(d AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT) AS h
        |  FROM generate_series(0, ${nPlanes - 1}) g1(pidx), generate_series(0, 63) g2(d)),
        | p1 AS (SELECT pidx, d,
-       |  CAST((CAST(xor(h, h >> 33) AS HUGEINT) * 18397679294719823053) % 18446744073709551616 AS UBIGINT) AS h
+       |  ${mulModSql("xor(h, h >> 33)", 0xff51afd7ed558ccdL)} AS h
        |  FROM p0),
        | pw AS (SELECT pidx, d,
        |  CASE WHEN xor(h, h >> 33) >= CAST(9223372036854775808 AS UBIGINT)

@@ -23,16 +23,8 @@ object ProfileServe {
 
     val ix  = graft.search.SearchQueries.index(spark, sfDir)
     val eng = graft.search.SearchQueries.engine(spark, sfDir)
-    val vocab = ix.globalIndex
-      .filter(org.apache.spark.sql.functions.col("fieldName") === "TEXT")
-      .select("fieldValue").distinct().collect().map(_.getString(0))
-      .filter(_.matches("[A-Za-z0-9]+")).sorted
-    val rnd = new scala.util.Random(42)
-    val workload = Seq.fill(40) {
-      val k = 3 + rnd.nextInt(3)
-      Seq.fill(k)(vocab(rnd.nextInt(vocab.length)))
-        .map(w => s"TEXT == '$w'").mkString(" and ")
-    }
+    val n   = 40
+    val workload = graft.Bench.concurrentWorkload(ix, n) // the benchmarked workload, verbatim
 
     // warm once
     workload.foreach(q => eng.run(q).count())
@@ -45,7 +37,7 @@ object ProfileServe {
     }.sorted
     val jobs1 = sc.statusTracker.getJobIdsForGroup(null).length
     println(f"seq warm: p50=${lat(lat.size / 2)}%.1f ms p90=${lat(lat.size * 9 / 10)}%.1f ms " +
-      f"mean=${lat.sum / lat.size}%.1f ms jobs/query=${(jobs1 - jobs0).toDouble / 40}%.2f")
+      f"mean=${lat.sum / lat.size}%.1f ms jobs/query=${(jobs1 - jobs0).toDouble / n}%.2f")
 
     // concurrent warm (3 passes, median)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -59,7 +51,7 @@ object ProfileServe {
     }
     val walls = (1 to 3).map(_ => runAll()).sorted
     println(f"concurrent: walls=${walls.map(w => f"$w%.2f").mkString(",")} " +
-      f"median qps=${40 / walls(1)}%.1f")
+      f"median qps=${n / walls(1)}%.1f")
     pool.shutdown()
     spark.stop()
   }
