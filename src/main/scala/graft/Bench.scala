@@ -70,15 +70,19 @@ object Bench {
         scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
     }
     runAll()
-    // Median of three timed passes (same rationale as the per-query
-    // medians): a single 12-second window on a noisy shared host can
-    // misreport steady-state throughput by 3×+.
-    val (walls, resultsCnt) = (1 to 3).map { _ =>
+    // FIVE timed passes; report the median AND the best. Identical code
+    // has measured 1.4 s and 20 s for the same pass on this host (noisy
+    // neighbors), so the median of too few passes still misreports by
+    // 3×+ when contention clusters; the best pass is the least-
+    // contaminated estimate of what the engine itself can serve.
+    val (walls, resultsCnt) = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       val counts = runAll()
       ((System.nanoTime() - t0) / 1e9, counts)
     }.unzip
-    val concWall = walls.sorted.apply(1)
+    val sortedWalls = walls.sorted
+    val concWall     = sortedWalls(sortedWalls.size / 2)
+    val concWallBest = sortedWalls.head
     pool.shutdown()
 
     val names = SparkEntry.registry.map(_.name)
@@ -123,7 +127,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f3(concWall)},"qps":${f3(nQueries / concWall)},"results":${resultsCnt.head.sum}}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f3(concWall)},"qps":${f3(nQueries / concWall)},"qps_best":${f3(nQueries / concWallBest)},"results":${resultsCnt.head.sum}}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

@@ -299,6 +299,34 @@ object Similarity {
     IvfIndex(cents, if (persist) assigned.cache() else assigned)
   }
 
+  /** Persist a trained IVF index: the assigned corpus as parquet
+    * PARTITIONED BY cell (so a probe's scan prunes to its nprobe cells'
+    * directories), centroids as a k-row table. This is the ingest-time
+    * artifact the 100 TB serving path reads.
+    */
+  def saveIvf(ivf: IvfIndex, dir: String): Unit = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    ivf.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    ivf.cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted IVF index. `assigned` stays parquet-backed:
+    * probes through `ivfTopKWith` push their cell set into the scan as
+    * a partition filter, so each probe reads ~nprobe/cells of the
+    * corpus from storage — the posture that matters when the index
+    * doesn't fit memory.
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+  }
+
   /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the
     * per-call training).
     */
@@ -320,7 +348,16 @@ object Similarity {
     })
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
       explode(probeUdf(col("embedding"))).as("cell"), norm(col("embedding")).as("qnrm"))
-    val scored = ivf.assigned.join(broadcast(qs), Seq("cell"))
+    // Static cell pruning: collect the batch's probed cell set (queries
+    // are small by contract — this is one tiny query-side job) and push
+    // it into the corpus scan as an IN filter. On a parquet-backed index
+    // partitioned by cell (saveIvf) this becomes a PartitionFilter — the
+    // probe reads only its cells' directories; on a cached index it's a
+    // cheap in-memory filter.
+    val probedCells = qs.select("cell").distinct().as[Int](
+      org.apache.spark.sql.Encoders.scalaInt).collect()
+    val corpus = ivf.assigned.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = corpus.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))

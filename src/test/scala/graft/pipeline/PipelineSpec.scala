@@ -195,6 +195,27 @@ class PipelineSpec extends SparkSuite {
     assert(probed == direct)
   }
 
+  test("persisted IVF index: parquet round-trip answers identically and prunes cells") {
+    val emb = (0 until 40).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i % 5) + d) })
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val ivf = Similarity.buildIvf(emb, cells = 4, persist = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvf(ivf, dir)
+    val loaded = Similarity.loadIvf(spark, dir)
+    assert(loaded.cents.map(_.toSeq).toSeq == ivf.cents.map(_.toSeq).toSeq)
+    val fromMem  = Similarity.ivfTopKWith(ivf, queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val probed = Similarity.ivfTopKWith(loaded, queries, k = 3, nprobe = 2)
+    val fromDisk = probed.collect().map(_.toString).sorted.toSeq
+    assert(fromDisk == fromMem)
+    // the probed cell set lands in the parquet scan as a partition filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("LSH buckets put identical vectors together") {
     val emb = Seq(
       (1L, Array.fill(8)(0.5f)),
@@ -292,6 +313,29 @@ class PipelineSpec extends SparkSuite {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(m("s1") == (("s1", 2L, 6L, 750L)))
     assert(m("s2") == (("s2", 1L, 2L, 250L)))
+  }
+
+  test("sequence packing: metamorphic check against a sequential reference over random corpora") {
+    // Seeded random (size, budget, buckets) combos, sparse non-contiguous
+    // ids: the distributed prefix-scan must equal a driver-side
+    // sequential fold for every one of them.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val nDocs   = 20 + rnd.nextInt(150)
+      val budget  = 5 + rnd.nextInt(40)
+      val buckets = 1 + rnd.nextInt(9)
+      val ids = scala.collection.mutable.SortedSet.empty[Long]
+      while (ids.size < nDocs) ids += rnd.nextInt(10000).toLong
+      val docs = ids.toSeq.map(i => (i, Seq.fill(rnd.nextInt(12) + 1)("w").mkString(" ")))
+      val counts = docs.map { case (_, t) => t.split(" ").length.toLong }
+      val cum = counts.scanLeft(0L)(_ + _)
+      val expected = docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, counts(i), cum(i) / budget, cum(i) % budget)
+      }.toSet
+      val got = Curation.packSequences(docs.toDF("doc_id", "text"), budget, buckets)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial (n=$nDocs budget=$budget buckets=$buckets)")
+    }
   }
 
   test("sequence packing equals a single-partition running sum, across bucket boundaries") {
