@@ -65,7 +65,14 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-      e = linked.localCheckpoint()
+      // Adapt the checkpointed edge set's parallelism to its LIVE size
+      // (known from the previous signature): AQE coalesces the
+      // intermediate shuffles, but the checkpoint keeps its partition
+      // count, and at near-converged edge counts the next round's cost
+      // is task scheduling, not data. 100k edges/partition keeps
+      // cluster-scale inputs fully parallel.
+      val parts = math.max(1L, math.min(e.rdd.getNumPartitions.toLong, sig._1 / 100000L + 1))
+      e = linked.coalesce(parts.toInt).localCheckpoint()
       prevSig = sig
       sig = signature(e)
       round += 1
