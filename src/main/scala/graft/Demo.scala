@@ -16,6 +16,9 @@ object Demo {
     println(s"rows: ${df.count()}")
     df.select("docId", "language", "DOCUMENT").show(5, truncate = false)
 
+    println("== access path (engine-level explain)")
+    println(eng.explainAccess("TEXT == 'spark' and (TEXT == 'join' or TEXT == 'vector')"))
+
     println("== physical plan (formatted)")
     df.explain("formatted")
 

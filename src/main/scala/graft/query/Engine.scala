@@ -192,6 +192,61 @@ class WikiSearchEngine(
     analyze(ast, new Analysis).isDefined
   }
 
+  /** Human-readable access-path report: the engine-level EXPLAIN (the
+    * reference surfaces this through RangeCalculator debug logging; at
+    * 100 TB you want it BEFORE running a query). Shows the planned
+    * tree with per-leaf cardinalities and lossy-fallback shards, plus
+    * the materialization decision (driver-local broadcast vs
+    * distributed, and the static shard footprint the event scan will
+    * prune to). Runs the same single plan-time index job as `run`
+    * (served from the term cache when warm) but executes nothing.
+    */
+  def explainAccess(query: String, auths: Seq[String] = Nil): String = {
+    val ast0 = QueryParser.parse(query)
+    if (QExpr.allNegated(ast0))
+      return s"REJECTED: all-negation query: $query"
+    val ast = rewriteBareTerms(ast0)
+    analyze(ast, new Analysis) match {
+      case None =>
+        "FULL SCAN: no index-answerable subtree; the residual predicate evaluates every event"
+      case Some(tree) =>
+        val stats = collectLeafStats(tree, needCards(tree))
+        val sb = new StringBuilder("INDEX PATH\n")
+        def render(n: PlanNode, indent: String): Unit = n match {
+          case EqLeaf(tag, field, forms) =>
+            val st    = stats.get(tag)
+            val rows  = st.map(_.rows).getOrElse(Nil)
+            val lossy = rows.count(_.ignore)
+            sb.append(s"${indent}EQ $field IN {${forms.mkString(", ")}}")
+              .append(s" card=${st.map(_.card).getOrElse(0L)}")
+              .append(s" exactUids=${rows.filterNot(_.ignore).map(_.uids.size).sum}")
+              .append(if (lossy > 0) s" lossyShardRows=$lossy" else "").append('\n')
+          case ScanLeaf(tag, _, fi) =>
+            sb.append(s"${indent}RANGE/WILDCARD index scan card=${stats.get(tag).map(_.card).getOrElse(0L)}")
+              .append(if (fi.isDefined) " (fi-verified)" else "").append('\n')
+          case EmptyLeaf => sb.append(s"${indent}EMPTY (term absent from index)\n")
+          case OrNode(cs) =>
+            sb.append(s"${indent}OR\n"); cs.foreach(render(_, indent + "  "))
+          case AndNode(ps, negs) =>
+            sb.append(s"${indent}AND\n")
+            ps.foreach(render(_, indent + "  "))
+            negs.foreach(g => sb.append(
+              s"$indent  NOT ${g.field} IN {${g.forms.mkString(", ")}} (anti-join on exact postings)\n"))
+        }
+        render(tree, "  ")
+        val cand = materialize(tree, stats,
+          df => if (auths.isEmpty) df else df.filter(col("language").isin(auths: _*)), auths)
+        val mat = cand match {
+          case LocalCand(docs, card) =>
+            s"candidates: DRIVER-LOCAL ${docs.size} docs (broadcast into the event semi-join); est card=$card"
+          case DistCand(_, card, parts) =>
+            s"candidates: DISTRIBUTED (lossy/range fallback); est card=$card; " +
+              s"static shard footprint=${parts.map(_.sorted.mkString("{", ",", "}")).getOrElse("unbounded")}"
+        }
+        sb.append(mat).append('\n').toString
+    }
+  }
+
   // ---- planning -----------------------------------------------------------
 
   /** Unfielded bare terms → OR over the fields where the global index

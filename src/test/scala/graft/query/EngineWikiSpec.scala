@@ -33,6 +33,18 @@ class EngineWikiSpec extends SparkSuite {
     assert(arts.forall(_.timestamp == 1014651791000L)) // 2002-02-25T15:43:11Z
   }
 
+  test("explainAccess renders the access path without executing the query") {
+    val ex = engine.explainAccess("TITLE == 'abacus' and TEXT == 'abacus' and TEXT != 'assessment'")
+    assert(ex.contains("INDEX PATH") && ex.contains("AND"))
+    assert(ex.contains("EQ TITLE") && ex.contains("EQ TEXT"))
+    assert(ex.contains("NOT TEXT"))
+    assert(ex.contains("DRIVER-LOCAL")) // exact postings → broadcast candidates
+    val full = engine.explainAccess("COMMENTS =~ '.*mid.*wildcard.*'")
+    assert(full.startsWith("FULL SCAN"))
+    val rej = engine.explainAccess("TEXT != 'abacus'")
+    assert(rej.startsWith("REJECTED"))
+  }
+
   test("reference E2E #1: OR of four titles returns 4 documents") {
     val q = "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'"
     assert(docIds(q) == Set("655", "656", "657", "658"))
