@@ -119,6 +119,28 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
   }
 
+  /** PII patterns shared by the scrubber and its SQL oracle. Kept to the
+    * RE2-compatible subset (no lookarounds, no backrefs) so Java regex
+    * (this engine) and RE2 (the oracle, and e.g. a Go/Rust sidecar)
+    * match identically — verified on shared edge cases in PipelineSpec.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing: count and redact emails and IPv4 literals. A narrow
+    * codegen'd projection (regexp_* built-ins) — zero shuffles, scales
+    * as a map over the corpus. Emails redact FIRST so an address's
+    * host part is never half-eaten by the IP rule.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").as("redacted"))
+
   /** Context-window packing: concatenate documents in doc_id order and
     * cut the stream into sequences of `budget` tokens; each document
     * reports the sequence where its first token lands and its offset in

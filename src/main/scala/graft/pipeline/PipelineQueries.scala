@@ -488,6 +488,28 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // PII scrubbing. The synthetic corpus contains no PII, so the query
+    // PLANTS deterministic addresses derived from doc_id on BOTH sides —
+    // the oracle exercises real matches, not a vacuous all-zeros pass.
+    NamedQuery(
+      "cu_redact",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '${Curation.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '${Curation.Ipv4Re}')) AS INT) AS n_ips,
+         |  regexp_replace(regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM (SELECT doc_id,
+         |        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |        '@example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t2
+         |      FROM documents) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.org from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      Curation.redactPii(planted).orderBy("doc_id")
+    },
+
     NamedQuery(
       "cu_pack",
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

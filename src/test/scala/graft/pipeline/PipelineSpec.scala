@@ -315,6 +315,20 @@ class PipelineSpec extends SparkSuite {
     assert(m("s2") == (("s2", 1L, 2L, 250L)))
   }
 
+  test("PII redaction: counts and redacts emails and IPv4s, edge cases match the oracle dialect") {
+    val d = Seq(
+      (1L, "write to a.b+c@ex-1.org or x@y.co from 10.0.3.7 and 192.168.1.255 done"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999.1.2.3 v1.2.3.4.5 a@b")
+    ).toDF("doc_id", "text")
+    val r = Curation.redactPii(d).as[(Long, Int, Int, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // expectations verified against DuckDB's RE2 on the same inputs
+    assert(r(1L) == ((2, 2, "write to <EMAIL> or <EMAIL> from <IP> and <IP> done")))
+    assert(r(2L) == ((0, 0, "no pii here at all")))
+    assert(r(3L) == ((0, 2, "edge <IP> v1.<IP> a@b")))
+  }
+
   test("sequence packing: metamorphic check against a sequential reference over random corpora") {
     // Seeded random (size, budget, buckets) combos, sparse non-contiguous
     // ids: the distributed prefix-scan must equal a driver-side
