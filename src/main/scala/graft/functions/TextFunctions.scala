@@ -90,7 +90,22 @@ object TextFunctions {
   /** Full-string DOTALL regex match — JEXL `=~` semantics
     * (`query/.../jexl/Arithmetic.java:108-128`): Pattern.matches with
     * DOTALL. Spark's `rlike` is find-based, so anchor and set (?s).
+    *
+    * Anchored-LITERAL shapes compile to the equivalent codegen'd string
+    * op instead of a regex — `lit` ≡ equality, `lit.*` ≡ startsWith,
+    * `.*lit` ≡ endsWith (DOTALL makes the equivalences exact across
+    * newlines) — because this lands in the residual filter, which
+    * evaluates every value of every candidate document on wildcard
+    * queries: the hot path of `ws_q5/q6`-shaped queries.
     */
-  def jexlMatches(c: Column, regex: String): Column =
-    c.rlike("^(?s:" + regex + ")$")
+  def jexlMatches(c: Column, regex: String): Column = {
+    val meta = ".+*?[](){}|\\^$".toSet
+    def plain(s: String): Boolean = s.nonEmpty && !s.exists(meta.contains)
+    if (plain(regex)) c === lit(regex)
+    else if (regex.endsWith(".*") && plain(regex.dropRight(2)))
+      c.startsWith(regex.dropRight(2))
+    else if (regex.startsWith(".*") && plain(regex.drop(2)))
+      c.endsWith(regex.drop(2))
+    else c.rlike("^(?s:" + regex + ")$")
+  }
 }
