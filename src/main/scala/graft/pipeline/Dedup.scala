@@ -37,8 +37,21 @@ object Dedup {
     * component) for every node that APPEARS in a pair, component = min
     * doc_id of its component (isolated docs are absent — callers join
     * and coalesce to the doc's own id).
+    *
+    * Size-adaptive: the deduped edge count is known before the first
+    * round (the convergence signature already counts it); at or below
+    * `driverThreshold` edges the components finish DRIVER-SIDE with
+    * union-find — O(E·α) in one collect, versus 3-4 shuffle stages per
+    * distributed round. Near-dup edge lists are tiny relative to the
+    * corpus (they are what dedup exists to make rare), so this is the
+    * common case; the distributed loop remains the unbounded-size path
+    * and both produce identical min-label components (tested against
+    * each other).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // orient + dedup once: (u, v) with v < u
     var e = pairs
       .select(greatest(col("a"), col("b")).cast("long").as("u"),
@@ -48,6 +61,25 @@ object Dedup {
     var round   = 0
     var prevSig = (-1L, 0L)
     var sig     = signature(e)
+    if (sig._1 <= driverThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.as[(Long, Long)].collect().foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { // union by MIN root so labels match the star loop
+          val (lo, hi) = if (ru < rv) (ru, rv) else (rv, ru)
+          parent(hi) = lo
+        }
+        parent.getOrElseUpdate(u, find(u)); parent.getOrElseUpdate(v, find(v))
+      }
+      return parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "component")
+    }
     while (sig != prevSig && round < maxRounds) {
       // large-star: every node's LARGER neighbors link to the min of its
       // neighborhood (incl. itself) — shrinks tall chains geometrically

@@ -92,6 +92,21 @@ class PipelineSpec extends SparkSuite {
     assert(!comp.contains(100L)) // isolated docs are the caller's join
   }
 
+  test("connected components: distributed star loop equals driver union-find") {
+    // random graph with chains, cliques, and singleton-pair mix; the
+    // size-adaptive driver path (default threshold) must agree with the
+    // distributed star-contraction (driverThreshold = 0) label-for-label
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val pairs = edges.toDF("a", "b")
+    val driver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+  }
+
   test("dedupClusters: keep-first verdict per component, isolated docs keep") {
     val docs  = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
