@@ -98,9 +98,17 @@ object TextFunctions {
     * evaluates every value of every candidate document on wildcard
     * queries: the hot path of `ws_q5/q6`-shaped queries.
     */
+  /** Non-empty and free of Java-regex metacharacters — the ONE literal
+    * test shared by the index access path (`WikiSearchEngine
+    * .classifyRegex`) and the residual specialization below, so the two
+    * can never drift into classifying a shape differently.
+    */
+  private val RegexMeta = ".+*?[](){}|\\^$".toSet
+  def plainRegexLiteral(s: String): Boolean =
+    s.nonEmpty && !s.exists(RegexMeta.contains)
+
   def jexlMatches(c: Column, regex: String): Column = {
-    val meta = ".+*?[](){}|\\^$".toSet
-    def plain(s: String): Boolean = s.nonEmpty && !s.exists(meta.contains)
+    def plain(s: String) = plainRegexLiteral(s)
     if (plain(regex)) c === lit(regex)
     else if (regex.endsWith(".*") && plain(regex.dropRight(2)))
       c.startsWith(regex.dropRight(2))

@@ -130,16 +130,20 @@ object Curation {
   /** PII scrubbing: count and redact emails and IPv4 literals. A narrow
     * codegen'd projection (regexp_* built-ins) — zero shuffles, scales
     * as a map over the corpus. Emails redact FIRST so an address's
-    * host part is never half-eaten by the IP rule.
+    * host part is never half-eaten by the IP rule — and `n_ips` counts
+    * on the email-REDACTED text for the same reason: an IPv4-looking
+    * host inside an address (x@1.2.3.44.com) is redacted as part of the
+    * email, so counting it as an IP would leave audits reconciling
+    * counts against replacements with a phantom unredacted IP.
     */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ips"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>").as("redacted"))
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(noEmail, Ipv4Re, "<IP>").as("redacted"))
+  }
 
   /** Context-window packing: concatenate documents in doc_id order and
     * cut the stream into sequences of `budget` tokens; each document

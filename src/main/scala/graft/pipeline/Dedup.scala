@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale corpus deduplication operators: exact, n-gram Jaccard,
-  * MinHash+LSH, SimHash. All are pure DataFrame programs — no driver-side
-  * loops — and each documents its shuffle structure for the 100 TB case.
+  * MinHash+LSH, SimHash. All are pure DataFrame programs on their data
+  * paths, and each documents its shuffle structure for the 100 TB case.
+  * (One documented, size-gated exception: `connectedComponents` finishes
+  * driver-side below an explicit edge threshold.)
   */
 object Dedup {
 
@@ -46,10 +48,13 @@ object Dedup {
     * corpus (they are what dedup exists to make rare), so this is the
     * common case; the distributed loop remains the unbounded-size path
     * and both produce identical min-label components (tested against
-    * each other).
+    * each other). The default threshold (200k edges ≈ a few MB collected
+    * + a bounded map) is deliberately conservative — it is the one
+    * driver-side data-path allowance in this file, and it is explicit:
+    * pass driverThreshold = 0 to force the fully distributed path.
     */
   def connectedComponents(
-      pairs: DataFrame, maxRounds: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 50, driverThreshold: Long = 200000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // orient + dedup once: (u, v) with v < u

@@ -495,7 +495,9 @@ object PipelineQueries {
       "cu_redact",
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(t2, '${Curation.EmailRe}')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t2, '${Curation.Ipv4Re}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.Ipv4Re}')) AS INT) AS n_ips,
          |  regexp_replace(regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g'),
          |    '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
          |FROM (SELECT doc_id,

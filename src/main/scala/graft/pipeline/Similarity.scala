@@ -285,7 +285,13 @@ object Similarity {
     * `assigned` persists as parquet partitioned by cell, so a probe
     * reads nprobe/cells of the corpus.
     */
-  case class IvfIndex(cents: Array[Array[Double]], assigned: DataFrame)
+  /** `pruneScan`: set on parquet-backed indexes (loadIvf) — probes then
+    * pay one tiny query-side job to push their cell set into the scan as
+    * a partition filter. Off for in-memory indexes, where the join on
+    * `cell` already bounds the work and the extra job is pure overhead.
+    */
+  case class IvfIndex(
+      cents: Array[Array[Double]], assigned: DataFrame, pruneScan: Boolean = false)
 
   def buildIvf(
       emb: DataFrame, cells: Int = 16, iters: Int = 2, persist: Boolean = true): IvfIndex = {
@@ -324,7 +330,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select("cell", "centroid").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
-    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"), pruneScan = true)
   }
 
   /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the
@@ -348,15 +354,20 @@ object Similarity {
     })
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
       explode(probeUdf(col("embedding"))).as("cell"), norm(col("embedding")).as("qnrm"))
-    // Static cell pruning: collect the batch's probed cell set (queries
-    // are small by contract — this is one tiny query-side job) and push
-    // it into the corpus scan as an IN filter. On a parquet-backed index
-    // partitioned by cell (saveIvf) this becomes a PartitionFilter — the
-    // probe reads only its cells' directories; on a cached index it's a
-    // cheap in-memory filter.
-    val probedCells = qs.select("cell").distinct().as[Int](
-      org.apache.spark.sql.Encoders.scalaInt).collect()
-    val corpus = ivf.assigned.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    // Static cell pruning (parquet-backed indexes only): collect the
+    // batch's probed cell set (queries are small by contract — one tiny
+    // query-side job) and push it into the corpus scan as an IN filter,
+    // which the cell-partitioned layout turns into a PartitionFilter —
+    // the probe reads only its cells' directories. In-memory indexes
+    // skip it: the join on `cell` already bounds the work there, and
+    // the extra job would be pure serving-path overhead.
+    val corpus =
+      if (!ivf.pruneScan) ivf.assigned
+      else {
+        val probedCells = qs.select("cell").distinct().as[Int](
+          org.apache.spark.sql.Encoders.scalaInt).collect()
+        ivf.assigned.filter(col("cell").isin(probedCells.map(Int.box): _*))
+      }
     val scored = corpus.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

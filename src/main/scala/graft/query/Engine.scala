@@ -210,7 +210,9 @@ class WikiSearchEngine(
       case None =>
         "FULL SCAN: no index-answerable subtree; the residual predicate evaluates every event"
       case Some(tree) =>
-        val stats = collectLeafStats(tree, needCards(tree))
+        // withScanCards unconditionally: the report should show range/
+        // wildcard cardinalities even when no AND decision needs them
+        val stats = collectLeafStats(tree, withScanCards = true)
         val sb = new StringBuilder("INDEX PATH\n")
         def render(n: PlanNode, indent: String): Unit = n match {
           case EqLeaf(tag, field, forms) =>
@@ -811,14 +813,15 @@ object WikiSearchEngine {
   case class Suffix(s: String) extends RegexShape
   case object Opaque           extends RegexShape
 
-  private val meta = ".+*?[](){}|\\^$".toSet
-
   /** Classify a (normalized) regex literal the way the reference's range
     * calculator does (`RangeCalculator.java:357-420`): `lit.*` → forward
     * prefix, `.*lit` → reverse-index suffix, anything else → opaque.
+    * The literal test is TextFunctions.plainRegexLiteral — the SAME
+    * classifier the residual's jexlMatches specializes on, so the index
+    * access path and the residual can never disagree about a shape.
     */
   def classifyRegex(re: String): RegexShape = {
-    def plain(s: String): Boolean = s.nonEmpty && !s.exists(meta.contains)
+    import graft.functions.TextFunctions.{plainRegexLiteral => plain}
     if (re.endsWith(".*") && plain(re.dropRight(2))) Prefix(re.dropRight(2))
     else if (re.startsWith(".*") && plain(re.drop(2))) Suffix(re.drop(2))
     else Opaque

@@ -226,9 +226,12 @@ class PipelineSpec extends SparkSuite {
     val probed = Similarity.ivfTopKWith(loaded, queries, k = 3, nprobe = 2)
     val fromDisk = probed.collect().map(_.toString).sorted.toSeq
     assert(fromDisk == fromMem)
-    // the probed cell set lands in the parquet scan as a partition filter
+    // the probed cell set lands in the parquet scan as a NON-EMPTY
+    // partition filter (FileSourceScanExec prints 'PartitionFilters: []'
+    // on any partitioned read, so assert on the bracket CONTENTS)
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    val pf = """PartitionFilters: \[([^\]]*)\]""".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(f => f.contains("cell") && f.contains("IN")), s"no cell IN filter in: $pf")
   }
 
   test("LSH buckets put identical vectors together") {
@@ -334,7 +337,8 @@ class PipelineSpec extends SparkSuite {
     val d = Seq(
       (1L, "write to a.b+c@ex-1.org or x@y.co from 10.0.3.7 and 192.168.1.255 done"),
       (2L, "no pii here at all"),
-      (3L, "edge 999.1.2.3 v1.2.3.4.5 a@b")
+      (3L, "edge 999.1.2.3 v1.2.3.4.5 a@b"),
+      (4L, "mail x@1.2.3.44.com now") // IPv4-looking host INSIDE the email
     ).toDF("doc_id", "text")
     val r = Curation.redactPii(d).as[(Long, Int, Int, String)].collect()
       .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
@@ -342,6 +346,9 @@ class PipelineSpec extends SparkSuite {
     assert(r(1L) == ((2, 2, "write to <EMAIL> or <EMAIL> from <IP> and <IP> done")))
     assert(r(2L) == ((0, 0, "no pii here at all")))
     assert(r(3L) == ((0, 2, "edge <IP> v1.<IP> a@b")))
+    // the host was consumed by the email redaction — it must NOT also be
+    // counted as an IP (counts reconcile with the redacted output)
+    assert(r(4L) == ((1, 0, "mail <EMAIL> now")))
   }
 
   test("sequence packing: metamorphic check against a sequential reference over random corpora") {
