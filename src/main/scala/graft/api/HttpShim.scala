@@ -18,6 +18,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    `@Produces` type.
   *  - `GET /content?id=DOCUMENT:partition/lang/docId` → decoded document
   *    text (`ContentLogic`, `query/.../logic/ContentLogic.java:56-107`).
+  *  - `GET /explain?query=…&auths=a,b` → the engine's access-path report
+  *    (plan tree, cardinalities, broadcast/shard decisions) with NO
+  *    execution — beyond the reference, which only logs this.
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -69,6 +72,17 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       case Some(text) => ("text/plain; charset=utf-8", text)
       case None       => throw new NoSuchElementException(s"document not found: $id")
     }
+  })
+
+  server.createContext("/explain", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val q = params.getOrElse("query",
+      throw new IllegalArgumentException("missing required parameter: query"))
+    val auths = params.get("auths").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // All-negation is a client error on this route too, but explain is a
+    // diagnostic — report the rejection as the BODY, like a planner would
+    ("text/plain; charset=utf-8", service.explain(q, auths))
   })
 
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))

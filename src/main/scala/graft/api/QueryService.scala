@@ -101,6 +101,12 @@ class QueryService(engine: WikiSearchEngine) {
   def content(pointer: String): Option[String] =
     engine.content(pointer).collect().headOption.map(_.getAs[String]("DOCUMENT"))
 
+  /** Access-path report for a query (`WikiSearchEngine.explainAccess`)
+    * without executing it — the operational pre-flight check.
+    */
+  def explain(q: String, auths: Seq[String] = Nil): String =
+    engine.explainAccess(q, auths)
+
   private def toDocument(r: Row): Document = {
     val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq
       .flatMap { case (name, vals) => vals.toSeq.map(v => Field(name, v)) }

@@ -98,6 +98,15 @@ class HttpShimSpec extends SparkSuite {
     assert(hdrs.get("X-Query-Millis").exists(_.toLong >= 0))
   }
 
+  test("/explain returns the access-path report without executing") {
+    val (status, ct, body) = get(s"/explain?$q")
+    assert(status == 200 && ct.startsWith("text/plain"))
+    assert(body.contains("INDEX PATH") && body.contains("EQ TEXT"))
+    val neg = "query=" + java.net.URLEncoder.encode("TEXT != 'abacus'", UTF_8)
+    assert(get(s"/explain?$neg")._3.startsWith("REJECTED")) // diagnostic body, not a 4xx
+    assert(get("/explain")._1 == 400) // missing query param
+  }
+
   test("limit caps the result set") {
     val all = "query=" + java.net.URLEncoder.encode(
       "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'", UTF_8)
