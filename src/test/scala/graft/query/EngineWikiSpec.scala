@@ -43,6 +43,12 @@ class EngineWikiSpec extends SparkSuite {
     assert(full.startsWith("FULL SCAN"))
     val rej = engine.explainAccess("TEXT != 'abacus'")
     assert(rej.startsWith("REJECTED"))
+    // scan-leaf cardinalities are collected even when no AND decision
+    // needs them (regression: lone wildcard queries reported card=0)
+    val pre = engine.explainAccess("TITLE =~ 'a.*'")
+    val cardRe = """RANGE/WILDCARD index scan card=(\d+)""".r
+    val card = cardRe.findFirstMatchIn(pre).map(_.group(1).toLong)
+    assert(card.exists(_ > 0), s"expected positive scan card in: $pre")
   }
 
   test("reference E2E #1: OR of four titles returns 4 documents") {
