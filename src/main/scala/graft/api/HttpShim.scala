@@ -43,10 +43,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   server.createContext("/query", (ex: HttpExchange) => safely(ex) {
     val t0     = System.nanoTime()
     val params = queryParams(ex)
-    val q = params.getOrElse("query",
-      throw new IllegalArgumentException("missing required parameter: query"))
-    val auths = params.get("auths").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val (q, auths) = queryAndAuths(params)
     val limit = params.get("limit").map(_.toInt).getOrElse(100)
     val results = service.query(q, auths, limit)
     // per-query serving metrics on the wire (set before safely() sends
@@ -75,11 +72,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   })
 
   server.createContext("/explain", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
-    val q = params.getOrElse("query",
-      throw new IllegalArgumentException("missing required parameter: query"))
-    val auths = params.get("auths").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val (q, auths) = queryAndAuths(queryParams(ex))
     // All-negation is a client error on this route too, but explain is a
     // diagnostic — report the rejection as the BODY, like a planner would
     ("text/plain; charset=utf-8", service.explain(q, auths))
@@ -92,6 +85,17 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- plumbing -----------------------------------------------------------
+
+  /** The required `query` param + parsed `auths` CSV — ONE parser for
+    * every route that takes them, so the routes cannot drift.
+    */
+  private def queryAndAuths(params: Map[String, String]): (String, Seq[String]) = {
+    val q = params.getOrElse("query",
+      throw new IllegalArgumentException("missing required parameter: query"))
+    val auths = params.get("auths").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    (q, auths)
+  }
 
   private def fromAccept(ex: HttpExchange): Option[String] = {
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")

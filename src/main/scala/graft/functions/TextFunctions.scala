@@ -87,6 +87,15 @@ object TextFunctions {
     * HashSet before indexing — `WikipediaMapper.getTokens:226-234`). */
   def distinctTokens(text: Column): Column = array_distinct(tokenize(text))
 
+  /** Non-empty and free of Java-regex metacharacters — the ONE literal
+    * test shared by the index access path (`WikiSearchEngine
+    * .classifyRegex`) and the residual specialization in `jexlMatches`,
+    * so the two can never drift into classifying a shape differently.
+    */
+  private val RegexMeta = ".+*?[](){}|\\^$".toSet
+  def plainRegexLiteral(s: String): Boolean =
+    s.nonEmpty && !s.exists(RegexMeta.contains)
+
   /** Full-string DOTALL regex match — JEXL `=~` semantics
     * (`query/.../jexl/Arithmetic.java:108-128`): Pattern.matches with
     * DOTALL. Spark's `rlike` is find-based, so anchor and set (?s).
@@ -98,21 +107,11 @@ object TextFunctions {
     * evaluates every value of every candidate document on wildcard
     * queries: the hot path of `ws_q5/q6`-shaped queries.
     */
-  /** Non-empty and free of Java-regex metacharacters — the ONE literal
-    * test shared by the index access path (`WikiSearchEngine
-    * .classifyRegex`) and the residual specialization below, so the two
-    * can never drift into classifying a shape differently.
-    */
-  private val RegexMeta = ".+*?[](){}|\\^$".toSet
-  def plainRegexLiteral(s: String): Boolean =
-    s.nonEmpty && !s.exists(RegexMeta.contains)
-
   def jexlMatches(c: Column, regex: String): Column = {
-    def plain(s: String) = plainRegexLiteral(s)
-    if (plain(regex)) c === lit(regex)
-    else if (regex.endsWith(".*") && plain(regex.dropRight(2)))
+    if (plainRegexLiteral(regex)) c === lit(regex)
+    else if (regex.endsWith(".*") && plainRegexLiteral(regex.dropRight(2)))
       c.startsWith(regex.dropRight(2))
-    else if (regex.startsWith(".*") && plain(regex.drop(2)))
+    else if (regex.startsWith(".*") && plainRegexLiteral(regex.drop(2)))
       c.endsWith(regex.drop(2))
     else c.rlike("^(?s:" + regex + ")$")
   }

@@ -66,7 +66,7 @@ object Dedup {
     var round   = 0
     var prevSig = (-1L, 0L)
     var sig     = signature(e)
-    if (sig._1 <= driverThreshold) {
+    if (driverThreshold > 0 && sig._1 <= driverThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -495,15 +495,14 @@ object PipelineQueries {
       "cu_redact",
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(t2, '${Curation.EmailRe}')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(
-         |    regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g'),
-         |    '${Curation.Ipv4Re}')) AS INT) AS n_ips,
-         |  regexp_replace(regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g'),
-         |    '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
-         |FROM (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(ne, '${Curation.Ipv4Re}')) AS INT) AS n_ips,
+         |  regexp_replace(ne, '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM (SELECT doc_id, t2,
+         |        regexp_replace(t2, '${Curation.EmailRe}', '<EMAIL>', 'g') AS ne
+         |      FROM (SELECT doc_id,
          |        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
          |        '@example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t2
-         |      FROM documents) q
+         |      FROM documents) q0) q
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
