@@ -31,10 +31,10 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (platform-hash-based: MinHash/SimHash/LSH/feature stub) → driver
-    * records a weaker rows-only check; their exact counterparts are
-    * oracled.
+    * the same parquet tables. Every op is oracled — the hash-based ones
+    * use deliberately portable integer hashes the SQL re-derives — except
+    * `sim_ivf_topk` (k-means training isn't SQL-expressible): rows-only,
+    * with its machinery pinned by the oracled `sim_ivf_full_probe`.
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
