@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round harness parses the LAST JSON line of `sbt runMain graft.Bench`
+// stdout with a plain json.loads — sbt's default logger decoration turns
+// that line into "[info] {…}", which does not parse (BENCH_r01–r03 all
+// recorded parsed:null for this reason). StdoutOutput passes the forked
+// JVM's stdout through verbatim, so the bench JSON line starts at column 0.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
