@@ -32,9 +32,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every op is oracled — the hash-based ones
-    * use deliberately portable integer hashes the SQL re-derives — except
-    * `sim_ivf_topk` (k-means training isn't SQL-expressible): rows-only,
-    * with its machinery pinned by the oracled `sim_ivf_full_probe`.
+    * use deliberately portable integer hashes the SQL re-derives, and
+    * `sim_ivf_topk` persists its trained centroids per run so the SQL
+    * re-derives serving (assignment, probes, exact rerank) from them.
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -152,9 +152,10 @@ object Curation {
     *
     * The global running sum is NOT a single-partition `Window.orderBy`
     * (which serializes the whole corpus through one task). Distributed
-    * prefix-scan instead: (1) deterministic range buckets from the id
-    * domain — `pid = doc_id·P // (max_id+1)` — so bucketing needs no
-    * sampling pass and is reproducible; (2) per-bucket token sums,
+    * prefix-scan instead: (1) deterministic range buckets from the
+    * [min_id, max_id] domain — monotone in doc_id, exact for the full
+    * signed-64 range incl. hash-derived (negative) ids — so bucketing
+    * needs no sampling pass and is reproducible; (2) per-bucket token sums,
     * collected (P rows — driver state is O(P), never corpus-sized) and
     * prefix-summed; (3) per-bucket cumulative sums under
     * `Window.partitionBy(pid)` — P parallel sorted partitions — plus the
@@ -163,18 +164,41 @@ object Curation {
     */
   def packSequences(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxRow = docs.agg(max("doc_id")).collect()(0)
-    val maxId  = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    // pid = doc_id / width: same deterministic range bucketing as
-    // doc_id·buckets/idDomain but with NO multiply (which would wrap
-    // Long for hash-derived ids ≥ 2⁶³/buckets) and no +1 that could
-    // overflow at Long.MaxValue; width ≥ maxId/buckets ⇒ pid < buckets
-    val width = maxId / buckets + 1
+    val mm    = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val minId = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val maxId = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    // pid must be monotone in doc_id and land in [0, buckets). The id
+    // domain may be hash-derived (full signed-64 range — half of all
+    // hashes are NEGATIVE), so three exact signed cases, never a
+    // `maxId - minId` span (overflows when the domain straddles zero)
+    // and never a multiply (wraps for ids ≥ 2⁶³/buckets):
+    //  - all ids ≥ 0: pid = doc_id div width, width ≥ maxId/buckets
+    //  - all ids < 0: shift by minId (diff of two negatives — exact),
+    //    then the same div
+    //  - mixed: negatives get the lower buckets/2 ids via the shifted
+    //    div ((-1) - minId ≤ Long.Max — exact), non-negatives the rest;
+    //    monotone because every negative pid < negB ≤ every positive pid
+    // offsetSql ∈ [0, span]; b = 1 short-circuits to pid 0 because its
+    // width (span + 1) can overflow Long at span = Long.MaxValue; for
+    // b ≥ 2, span/b + 1 ≤ Long.MaxValue/2 + 1 — always exact
+    def div(offsetSql: String, span: Long, b: Int): String =
+      if (b <= 1) "0L" else s"(($offsetSql) div ${span / b + 1}L)"
+    val pidExpr: String =
+      if (minId >= 0) s"cast(${div("doc_id", maxId, buckets)} as int)"
+      else if (maxId < 0)
+        s"cast(${div(s"doc_id - ${minId}L", maxId - minId, buckets)} as int)"
+      else {
+        val negB = buckets / 2
+        val posB = buckets - negB
+        s"""cast(case when doc_id < 0
+           |  then ${div(s"doc_id - ${minId}L", -1L - minId, negB)}
+           |  else $negB + ${div("doc_id", maxId, posB)} end as int)""".stripMargin
+      }
     val withPid = docs
       .select(col("doc_id"), size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
       // integer `div` keeps bucketing exact for any id domain (long `/`
       // would round through double)
-      .withColumn("pid", expr(s"cast(doc_id div ${width}L as int)"))
+      .withColumn("pid", expr(pidExpr))
     val bucketTotals = withPid.groupBy("pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix = (0 until buckets).scanLeft(0L) { (acc, p) =>

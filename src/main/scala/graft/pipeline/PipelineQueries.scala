@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * Every op carries a DuckDB oracle that re-derives the result from raw
   * data — including the hash-based ones, whose hashes (fnv1a, splitmix64,
   * fmix64, Rademacher planes) are deliberately portable integer math the
-  * oracle reproduces in mod-2⁶⁴ HUGEINT arithmetic. The one exception is
-  * `sim_ivf_topk` (k-means training isn't SQL-expressible): rows-only,
-  * with the IVF machinery pinned by the oracled `sim_ivf_full_probe`.
+  * oracle reproduces in mod-2⁶⁴ HUGEINT arithmetic. Even `sim_ivf_topk`
+  * is hash-checked: k-means TRAINING isn't SQL-expressible, but serving
+  * is — the run persists its trained centroids and the oracle re-derives
+  * assignment, probes, and the exact rerank from them.
   */
 object PipelineQueries {
 
@@ -23,6 +24,18 @@ object PipelineQueries {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Similarity.IvfIndex]
 
+  /** Where the trained IVF centroids are persisted for the oracle: the
+    * k-means TRAINING isn't SQL-expressible (and Spark's `avg` partial
+    * aggregation makes it fp-nondeterministic across runs anyway), but
+    * SERVING is — given the centroid values, nearest-cell assignment,
+    * the probe set, and the exact rerank are pure SQL. So each run
+    * writes its own trained centroids (16 rows × 64 dims — trivial)
+    * where the `sim_ivf_topk` oracle re-reads them. Fixed absolute path
+    * because oracle SQL is static; single-writer by the driver contract
+    * (verify and bench never run concurrently in one sandbox).
+    */
+  private val IvfOracleCentroids = "/root/repo/target/ivf-oracle/centroids"
+
   /** Cache lookup with dead-session eviction: entries whose SparkContext
     * has stopped would otherwise pin the session, its cached `assigned`
     * DataFrame and broadcast centroids for the JVM lifetime.
@@ -32,7 +45,29 @@ object PipelineQueries {
     ivfCache.keySet.foreach { k =>
       if (k._1.sparkContext.isStopped) ivfCache.remove(k)
     }
-    ivfCache.getOrElseUpdate((s, dir), Similarity.buildIvf(Tables.load(s, dir, "embeddings")))
+    ivfCache.getOrElseUpdate((s, dir), {
+      val ivf = Similarity.buildIvf(Tables.load(s, dir, "embeddings"))
+      import s.implicits._
+      ivf.cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(IvfOracleCentroids)
+      ivf
+    })
+  }
+
+  /** Engine-identical cosine in DuckDB: `list_dot_product` over DOUBLE[]
+    * folds left-to-right in double precision — the same IEEE ops in the
+    * same order as the engine's `graft_dot` (sequential `s += a(i)*b(i)`
+    * with float→double promotion, which is exact) — and the norms are
+    * the same `sqrt(dot(x, x))` composition. `list_cosine_similarity`
+    * is NOT used: it computes on the lists' native FLOAT type and with
+    * its own normalization, so a pair within one ulp of a `tau` cutoff
+    * or a 4-dp rounding boundary could flake the hash match.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
   }
 
   /** DuckDB re-derivation of `Similarity.lshPairs` / `lshPairsMulti`:
@@ -69,11 +104,11 @@ object PipelineQueries {
        |          FROM bk x JOIN bk y
        |            ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT c.a, c.b,
-       |  ROUND(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cosine
+       |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 4) AS cosine
        |FROM cand c
        |JOIN embeddings ea ON ea.vec_id = c.a
        |JOIN embeddings eb ON eb.vec_id = c.b
-       |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= $tau
+       |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $tau
        |ORDER BY a, b""".stripMargin
   }
 
@@ -227,12 +262,12 @@ object PipelineQueries {
     // exact all-pairs (scale path swaps in lshPairs as candidate source)
     NamedQuery(
       "dd_embedding_neardup",
-      """SELECT e.vec_id,
-        |  CASE WHEN EXISTS (SELECT 1 FROM embeddings x
-        |        WHERE x.vec_id < e.vec_id
-        |          AND list_cosine_similarity(x.embedding, e.embedding) >= 0.4)
-        |       THEN 'drop' ELSE 'keep' END AS verdict
-        |FROM embeddings e ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      s"""SELECT e.vec_id,
+         |  CASE WHEN EXISTS (SELECT 1 FROM embeddings x
+         |        WHERE x.vec_id < e.vec_id
+         |          AND ${cosSql("x.embedding", "e.embedding")} >= 0.4)
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM embeddings e ORDER BY vec_id""".stripMargin) { (s, dir) =>
       Dedup.embeddingDedupVerdicts(Tables.load(s, dir, "embeddings"), tau = 0.4)
         .orderBy("vec_id")
     },
@@ -240,26 +275,26 @@ object PipelineQueries {
     // ---- similarity search ----------------------------------------------
     NamedQuery(
       "sim_pairs_brute",
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        |  ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       Similarity.bruteForcePairs(Tables.load(s, dir, "embeddings"), tau = 0.4)
         .orderBy("a", "b")
     },
 
     NamedQuery(
       "sim_topk",
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    ROUND(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cosine,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
-        |      AS INTEGER) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 100 = 0) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${cosSql("q.embedding", "c.embedding")}, 4) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 100 = 0) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.topK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy("query_id", "rank")
@@ -281,11 +316,45 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
-    NamedQuery.rowsOnly("sim_ivf_topk") { (s, dir) =>
+    // IVF at nprobe < cells, oracled end-to-end from the run's own
+    // persisted centroids (IvfOracleCentroids): training stays
+    // un-oracled (not SQL-expressible), but given the centroid VALUES,
+    // serving is — `dist` re-derives every vector's squared L2 to every
+    // centroid with the engine's exact fold (sequential (e[i]-c[i])²
+    // accumulation in double), `assign` its nearest cell (strict-< tie
+    // break = first minimum = ORDER BY d, cell), `probe` each query's 4
+    // nearest cells (stable sortBy = same tie break), and the rerank the
+    // exact top-5 cosine among probed cells.
+    NamedQuery(
+      "sim_ivf_topk",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist),
+         | assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cell FROM rk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         | scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM probe p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = a.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       // served from a PREBUILT index (train/assign once per dir, cached) —
       // the at-scale shape where cell assignment is written at ingest;
       // results are identical to the train-per-call ivfTopK (same
-      // deterministic training)
+      // training artifact, which cachedIvf persists for the oracle)
       val emb = Tables.load(s, dir, "embeddings")
       val ivf = cachedIvf(s, dir)
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -293,22 +362,21 @@ object PipelineQueries {
     },
 
     // IVF with nprobe = cells (probe everything): the result must EQUAL
-    // brute-force top-k, which DuckDB can compute — so the IVF machinery
-    // (cell assignment covers every vector, per-cell scoring, global
-    // rank merge) gets a cell-exact oracle even though the k-means
-    // training itself isn't SQL-expressible. The nprobe<cells recall
-    // dial stays exercised (rows-only) in sim_ivf_topk.
+    // brute-force top-k, which DuckDB computes WITHOUT the persisted
+    // centroids — a centroid-independent pin on the IVF machinery (cell
+    // assignment covers every vector, per-cell scoring, global rank
+    // merge) that complements sim_ivf_topk's centroid-derived oracle.
     NamedQuery(
       "sim_ivf_full_probe",
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    ROUND(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cosine,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
-        |      AS INTEGER) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 100 = 0) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${cosSql("q.embedding", "c.embedding")}, 4) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 100 = 0) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val ivf = cachedIvf(s, dir)
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5,

@@ -94,8 +94,16 @@ class LiveIndexMaintainer(
             if (baseV < 0) delta
             else IncrementalIndex.merge(spark.read.parquet(s"$dir/v$baseV"), delta)
           // overwrite is safe here: the target is absent or a partial
-          // crash leftover, which committedVersions hides from readers
-          merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+          // crash leftover, which committedVersions hides from readers.
+          // The _SUCCESS marker is this class's commit protocol, so
+          // force it per-write (write options override the session
+          // hadoopConf): deployments commonly disable the marker
+          // globally for object stores, and without it every committed
+          // snapshot would be invisible to recovery — `latest` never
+          // advances and each batch recomputes from scratch.
+          merged.write.mode("overwrite")
+            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+            .parquet(s"$dir/v$batchId")
           version = math.max(version, batchId) // committed — advance last
         }
       }

@@ -374,6 +374,36 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("sequence packing: hash-derived (negative) doc_ids, incl. full-range extremes") {
+    // Half of all 64-bit hash ids are negative; the bucketing must stay
+    // monotone in SIGNED doc_id order with no overflow even when the
+    // domain spans [Long.MinValue, Long.MaxValue].
+    val rnd = new scala.util.Random(11)
+    for ((buckets, trial) <- Seq(1, 2, 5, 32).zipWithIndex) {
+      val budget = 7 + trial
+      val ids = scala.collection.mutable.SortedSet(
+        Long.MinValue, Long.MinValue + 1, -1L, 0L, Long.MaxValue)
+      while (ids.size < 80) ids += rnd.nextLong()
+      val docs = ids.toSeq.map(i => (i, Seq.fill(rnd.nextInt(9) + 1)("w").mkString(" ")))
+      val counts = docs.map { case (_, t) => t.split(" ").length.toLong }
+      val cum = counts.scanLeft(0L)(_ + _)
+      val expected = docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, counts(i), cum(i) / budget, cum(i) % budget)
+      }.toSet
+      val got = Curation.packSequences(docs.toDF("doc_id", "text"), budget, buckets)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"buckets=$buckets budget=$budget")
+    }
+    // all-negative domain exercises the third signed case on its own
+    val negDocs = Seq(-50L, -49L, -3L, -2L, -1L).map(i => (i, "w w w"))
+    val negGot = Curation.packSequences(negDocs.toDF("doc_id", "text"), budget = 4, buckets = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val negExp = negDocs.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+      (id, 3L, (i * 3L) / 4, (i * 3L) % 4)
+    }.toSet
+    assert(negGot == negExp)
+  }
+
   test("sequence packing equals a single-partition running sum, across bucket boundaries") {
     val d = (0L until 97L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
       .toDF("doc_id", "text")

@@ -150,6 +150,36 @@ class StreamingSpec extends SparkSuite {
     assert(canon(recovered.latest.get) == canon(batchBuilt))
   }
 
+  test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
+    // Object-store deployments commonly set this conf false session-wide;
+    // the maintainer's commit protocol keys on _SUCCESS, so it must force
+    // the marker on its own snapshot writes or recovery goes blind.
+    implicit val sqlCtx = spark.sqlContext
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key   = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val saved = hconf.get(key)
+    hconf.set(key, "false")
+    try {
+      val dir  = java.nio.file.Files.createTempDirectory("graft-live-nosucc").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-live-nosucc-ckpt").toString
+      val input = MemoryStream[(Long, String, String, String, Int)]
+      val docsStream = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      val maintainer = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
+      val q = maintainer.attach(docsStream, ckpt)
+      try {
+        input.addData((1L, "alpha beta", "en", "s1", 10))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(new java.io.File(s"$dir/v0/_SUCCESS").exists(),
+        "snapshot write must force the _SUCCESS marker")
+      val recovered = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
+      assert(recovered.latestVersion == 0L)
+      assert(recovered.latest.get.count() > 0)
+    } finally {
+      if (saved == null) hconf.unset(key) else hconf.set(key, saved)
+    }
+  }
+
   test("incremental index merge preserves lossy UidList semantics") {
     def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
       rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
