@@ -31,6 +31,23 @@ object ProfileServe {
 
     // sequential warm latency distribution + job counts
     val sc = spark.sparkContext
+    if (opts.getOrElse("jobs", "false") == "true") {
+      // attribute the warm per-query jobs: run ONE query, print each
+      // job's description + stage names as the scheduler sees them
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")
+          seen.add(s"job ${j.jobId}: stages=${j.stageInfos.map(_.name).mkString(" | ")} desc=$desc")
+        }
+      }
+      sc.addSparkListener(l)
+      eng.run(workload.head).count()
+      Thread.sleep(500)
+      sc.removeSparkListener(l)
+      seen.forEach(s => println(s"  $s"))
+    }
     val jobs0 = sc.statusTracker.getJobIdsForGroup(null).length
     val lat = workload.map { q =>
       val t0 = System.nanoTime(); eng.run(q).count(); (System.nanoTime() - t0) / 1e6
