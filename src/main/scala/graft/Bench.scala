@@ -86,28 +86,34 @@ object Bench {
     pool.shutdown()
 
     val names = SparkEntry.registry.map(_.name)
-    val results = names.map { name =>
+    // Median of three runs per query, but INTERLEAVED: three full passes
+    // over the registry, median taken ACROSS passes. Back-to-back runs
+    // share any sustained host-contention window (seconds long on this
+    // host), which is how three consecutive registry entries once
+    // recorded 10-30× their history despite per-query medians — all
+    // three runs of each unlucky query sat inside the same window.
+    // Interleaving puts ~20 s of other work between a query's runs, so
+    // a window taints at most one pass per query and the cross-pass
+    // median votes it out. Same total work as the back-to-back scheme;
+    // first-touch costs (codegen compile, parquet footers) land in pass
+    // 1 and are voted out the same way, matching the reference's
+    // warm-time baseline.
+    // Each run is guarded separately: a transient failure must not
+    // discard the other valid measurements. -1 marks a fully-failed
+    // query — never reported as a result.
+    def guarded(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
-      // median of three runs: this host shows 2-3× run-to-run variance
-      // (noisy neighbors, GC/JIT), so a single run is unreliable and a
-      // min biases optimistic — the median is the robust center that
-      // keeps cross-round comparisons meaningful. First-touch costs
-      // (codegen compile, parquet footers) land in run 1 and are voted
-      // out by the median, matching the reference's warm-time baseline.
-      // Each run is guarded separately: a transient failure must not
-      // discard the other valid measurements.
-      // -1 marks a fully-failed query — never reported as a result
-      def guarded(): Option[Double] =
-        try Some(once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
-        }
-      val runs = Seq.fill(3)(guarded()).flatten.sorted
+    }
+    val passes = Seq.fill(3)(names.map(n => n -> guarded(n)).toMap)
+    val results = names.map { name =>
+      val runs = passes.flatMap(_(name)).sorted
       // UPPER median (size/2): with one failed run the lower median
       // would degenerate to the min of the two survivors — exactly the
       // optimistic bias the median exists to avoid
