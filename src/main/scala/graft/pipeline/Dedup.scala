@@ -247,8 +247,20 @@ object Dedup {
     val sh = shingleHashes(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
+    // One plan-time probe when the cap is enabled: a map-side-combined
+    // aggregate over the (cached) shingle table answering "does any hot
+    // shingle exist?". When none does — the common case on non-
+    // boilerplate corpora — the whole hot/cold machinery below (anti +
+    // semi split, per-doc hot sets, violator self-join, two correction
+    // joins) would run against provably-empty relations; skipping it
+    // here halves the operator's plan. The probe's cost is the first
+    // materialization of `sh`, which every downstream path needs anyway.
+    val anyHot = dfCap > 0 &&
+      !sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).isEmpty
+
     val (joinSide, extraPairs, hotCorrection) =
-      if (dfCap <= 0)
+      if (dfCap <= 0 || !anyHot)
         (sh, None: Option[DataFrame], (df: DataFrame) => df)
       else {
         val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))

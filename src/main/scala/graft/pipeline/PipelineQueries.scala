@@ -439,6 +439,39 @@ object PipelineQueries {
       TextAnalysis.tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Gopher-family repetition signals: the Spark side counts n-grams
+    // per doc inside one UDF pass (narrow, no shuffle); the oracle
+    // re-derives every count via unnest + GROUP BY. Integer per-mille
+    // arithmetic on both sides — `//` (floor) matches Long division on
+    // the non-negative operands.
+    NamedQuery(
+      "ta_repetition",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | tokc AS (SELECT doc_id, max(c) AS max_tok FROM (
+         |   SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2) GROUP BY 1),
+         | bgc AS (SELECT doc_id, max(c) AS max_bg FROM (
+         |   SELECT doc_id, g, count(*) AS c FROM (
+         |     SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |       CASE WHEN i + 1 <= len(tk) THEN x || ' ' || tk[i+1] END)) AS g FROM t)
+         |   WHERE g IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+         | tgc AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg FROM (
+         |     SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |       CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS g FROM t)
+         |   WHERE g IS NOT NULL GROUP BY 1),
+         | r AS (SELECT t.doc_id,
+         |   CAST(len(tk) AS BIGINT) AS n_tokens,
+         |   CAST(coalesce(max_tok, 0) * 1000 // greatest(len(tk), 1) AS BIGINT) AS top_token_permille,
+         |   CAST(coalesce(max_bg, 0) * 1000 // greatest(len(tk) - 1, 1) AS BIGINT) AS top_bigram_permille,
+         |   CAST(coalesce(n_tg - d_tg, 0) * 1000 // greatest(len(tk) - 2, 1) AS BIGINT) AS dup_trigram_permille
+         |   FROM t LEFT JOIN tokc USING (doc_id) LEFT JOIN bgc USING (doc_id) LEFT JOIN tgc USING (doc_id))
+         |SELECT doc_id, n_tokens, top_token_permille, top_bigram_permille, dup_trigram_permille,
+         |  CASE WHEN top_token_permille >= 140 OR top_bigram_permille >= 80
+         |         OR dup_trigram_permille >= 40
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetition(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     NamedQuery(
       "ta_fingerprint",
       s"""SELECT doc_id,

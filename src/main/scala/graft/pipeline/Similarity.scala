@@ -197,22 +197,48 @@ object Similarity {
     if (h < 0) 1.0 else -1.0 // top bit of the unsigned hash
   }
 
+  /** Compiled per-table bucket computation: for each of `tables` tables,
+    * `bits` sign bits of dots with fixed pseudo-random ±1 hyperplanes
+    * (`planeWeight`, planes `planeOffset + t*bits + p`), packed MSB-first
+    * into a Long. One JIT'd UDF pass — the equivalent nested
+    * `transform`/`aggregate`/`zip_with` HOF expression evaluates
+    * interpreted per element, which at tables×bits×dim multiply-adds per
+    * vector dominates a corpus-wide signature pass. Arithmetic is
+    * bit-identical to the HOF form (sequential double fold over
+    * dimensions, same order), so the SQL oracles verify it unchanged.
+    */
+  private def bucketsUdf(dim: Int, bits: Int, tables: Int, planeOffset: Int) = {
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
+      Array.tabulate(bits)(p => Array.tabulate(dim)(d => planeWeight(planeOffset + t * bits + p, d)))
+    }
+    udf { v: Seq[Float] =>
+      val arr = v.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var p = 0
+        while (p < bits) {
+          val pl = planes(t)(p)
+          var s = 0.0
+          var d = 0
+          val n = math.min(arr.length, pl.length)
+          while (d < n) { s += arr(d).toDouble * pl(d); d += 1 }
+          bucket = bucket * 2 + (if (s >= 0) 1L else 0L)
+          p += 1
+        }
+        bucket
+      }
+    }
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dots with fixed
     * pseudo-random ±1 hyperplanes (`planeWeight`, planes `planeOffset`
     * until `planeOffset + bits`). Vectors sharing a signature bucket are
     * near-duplicate candidates. This is the 100 TB path: one narrow
     * shuffle on the bucket key, quadratic work only within buckets.
     */
-  def lshBuckets(emb: DataFrame, dim: Int, bits: Int, planeOffset: Int = 0): DataFrame = {
-    val planes: Array[Array[Double]] =
-      Array.tabulate(bits)(p => Array.tabulate(dim)(d => planeWeight(planeOffset + p, d)))
-    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
-    val sigBits = transform(planesCol, p =>
-      when(aggregate(zip_with(col("embedding"), p, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+  def lshBuckets(emb: DataFrame, dim: Int, bits: Int, planeOffset: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      aggregate(sigBits, lit(0L), (acc, b) => acc * 2 + b).as("bucket"))
-  }
+      bucketsUdf(dim, bits, tables = 1, planeOffset)(col("embedding")).getItem(0).as("bucket"))
 
   /** LSH-accelerated near-neighbor pairs: bucket-join candidates, exact
     * cosine rerank, threshold. Approximate (recall < 1) by construction.
@@ -247,23 +273,16 @@ object Similarity {
       emb: DataFrame, dim: Int, tau: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding"))
-    // ALL tables' buckets in ONE projection pass: a (tables × bits × dim)
-    // plane literal, signature per table via nested fold, posexplode to
-    // (vec_id, table, bucket). One scan instead of `tables` scans — and
-    // no cache to leak (the self-join's identical shuffle is reused by
-    // Spark's ReusedExchange, so the projection still runs once).
-    // Per-table planes are IDENTICAL to lshBuckets(planeOffset = t·bits),
-    // so table 0 reproduces the single-table query exactly.
-    val planesAll: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
-      Seq.tabulate(bits)(p => Seq.tabulate(dim)(d => planeWeight(t * bits + p, d)))
-    }
-    val bucketPerTable = transform(typedLit(planesAll), tp =>
-      aggregate(
-        transform(tp, p =>
-          when(aggregate(zip_with(col("embedding"), p, (x, w) => x.cast("double") * w),
-            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc * 2 + b))
-    val b = e.select(col("vec_id"), posexplode(bucketPerTable).as(Seq("table", "bucket")))
+    // ALL tables' buckets in ONE compiled projection pass (`bucketsUdf`),
+    // posexplode to (vec_id, table, bucket). One scan instead of `tables`
+    // scans — and no cache to leak (the self-join's identical shuffle is
+    // reused by Spark's ReusedExchange, so the projection still runs
+    // once). Per-table planes are IDENTICAL to
+    // lshBuckets(planeOffset = t·bits), so table 0 reproduces the
+    // single-table query exactly.
+    val b = e.select(col("vec_id"),
+      posexplode(bucketsUdf(dim, bits, tables, planeOffset = 0)(col("embedding")))
+        .as(Seq("table", "bucket")))
     val candidates = b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -99,4 +99,61 @@ object TextAnalysis {
       col("doc_id"),
       (aggregate(terms, lit(0L), (acc, v) => acc + v) % 1000000007L).as("fingerprint"))
   }
+
+  /** Repetition signals (the Gopher-rule family, Rae et al. 2021 §A1.1):
+    * most-frequent-token share, most-frequent-bigram share, and the
+    * duplicated-trigram share, each as an integer per-mille, plus a
+    * keep/drop verdict. The published rules also include duplicate LINE
+    * fractions; this corpus is single-line, so the n-gram family carries
+    * the signal, with thresholds calibrated to cut this corpus's worst
+    * decile (the published web-corpus thresholds barely fire on a
+    * shared-vocabulary synthetic corpus).
+    *
+    * One compiled UDF pass per document (per-doc hash counting) — a
+    * groupBy-per-n-gram formulation would shuffle the corpus once per n;
+    * this stays a narrow projection, the right 100 TB shape for a
+    * scoring pass. Integer arithmetic only, so the oracle re-derives it
+    * exactly.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val rep = udf { text: String =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      def permille(num: Long, den: Long): Long = if (den <= 0) 0L else num * 1000 / den
+      val tokCounts = new scala.collection.mutable.HashMap[String, Long]
+      tk.foreach(t => tokCounts.update(t, tokCounts.getOrElse(t, 0L) + 1))
+      val topTok = permille(if (tokCounts.isEmpty) 0L else tokCounts.values.max, tk.length.toLong)
+      val nBg = math.max(tk.length - 1, 0)
+      val bgCounts = new scala.collection.mutable.HashMap[String, Long]
+      var i = 0
+      while (i < nBg) {
+        val g = tk(i) + " " + tk(i + 1)
+        bgCounts.update(g, bgCounts.getOrElse(g, 0L) + 1)
+        i += 1
+      }
+      val topBg = permille(if (bgCounts.isEmpty) 0L else bgCounts.values.max, nBg.toLong)
+      val nTg = math.max(tk.length - 2, 0)
+      val tgSeen = new scala.collection.mutable.HashSet[String]
+      var dupTg = 0L
+      i = 0
+      while (i < nTg) {
+        val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
+        if (!tgSeen.add(g)) dupTg += 1
+        i += 1
+      }
+      (tk.length.toLong, topTok, topBg, permille(dupTg, nTg.toLong))
+    }
+    docs
+      .select(col("doc_id"), rep(col("text")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r._1").as("n_tokens"),
+        col("r._2").as("top_token_permille"),
+        col("r._3").as("top_bigram_permille"),
+        col("r._4").as("dup_trigram_permille"))
+      .withColumn("verdict",
+        when(col("top_token_permille") >= 140 ||
+             col("top_bigram_permille") >= 80 ||
+             col("dup_trigram_permille") >= 40, lit("drop"))
+          .otherwise(lit("keep")))
+  }
 }

@@ -284,6 +284,34 @@ class PipelineSpec extends SparkSuite {
     assert(st.getAs[Int]("max_token_len") == 5)
   }
 
+  test("repetition signals: hand-computed n-gram shares and degenerate lengths") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), // 1 distinct token, 1 distinct bigram, 1 distinct trigram
+      (2L, "a b c d e"),           // no repetition at all
+      (3L, "x y x y x y"),         // alternation: bigrams repeat, trigrams repeat
+      (4L, "solo"),                // 1 token: no bigrams/trigrams
+      (5L, "")                     // empty: no tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("top_token_permille") == 1000)
+    assert(r(1L).getAs[Long]("top_bigram_permille") == 1000)
+    assert(r(1L).getAs[Long]("dup_trigram_permille") == 500) // 2 trigrams, 1 duplicate
+    assert(r(1L).getAs[String]("verdict") == "drop")
+    assert(r(2L).getAs[Long]("top_token_permille") == 200) // 1 of 5
+    assert(r(2L).getAs[Long]("dup_trigram_permille") == 0)
+    assert(r(2L).getAs[String]("verdict") == "drop") // 200 >= 140: tiny docs are all "top token"
+    // x y x y x y: tokens 3/6, bigrams: "x y"×3 "y x"×2 → top 3/5,
+    // trigrams: "x y x"×2 "y x y"×2 → 2 duplicates of 4
+    assert(r(3L).getAs[Long]("top_token_permille") == 500)
+    assert(r(3L).getAs[Long]("top_bigram_permille") == 600)
+    assert(r(3L).getAs[Long]("dup_trigram_permille") == 500)
+    assert(r(4L).getAs[Long]("n_tokens") == 1)
+    assert(r(4L).getAs[Long]("top_bigram_permille") == 0)
+    assert(r(5L).getAs[Long]("n_tokens") == 0)
+    assert(r(5L).getAs[Long]("top_token_permille") == 0)
+  }
+
   // ---- curation ----------------------------------------------------------
 
   test("split assignment is deterministic and independent of sampling") {
