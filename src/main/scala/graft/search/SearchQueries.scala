@@ -35,9 +35,22 @@ object SearchQueries {
       IndexBuilder
         .fromDocumentsTable(s, Tables.load(s, dir, "documents"), NumPartitions)
         .save(saveDir)
-      val ix = WikiIndex.load(s, saveDir)
+      // Serving runs on its OWN session (same SparkContext, storage and
+      // function registry mechanics; separate SQL conf) with AQE off:
+      // every engine plan is a fixed small broadcast-semi-join DAG whose
+      // shape AQE cannot improve at any corpus size (the broadcast side
+      // is the candidate set, bounded by the UidList contract), while
+      // AQE's query-stage materialization costs one scheduler
+      // round-trip per stage on the latency path (measured warm: 4 → 3
+      // jobs/query; 8-client concurrent medians 16-22 → 27-42 qps on
+      // the bench workload). The index BUILD above and all batch
+      // analytics stay on the caller's session, where AQE's skew-join
+      // and partition coalescing do matter.
+      val serving = s.newSession()
+      serving.conf.set("spark.sql.adaptive.enabled", "false")
+      val ix = WikiIndex.load(serving, saveDir)
       ix.metadata.cache() // broadcast-size catalog only
-      (ix, new WikiSearchEngine(s, ix))
+      (ix, new WikiSearchEngine(serving, ix))
     })._2
 
   def index(s: SparkSession, dir: String): WikiIndex = {

@@ -351,6 +351,57 @@ class PipelineSpec extends SparkSuite {
     assert(c(2L) == ((0L, "clean")))
   }
 
+  test("capped jaccard equals uncapped on random corpora, both cap regimes") {
+    // Metamorphic pin on BOTH dfCap regimes: a cap high enough that no
+    // shingle is hot (plan-time probe short-circuits to the plain join)
+    // and a cap low enough that many are (hot/cold split + violator
+    // recovery engage). The documented contract is cell-exact equality
+    // with the uncapped run, unconditionally.
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val vocab = Seq("ka", "ko", "ki", "ku", "ke")
+      val corpus = (1L to 30L).map { id =>
+        val len = 6 + rnd.nextInt(8)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def run(cap: Int) = Dedup.jaccardPairs(corpus, n = 2, tau = 0.05, dfCap = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      val uncapped = run(0)
+      assert(uncapped.nonEmpty, s"trial $trial produced no pairs — fixture too sparse")
+      assert(run(10000) == uncapped, s"trial $trial: short-circuit cap diverged")
+      assert(run(3) == uncapped, s"trial $trial: hot-path cap diverged")
+    }
+  }
+
+  test("compiled LSH buckets match the HOF expression formulation bit-exactly") {
+    // The bucket UDF replaced a nested transform/aggregate/zip_with
+    // expression for speed; the arithmetic (sequential double fold over
+    // dimensions, MSB-first bit pack) must stay bit-identical or the
+    // SQL oracles drift. Re-state the old HOF form here and compare.
+    val rnd = new scala.util.Random(31)
+    val dim = 16; val bits = 8; val tables = 4
+    val emb = (1L to 64L)
+      .map(id => (id, Array.fill(dim)((rnd.nextGaussian() * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val planesAll: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      Seq.tabulate(bits)(p => Seq.tabulate(dim)(d => Similarity.planeWeight(t * bits + p, d)))
+    }
+    val bucketPerTable = transform(typedLit(planesAll), tp =>
+      aggregate(
+        transform(tp, p =>
+          when(aggregate(zip_with(col("embedding"), p, (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b))
+    val viaHof = emb.select(col("vec_id"), posexplode(bucketPerTable).as(Seq("table", "bucket")))
+      .as[(Long, Int, Long)].collect().toSet
+    val viaUdf = (0 until tables).flatMap { t =>
+      Similarity.lshBuckets(emb, dim, bits, planeOffset = t * bits)
+        .select(col("vec_id"), lit(t).as("table"), col("bucket"))
+        .as[(Long, Int, Long)].collect()
+    }.toSet
+    assert(viaUdf == viaHof)
+  }
+
   test("mixture weights: integer token shares per source") {
     val d = Seq(
       (1L, "a b c d", "s1"), (2L, "e f", "s1"), (3L, "g h", "s2")
