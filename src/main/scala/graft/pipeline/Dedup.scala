@@ -254,17 +254,20 @@ object Dedup {
     // semi split, per-doc hot sets, violator self-join, two correction
     // joins) would run against provably-empty relations; skipping it
     // here halves the operator's plan. The probe's cost is the first
-    // materialization of `sh`, which every downstream path needs anyway.
-    val anyHot = dfCap > 0 &&
-      !sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).isEmpty
+    // materialization of `sh`, which every downstream path needs
+    // anyway; the filtered hot list itself is cached so the skewed
+    // branch reuses the probe's aggregation instead of re-running it.
+    // NOTE: this makes a dfCap > 0 call EAGER — constructing the
+    // returned DataFrame runs the shingling + probe jobs (the same
+    // plan-time-job pattern as the search engine's index lookups).
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh").cache()
+    val anyHot = dfCap > 0 && !hot.isEmpty
 
     val (joinSide, extraPairs, hotCorrection) =
       if (dfCap <= 0 || !anyHot)
         (sh, None: Option[DataFrame], (df: DataFrame) => df)
       else {
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select("sh")
         val cold    = sh.join(broadcast(hot), Seq("sh"), "left_anti")
         val hotRows = sh.join(broadcast(hot), Seq("sh"), "left_semi")
         // per-doc hot-shingle sets: ≤ |hot| elements each, usually ~0

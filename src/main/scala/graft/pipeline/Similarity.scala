@@ -203,29 +203,39 @@ object Similarity {
     * into a Long. One JIT'd UDF pass — the equivalent nested
     * `transform`/`aggregate`/`zip_with` HOF expression evaluates
     * interpreted per element, which at tables×bits×dim multiply-adds per
-    * vector dominates a corpus-wide signature pass. Arithmetic is
-    * bit-identical to the HOF form (sequential double fold over
-    * dimensions, same order), so the SQL oracles verify it unchanged.
+    * vector dominates a corpus-wide signature pass. For non-null
+    * vectors of the declared dim the arithmetic is bit-identical to the
+    * HOF form (sequential double fold over dimensions, same order) —
+    * pinned by a PipelineSpec metamorphic test — so the SQL oracles
+    * verify it unchanged.
     */
   private def bucketsUdf(dim: Int, bits: Int, tables: Int, planeOffset: Int) = {
     val planes: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
       Array.tabulate(bits)(p => Array.tabulate(dim)(d => planeWeight(planeOffset + t * bits + p, d)))
     }
+    // null embedding → null buckets: the row then joins no bucket and
+    // emits nothing — the same END result as the HOF form (which put
+    // null vectors in bucket 0, where the exact rerank's null cosine
+    // filtered them out), without a task-killing NPE. Short/long
+    // vectors fold over min(len, dim), like graft_dot and nearestCell.
     udf { v: Seq[Float] =>
-      val arr = v.toArray
-      Array.tabulate(tables) { t =>
-        var bucket = 0L
-        var p = 0
-        while (p < bits) {
-          val pl = planes(t)(p)
-          var s = 0.0
-          var d = 0
-          val n = math.min(arr.length, pl.length)
-          while (d < n) { s += arr(d).toDouble * pl(d); d += 1 }
-          bucket = bucket * 2 + (if (s >= 0) 1L else 0L)
-          p += 1
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        Array.tabulate(tables) { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < bits) {
+            val pl = planes(t)(p)
+            var s = 0.0
+            var d = 0
+            val n = math.min(arr.length, pl.length)
+            while (d < n) { s += arr(d).toDouble * pl(d); d += 1 }
+            bucket = bucket * 2 + (if (s >= 0) 1L else 0L)
+            p += 1
+          }
+          bucket
         }
-        bucket
       }
     }
   }

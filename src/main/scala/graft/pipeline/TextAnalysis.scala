@@ -117,30 +117,8 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame): DataFrame = {
     val rep = udf { text: String =>
-      val tk = text.split(" ").filter(_.nonEmpty)
-      def permille(num: Long, den: Long): Long = if (den <= 0) 0L else num * 1000 / den
-      val tokCounts = new scala.collection.mutable.HashMap[String, Long]
-      tk.foreach(t => tokCounts.update(t, tokCounts.getOrElse(t, 0L) + 1))
-      val topTok = permille(if (tokCounts.isEmpty) 0L else tokCounts.values.max, tk.length.toLong)
-      val nBg = math.max(tk.length - 1, 0)
-      val bgCounts = new scala.collection.mutable.HashMap[String, Long]
-      var i = 0
-      while (i < nBg) {
-        val g = tk(i) + " " + tk(i + 1)
-        bgCounts.update(g, bgCounts.getOrElse(g, 0L) + 1)
-        i += 1
-      }
-      val topBg = permille(if (bgCounts.isEmpty) 0L else bgCounts.values.max, nBg.toLong)
-      val nTg = math.max(tk.length - 2, 0)
-      val tgSeen = new scala.collection.mutable.HashSet[String]
-      var dupTg = 0L
-      i = 0
-      while (i < nTg) {
-        val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
-        if (!tgSeen.add(g)) dupTg += 1
-        i += 1
-      }
-      (tk.length.toLong, topTok, topBg, permille(dupTg, nTg.toLong))
+      if (text == null) null // null-propagate like the module's Column-based siblings
+      else repSignals(text)
     }
     docs
       .select(col("doc_id"), rep(col("text")).as("r"))
@@ -155,5 +133,32 @@ object TextAnalysis {
              col("top_bigram_permille") >= 80 ||
              col("dup_trigram_permille") >= 40, lit("drop"))
           .otherwise(lit("keep")))
+  }
+
+  private def repSignals(text: String): (Long, Long, Long, Long) = {
+    val tk = text.split(" ").filter(_.nonEmpty)
+    def permille(num: Long, den: Long): Long = if (den <= 0) 0L else num * 1000 / den
+    val tokCounts = new scala.collection.mutable.HashMap[String, Long]
+    tk.foreach(t => tokCounts.update(t, tokCounts.getOrElse(t, 0L) + 1))
+    val topTok = permille(if (tokCounts.isEmpty) 0L else tokCounts.values.max, tk.length.toLong)
+    val nBg = math.max(tk.length - 1, 0)
+    val bgCounts = new scala.collection.mutable.HashMap[String, Long]
+    var i = 0
+    while (i < nBg) {
+      val g = tk(i) + " " + tk(i + 1)
+      bgCounts.update(g, bgCounts.getOrElse(g, 0L) + 1)
+      i += 1
+    }
+    val topBg = permille(if (bgCounts.isEmpty) 0L else bgCounts.values.max, nBg.toLong)
+    val nTg = math.max(tk.length - 2, 0)
+    val tgSeen = new scala.collection.mutable.HashSet[String]
+    var dupTg = 0L
+    i = 0
+    while (i < nTg) {
+      val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
+      if (!tgSeen.add(g)) dupTg += 1
+      i += 1
+    }
+    (tk.length.toLong, topTok, topBg, permille(dupTg, nTg.toLong))
   }
 }

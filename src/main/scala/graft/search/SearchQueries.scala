@@ -28,10 +28,14 @@ object SearchQueries {
   // at 100 TB, not a cache artifact.
   private val cache = TrieMap.empty[String, (WikiIndex, WikiSearchEngine)]
 
+  private def saveDirFor(dir: String): String = {
+    val sfName = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_index/$sfName"
+  }
+
   def engine(s: SparkSession, dir: String): WikiSearchEngine =
     cache.getOrElseUpdate(dir, {
-      val sfName  = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val saveDir = s"${sys.props("java.io.tmpdir")}/graft_index/$sfName"
+      val saveDir = saveDirFor(dir)
       IndexBuilder
         .fromDocumentsTable(s, Tables.load(s, dir, "documents"), NumPartitions)
         .save(saveDir)
@@ -52,6 +56,17 @@ object SearchQueries {
       ix.metadata.cache() // broadcast-size catalog only
       (ix, new WikiSearchEngine(serving, ix))
     })._2
+
+  /** An engine bound to the CALLER's session and ITS conf — no AQE
+    * override, no session clone. For profiling tools that A/B serving
+    * configs (`ProfileServe`): `engine` above pins the production
+    * serving conf, which would silently defeat the tool's knobs. Reuses
+    * the persisted index build; the returned engine is NOT cached.
+    */
+  def engineOn(s: SparkSession, dir: String): WikiSearchEngine = {
+    engine(s, dir) // ensure the index is built and persisted
+    new WikiSearchEngine(s, WikiIndex.load(s, saveDirFor(dir)))
+  }
 
   def index(s: SparkSession, dir: String): WikiIndex = {
     engine(s, dir); cache(dir)._1

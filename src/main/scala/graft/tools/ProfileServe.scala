@@ -5,14 +5,17 @@ import graft.Sessions
 /** Serving-path profiler (not part of the driver surface): replays the
   * Bench concurrent workload under config variations to attribute warm
   * per-query latency (driver planning/codegen vs executor work) before
-  * touching the engine. Usage:
-  *   graft.tools.ProfileServe <sfDir> [aqe=true] [fair=false] [shuf=32]
+  * touching the engine. Uses `SearchQueries.engineOn` so the knobs
+  * actually reach the engine's session — the production `engine` path
+  * pins its own serving conf (AQE off) and would ignore them. Defaults
+  * mirror the production serving conf. Usage:
+  *   graft.tools.ProfileServe <sfDir> [aqe=false] [fair=false] [shuf=32]
   */
 object ProfileServe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val opts  = args.drop(1).map(_.split("=")).collect { case Array(k, v) => k -> v }.toMap
-    val aqe   = opts.getOrElse("aqe", "true")
+    val aqe   = opts.getOrElse("aqe", "false")
     val fair  = opts.getOrElse("fair", "false") == "true"
     val shuf  = opts.getOrElse("shuf", "32")
     val b = Sessions.builder()
@@ -22,7 +25,7 @@ object ProfileServe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val ix  = graft.search.SearchQueries.index(spark, sfDir)
-    val eng = graft.search.SearchQueries.engine(spark, sfDir)
+    val eng = graft.search.SearchQueries.engineOn(spark, sfDir)
     val n   = 40
     val workload = graft.Bench.concurrentWorkload(ix, n) // the benchmarked workload, verbatim
 

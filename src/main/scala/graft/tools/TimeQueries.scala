@@ -14,10 +14,10 @@ object TimeQueries {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(Seq("dd_ngram_jaccard", "dd_cluster"))
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = Sessions.builder()
-      .config("spark.sql.shuffle.partitions", "32")
-      .getOrCreate()
+    val reps = args.lift(2).map(_.stripPrefix("reps=").toInt).getOrElse(3)
+    // session defaults only (shuffle partitions track SPARK_GRAFT_CPUS),
+    // so timings here are comparable to graft.Bench on the same host
+    val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fns = names.map(n => n -> graft.SparkEntry.queries(n)).toMap
     // one untimed warm pass (codegen + parquet footers), then interleaved reps
