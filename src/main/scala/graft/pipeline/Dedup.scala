@@ -488,10 +488,13 @@ object Dedup {
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      // Hamming filter BEFORE the dedup: `dist` is deterministic per
+      // pair, so filtering first is result-identical and the distinct
+      // aggregates only the matches instead of every candidate
+      // collision (a chunk shared by d docs contributes d² candidate
+      // rows — the dominant intermediate at corpus scale).
       .filter(col("dist") <= maxDist)
-      .select("a", "b", "dist")
+      .distinct()
   }
 }
