@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("text scoring ops run unchanged under Structured Streaming and match the batch result") {
+    // The TextAnalysis scorers are narrow stateless projections, so the
+    // same code path must compose with readStream (score-on-ingest at
+    // scale) — append mode, no watermark, no state store.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "x y x y x y"))
+    val input = MemoryStream[(Long, String)]
+    val docs  = input.toDF().toDF("doc_id", "text")
+    val q = TextAnalysis.repetition(docs)
+      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("verdict").as("q_verdict")), "doc_id")
+      .writeStream.format("memory").queryName("scored_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scored_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top_bigram_permille"),
+          r.getAs[String]("verdict"), r.getAs[String]("q_verdict"))).toSet
+      val batchDocs = rows.toDF("doc_id", "text")
+      val batch = TextAnalysis.repetition(batchDocs)
+        .join(TextAnalysis.quality(batchDocs).select(col("doc_id"), col("verdict").as("q_verdict")), "doc_id")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top_bigram_permille"),
+          r.getAs[String]("verdict"), r.getAs[String]("q_verdict"))).toSet
+      assert(streamed == batch && streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("foreachBatch maintains the global index incrementally across micro-batches") {
     import graft.ingest.IndexBuilder
     import org.apache.spark.sql.DataFrame
