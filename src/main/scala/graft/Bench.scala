@@ -125,12 +125,15 @@ object Bench {
     // chars) follows us. The JSON line must therefore stay well under
     // that budget or its head gets truncated and the whole report is
     // unparseable (this happened when values carried full double
-    // precision). Millisecond resolution is plenty for 0.1-10 s
-    // queries, and printing after spark.stop() guarantees no shutdown
-    // logging lands between the JSON and end-of-output.
+    // precision). Per-query values print at 10 ms resolution — plenty
+    // for 0.1-10 s queries, and the registry at 72 entries overflowed
+    // the budget at 1 ms — totals keep 3 decimals. Printing after
+    // spark.stop() guarantees no shutdown logging lands between the
+    // JSON and end-of-output.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = (results :+ ("index_build" -> indexBuild))
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f3(concWall)},"qps":${f3(nQueries / concWall)},"qps_best":${f3(nQueries / concWallBest)},"results":${resultsCnt.head.sum}}}"""

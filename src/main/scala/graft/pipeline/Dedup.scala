@@ -318,6 +318,64 @@ object Dedup {
       .select(col("a"), col("b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
+  /** Cross-document repeated-span detection — the span-level signal of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): for each document, the share
+    * of its n-token windows that also occur verbatim in ANOTHER
+    * document. Doc-level dedup (exact/Jaccard/MinHash) misses partially
+    * copied text; this measures it. Windows are per-POSITION (not
+    * deduped), hashed inside one UDF pass; repetition confined to a
+    * single doc does not count (that is `TextAnalysis.repetition`).
+    *
+    * Shuffle budget: window df aggregation keyed by hash (map-side
+    * combined), one keyed join flagging duplicated windows, one per-doc
+    * aggregation — all bounded by corpus token count, never pairwise.
+    * Output: (doc_id, n_windows, dup_window_permille, verdict) for
+    * EVERY doc ("trim" at `trimAt` per-mille — the span-dedup action is
+    * trimming the copied spans, not dropping the doc).
+    */
+  def crossDocSpans(docs: DataFrame, n: Int = 5, trimAt: Int = 200): DataFrame = {
+    val winUdf = udf { text: String =>
+      if (text == null) null
+      else {
+        val tk = text.split(" ").filter(_.nonEmpty)
+        if (tk.length < n) Array.empty[Long]
+        else {
+          val out = new Array[Long](tk.length - n + 1)
+          val sb  = new StringBuilder
+          var i = 0
+          while (i <= tk.length - n) {
+            sb.setLength(0)
+            sb.append(tk(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
+            out(i) = fnv1a(sb.toString, 0L)
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    val w = docs.select(col("doc_id"), explode(winUdf(col("text"))).as("h"))
+    val dupSet = w.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1).as("dup"))
+    val per = w.join(dupSet, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("dup")).as("dup_windows"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        // integer `div`, not `/`: double division can round an
+        // almost-integer ratio the other way than the oracle's floor
+        coalesce(expr("(dup_windows * 1000) div n_windows"), lit(0L))
+          .as("dup_window_permille"))
+      .withColumn("verdict",
+        when(col("dup_window_permille") >= trimAt, lit("trim")).otherwise(lit("keep")))
+  }
+
   /** Embedding-cosine near-dup verdicts: a vector is a duplicate iff some
     * EARLIER vector (smaller id) is cosine-similar above tau — the
     * standard keep-first dedup rule. Pairs come from the blocked

@@ -258,6 +258,33 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // Cross-document repeated-span share (exact-substring-dedup signal):
+    // per-position 5-gram windows, duplicated iff the window occurs in
+    // >= 2 DISTINCT docs. The oracle re-derives windows as strings via
+    // parallel unnest (DuckDB zips the two unnests positionally);
+    // the engine joins on fnv1a window hashes — equal up to collisions.
+    NamedQuery(
+      "dd_dup_spans",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | w AS (SELECT doc_id, g FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 4 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] END)) AS g
+         |   FROM t) WHERE g IS NOT NULL),
+         | df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM w GROUP BY g),
+         | per AS (SELECT w.doc_id, count(*) AS n_windows,
+         |     count(*) FILTER (df.nd >= 2) AS dup_windows
+         |   FROM w JOIN df USING (g) GROUP BY w.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(dup_windows * 1000 // n_windows, 0) AS BIGINT) AS dup_window_permille,
+         |  CASE WHEN coalesce(dup_windows * 1000 // n_windows, 0) >= 200
+         |       THEN 'trim' ELSE 'keep' END AS verdict
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.crossDocSpans(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup: keep-first verdicts off the blocked
     // exact all-pairs (scale path swaps in lshPairs as candidate source)
     NamedQuery(

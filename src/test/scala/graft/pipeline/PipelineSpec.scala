@@ -351,6 +351,23 @@ class PipelineSpec extends SparkSuite {
     assert(c(2L) == ((0L, "clean")))
   }
 
+  test("cross-doc span shares: hand-computed windows, within-doc repeats excluded") {
+    val d = Seq(
+      (1L, "a b c d e f g"),     // windows(3): abc bcd cde def efg (5)
+      (2L, "x a b c d e y"),     // shares abc bcd cde with doc 1 (xab, dey unique)
+      (3L, "q r s q r s q r s"), // within-doc repeats ONLY — no cross-doc dup
+      (4L, "zz yy")              // shorter than n: zero windows
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossDocSpans(d, n = 3, trimAt = 500).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("dup_window_permille"),
+          x.getAs[String]("verdict")))).toMap
+    assert(r(1L) == ((5L, 600L, "trim")))  // 3 of 5 shared with doc 2
+    assert(r(2L) == ((5L, 600L, "trim")))
+    assert(r(3L) == ((7L, 0L, "keep")))    // qrs×3 etc. all same-doc
+    assert(r(4L) == ((0L, 0L, "keep")))
+  }
+
   test("capped jaccard equals uncapped on random corpora, both cap regimes") {
     // Metamorphic pin on BOTH dfCap regimes: a cap high enough that no
     // shingle is hot (plan-time probe short-circuits to the plain join)
