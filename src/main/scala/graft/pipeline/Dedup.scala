@@ -183,6 +183,28 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingleUdf(col("text"))).as("shingle"))
   }
 
+  /** Per-position 64-bit fnv1a hashes of a token array's word n-grams —
+    * the one shared definition of "window hash": `shingleHashes` dedups
+    * its output, `crossDocSpans` consumes it positionally. One place to
+    * change tokenization/seed so the operators cannot silently diverge.
+    */
+  private[pipeline] def windowHashes(tk: Array[String], n: Int): Array[Long] =
+    if (tk.length < n) Array.empty[Long]
+    else {
+      val out = new Array[Long](tk.length - n + 1)
+      val sb  = new StringBuilder
+      var i = 0
+      while (i <= tk.length - n) {
+        sb.setLength(0)
+        sb.append(tk(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
+        out(i) = fnv1a(sb.toString, 0L)
+        i += 1
+      }
+      out
+    }
+
   /** (doc_id, sh) pairs: 64-bit fnv1a hashes of the distinct word
     * n-grams per document, computed inside the UDF without emitting the
     * n-gram strings. Hash-equality join semantics match string-equality
@@ -190,22 +212,9 @@ object Dedup {
     */
   def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
     val udfH = udf { text: String =>
-      val tk = text.split(" ").filter(_.nonEmpty)
-      if (tk.length < n) Array.empty[Long]
-      else {
-        val seen = new scala.collection.mutable.LinkedHashSet[Long]
-        val sb   = new StringBuilder
-        var i = 0
-        while (i <= tk.length - n) {
-          sb.setLength(0)
-          sb.append(tk(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
-          seen += fnv1a(sb.toString, 0L)
-          i += 1
-        }
-        seen.toArray
-      }
+      // Array.distinct keeps first-occurrence order — same output as
+      // the previous insertion-ordered set
+      windowHashes(text.split(" ").filter(_.nonEmpty), n).distinct
     }
     docs.select(col("doc_id"), explode(udfH(col("text"))).as("sh"))
   }
@@ -337,26 +346,11 @@ object Dedup {
   def crossDocSpans(docs: DataFrame, n: Int = 5, trimAt: Int = 200): DataFrame = {
     val winUdf = udf { text: String =>
       if (text == null) null
-      else {
-        val tk = text.split(" ").filter(_.nonEmpty)
-        if (tk.length < n) Array.empty[Long]
-        else {
-          val out = new Array[Long](tk.length - n + 1)
-          val sb  = new StringBuilder
-          var i = 0
-          while (i <= tk.length - n) {
-            sb.setLength(0)
-            sb.append(tk(i))
-            var j = 1
-            while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
-            out(i) = fnv1a(sb.toString, 0L)
-            i += 1
-          }
-          out
-        }
-      }
+      else windowHashes(text.split(" ").filter(_.nonEmpty), n)
     }
-    val w = docs.select(col("doc_id"), explode(winUdf(col("text"))).as("h"))
+    // cached: both the df aggregation and the flagging join consume it —
+    // without the cache the corpus-wide window pass executes twice
+    val w = docs.select(col("doc_id"), explode(winUdf(col("text"))).as("h")).cache()
     val dupSet = w.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"), lit(1).as("dup"))

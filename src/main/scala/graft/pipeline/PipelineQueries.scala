@@ -260,9 +260,10 @@ object PipelineQueries {
 
     // Cross-document repeated-span share (exact-substring-dedup signal):
     // per-position 5-gram windows, duplicated iff the window occurs in
-    // >= 2 DISTINCT docs. The oracle re-derives windows as strings via
-    // parallel unnest (DuckDB zips the two unnests positionally);
-    // the engine joins on fnv1a window hashes — equal up to collisions.
+    // >= 2 DISTINCT docs. The oracle re-derives windows as STRINGS via
+    // an index lambda (1-based `i`, tail windows CASE'd to NULL and
+    // filtered); the engine joins on fnv1a window hashes — equal up to
+    // collisions.
     NamedQuery(
       "dd_dup_spans",
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -72,8 +72,12 @@ class StreamingSpec extends SparkSuite {
 
   test("text scoring ops run unchanged under Structured Streaming and match the batch result") {
     // The TextAnalysis scorers are narrow stateless projections, so the
-    // same code path must compose with readStream (score-on-ingest at
-    // scale) — append mode, no watermark, no state store.
+    // same code path must run under readStream (score-on-ingest at
+    // scale) — append mode, no watermark, no state store. Each scorer
+    // is its own streaming query: joining two streams derived from one
+    // source would plan a STATEFUL stream-stream join (unbounded state
+    // without a watermark) — at scale you compose scorers in a single
+    // projection or join against the sink, never stream-to-stream.
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextAnalysis
     val rows = Seq(
@@ -82,23 +86,25 @@ class StreamingSpec extends SparkSuite {
       (3L, "x y x y x y"))
     val input = MemoryStream[(Long, String)]
     val docs  = input.toDF().toDF("doc_id", "text")
-    val q = TextAnalysis.repetition(docs)
-      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("verdict").as("q_verdict")), "doc_id")
-      .writeStream.format("memory").queryName("scored_stream").outputMode("append").start()
+    val qRep = TextAnalysis.repetition(docs)
+      .writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    val qQual = TextAnalysis.quality(docs)
+      .writeStream.format("memory").queryName("qual_stream").outputMode("append").start()
     try {
       input.addData(rows: _*)
-      q.processAllAvailable()
-      val streamed = spark.table("scored_stream").collect()
-        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top_bigram_permille"),
-          r.getAs[String]("verdict"), r.getAs[String]("q_verdict"))).toSet
+      qRep.processAllAvailable(); qQual.processAllAvailable()
       val batchDocs = rows.toDF("doc_id", "text")
-      val batch = TextAnalysis.repetition(batchDocs)
-        .join(TextAnalysis.quality(batchDocs).select(col("doc_id"), col("verdict").as("q_verdict")), "doc_id")
-        .collect()
-        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top_bigram_permille"),
-          r.getAs[String]("verdict"), r.getAs[String]("q_verdict"))).toSet
-      assert(streamed == batch && streamed.size == 3)
-    } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"))
+      val repStreamed = spark.table("rep_stream").collect()
+        .map(r => (key(r), r.getAs[Long]("top_bigram_permille"))).toSet
+      val repBatch = TextAnalysis.repetition(batchDocs).collect()
+        .map(r => (key(r), r.getAs[Long]("top_bigram_permille"))).toSet
+      assert(repStreamed == repBatch && repStreamed.size == 3)
+      val qualStreamed = spark.table("qual_stream").collect().map(key).toSet
+      val qualBatch    = TextAnalysis.quality(batchDocs).collect().map(key).toSet
+      assert(qualStreamed == qualBatch && qualStreamed.size == 3)
+    } finally { qRep.stop(); qQual.stop() }
   }
 
   test("foreachBatch maintains the global index incrementally across micro-batches") {
