@@ -125,18 +125,34 @@ object Bench {
     // chars) follows us. The JSON line must therefore stay well under
     // that budget or its head gets truncated and the whole report is
     // unparseable (this happened when values carried full double
-    // precision). Per-query values print at 10 ms resolution — plenty
-    // for 0.1-10 s queries, and the registry at 72 entries overflowed
-    // the budget at 1 ms — totals keep 3 decimals. Printing after
+    // precision, and again at 10 ms fixed resolution once the registry
+    // hit 76 entries). Totals keep 3 decimals. Printing after
     // spark.stop() guarantees no shutdown logging lands between the
     // JSON and end-of-output.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // The budget is tight at 76 entries, so per-query values print with
+    // ~2 significant figures: sub-second at 10 ms resolution, >=1 s at
+    // 100 ms (a 4% grid — finer than host noise), trailing zeros
+    // stripped ("0.20" -> "0.2", "1.00" -> "1"). This also BOUNDS a
+    // slow run's line growth: a contention window that pushes several
+    // queries past 10 s once added 2 chars per query at fixed %.2f.
+    def fq(v: Double): String = {
+      val s = if (v >= 1) "%.1f".formatLocal(java.util.Locale.ROOT, v) else f2(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     val qs = (results :+ ("index_build" -> indexBuild))
-      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f3(concWall)},"qps":${f3(nQueries / concWall)},"qps_best":${f3(nQueries / concWallBest)},"results":${resultsCnt.head.sum}}}"""
+    // resultsCnt is still computed (the workload must produce hits to
+    // measure anything) but not reported: at 76 entries every concurrent
+    // key competes with per-query resolution for line budget.
+    require(resultsCnt.head.sum > 0, "concurrent workload returned zero hits")
+    // sf as basename and concurrent numbers at 2 decimals: same
+    // information, ~20 chars back for the per-query map.
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f2(concWall)},"qps":${f2(nQueries / concWall)},"qps_best":${f2(nQueries / concWallBest)}}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

@@ -215,4 +215,38 @@ object Curation {
         expr(s"cum_before div ${budget}L").as("seq_id"),
         (col("cum_before") % budget).as("seq_offset"))
   }
+
+  /** Corpus-quantile quality gate: keep documents whose lexical
+    * diversity (`distinct_permille`, an exact integer in [0,1000]) is at
+    * or above the EXACT q-quantile of the corpus distribution — "drop
+    * the worst quartile" at q=0.25. The quantile is rank-defined (the
+    * value at ascending rank ceil(q*N)), so both engines agree without
+    * any interpolation-rule fine print.
+    *
+    * Exact quantiles normally need a global sort; integer-permille
+    * scores make a histogram route exact AND scale-free: one
+    * aggregation to <=1001 (value, count) rows, a cumulative sum over
+    * that BOUNDED histogram (single-partition window over <=1001 rows —
+    * bounded by the value domain, not the corpus), and a one-row
+    * broadcast of the threshold back onto the scored corpus. Total cost
+    * at any corpus size: one narrow scoring pass + one tiny shuffle —
+    * the same shape `approx_percentile` would cost, but exact.
+    */
+  def qualityGate(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("distinct_permille"))
+    val hist = scored.groupBy("distinct_permille").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("distinct_permille")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = scored.agg(count(lit(1)).as("n"))
+    val threshold = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .agg(min("distinct_permille").as("p_threshold"))
+    scored
+      .crossJoin(broadcast(threshold))
+      .filter(col("distinct_permille") >= col("p_threshold"))
+  }
 }

@@ -651,6 +651,29 @@ object PipelineQueries {
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.packSequences(Tables.load(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")
+    },
+
+    // Exact corpus-quantile quality gate (drop the worst quartile by
+    // lexical diversity). The integer-permille score domain makes the
+    // exact quantile computable from a bounded histogram — no global
+    // sort, no approx sketch; the oracle re-derives the same rank-
+    // defined threshold (value at ascending rank ceil(0.25*N)) via
+    // row_number, an independent formulation of the same definition.
+    NamedQuery(
+      "cu_quality_gate",
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len(list_distinct(tk)) * 1000 // len(tk) AS BIGINT) AS distinct_permille
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents) q),
+         |n AS (SELECT count(*) AS n FROM s),
+         |th AS (SELECT min(distinct_permille) AS p_threshold FROM (
+         |    SELECT distinct_permille, row_number() OVER (ORDER BY distinct_permille) AS rn
+         |    FROM s) r, n
+         |  WHERE rn >= ceil(0.25 * n.n))
+         |SELECT s.doc_id, s.distinct_permille, th.p_threshold
+         |FROM s, th WHERE s.distinct_permille >= th.p_threshold
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      Curation.qualityGate(Tables.load(s, dir, "documents"), q = 0.25)
+        .orderBy("doc_id")
     }
   )
 }

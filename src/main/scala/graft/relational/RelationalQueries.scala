@@ -451,6 +451,114 @@ object RelationalQueries {
           sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
             .cast("decimal(18,2)").cast("double").as("running_total"))
         .orderBy("custkey", "orderkey")
+    },
+
+    // -- q24: AS-OF join — for each 'click' event, the most recent
+    // 'purchase' by the same user at or before the click's timestamp.
+    // Spark has no ASOF JOIN operator; the scale-correct composition is
+    // union-tag + one window pass: both sides shuffle ONCE on user_id,
+    // the window's last(_, ignoreNulls) carries the latest preceding
+    // purchase forward, and no row ever joins more than one partner —
+    // unlike a range join, which explodes to |clicks|x|purchases| per
+    // user before picking the max. Ordering (ts, side, event_id) with
+    // purchase<click at equal keys makes the tie-break total and
+    // deterministic: eligible = purchase.ts <= click.ts, winner = max
+    // (ts, event_id). The oracle states the same semantics independently
+    // as a correlated LATERAL top-1 — not a restatement of the window
+    // trick. lag_seconds stays in exact integer nanos (`div`, never
+    // double division — q20's lesson). A click with no preceding
+    // purchase reports the explicit -1 sentinel, not NULL: the compare
+    // harness reads both results through pandas, where NULL bigints
+    // degrade to float NaN and NaN != NaN fails rows that agree.
+    NamedQuery(
+      "q24_asof_join",
+      """SELECT l.event_id, l.user_id,
+        |  coalesce(p.event_id, -1) AS last_purchase_id,
+        |  coalesce(p.value, -1.0) AS last_purchase_value,
+        |  coalesce((epoch_ns(l.ts) - epoch_ns(p.ts)) // 1000000000, -1) AS lag_seconds
+        |FROM events l
+        |LEFT JOIN LATERAL (
+        |  SELECT r.event_id, r.value, r.ts FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON TRUE
+        |WHERE l.event_type = 'click'
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_nanos"), col("event_id"),
+          lit(1).as("side"),
+          lit(null).cast("double").as("p_value"),
+          lit(null).cast("bigint").as("p_id"),
+          lit(null).cast("bigint").as("p_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_nanos"), col("event_id"),
+          lit(0).as("side"),
+          col("value").as("p_value"),
+          col("event_id").as("p_id"),
+          col("ts_nanos").as("p_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_nanos"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .select(col("event_id"), col("user_id"), col("ts_nanos"), col("side"),
+          last(col("p_value"), ignoreNulls = true).over(w).as("last_purchase_value"),
+          last(col("p_id"), ignoreNulls = true).over(w).as("last_purchase_id"),
+          last(col("p_ts"), ignoreNulls = true).over(w).as("last_purchase_ts"))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_purchase_id"), lit(-1L)).as("last_purchase_id"),
+          coalesce(col("last_purchase_value"), lit(-1.0)).as("last_purchase_value"),
+          coalesce(expr("(ts_nanos - last_purchase_ts) div 1000000000"), lit(-1L))
+            .as("lag_seconds"))
+        .orderBy("event_id")
+    },
+
+    // -- q25: interval (range) join with NO equi-key — for each 'error'
+    // event, the count and value of ALL users' 'click' events in the 30
+    // minutes before it. The naive plan is a cartesian product with a
+    // range filter (|errors|x|clicks| compares); the scale plan buckets
+    // time into window-width cells so each error probes exactly two
+    // cells (its own and the previous — a half-open 30-min lookback
+    // spans at most two 30-min buckets) and the join becomes an
+    // equi-join on the bucket key, shuffling each side once. The exact
+    // range predicate then prunes the bucket candidates. The oracle
+    // states the semantics as the direct inequality join.
+    NamedQuery(
+      "q25_range_join",
+      """SELECT e.event_id,
+        |  count(c.event_id) AS n_clicks,
+        |  CAST(coalesce(CAST(sum(CAST(c.value AS DECIMAL(14,2))) AS DECIMAL(18,2)), 0) AS DOUBLE)
+        |    AS clicks_value
+        |FROM events e LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        |  AND epoch_ns(c.ts) >= epoch_ns(e.ts) - 1800000000000
+        |  AND epoch_ns(c.ts) < epoch_ns(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val W = 1800000000000L // 30 min in nanos == bucket width
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts_nanos"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts_nanos").as("c_ts"), col("value"),
+          expr(s"ts_nanos div ${W}L").as("bucket"))
+      val probed = errors
+        .select(col("event_id"), col("ts_nanos"),
+          explode(array(expr(s"ts_nanos div ${W}L") - 1, expr(s"ts_nanos div ${W}L")))
+            .as("bucket"))
+      val matched = probed.join(clicks, "bucket")
+        .filter(col("c_ts") >= col("ts_nanos") - W && col("c_ts") < col("ts_nanos"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          dsum(col("value")).as("v"))
+      errors.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("v"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("clicks_value"))
+        .orderBy("event_id")
     }
   )
 }

@@ -257,6 +257,95 @@ object SearchQueries {
       "not (TEXT < '42') and TEXT == 'data'",
       s"len(list_filter($toks, x -> TRY_CAST(x AS DOUBLE) < 42)) = 0 AND list_contains($toks, 'data')"),
 
+    // Beyond-reference: BM25 ranked retrieval over the term index. The
+    // reference returns unranked result sets; its index already stores
+    // everything BM25 needs (tf via TermWeight offsets, df via the
+    // global index) but never scores. Inputs are exact integers (tf, dl,
+    // df, N) and one exactly-derived double (avgdl = integer-sum / count),
+    // so Spark and DuckDB compute the same formula on identical inputs;
+    // the per-term contributions are summed in EXPLICIT term order
+    // (c1+c2+c3, not an unordered SUM) so float association cannot
+    // diverge between engines, then rounded to 4dp. Plan shape: postings
+    // filtered to the query terms (tiny) join broadcast df + corpus
+    // stats, one doc-keyed join for document length, one global
+    // row_number for the rank — the last is a single-partition sort over
+    // the RESULT SET only (bounded, like any ranked results page). At
+    // production scale dl would be a stored index column; here it derives
+    // from the raw table to keep the index schema stable.
+    NamedQuery(
+      "ws_bm25",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, $toks AS toks,
+         |               unnest(list_distinct($toks)) AS term FROM documents) q
+         |       WHERE term IN ('spark', 'join', 'vector')),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl) / stats.avgdl)) AS c
+         |  FROM tf, df, dl, stats WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ROUND(coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'join'   THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'vector' THEN c END), 0), 4) AS score
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, score
+         |FROM scored ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qterms = Seq("spark", "join", "vector")
+      val (k1, b) = (1.2, 0.75)
+      // Load on the index's own (serving) session: one session per plan.
+      val serving = index(s, dir).termPostings.sparkSession
+      val docLens = Tables.load(serving, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= "")).cast("double").as("dl"))
+      val stats = docLens.agg(
+        count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      val tf = index(s, dir).termPostings
+        .filter(col("term").isin(qterms: _*))
+        .select(col("docId").cast("bigint").as("doc_id"), col("term"),
+          size(col("offsets")).cast("double").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val contrib = tf
+        .join(broadcast(df), "term")
+        .join(docLens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * (k1 + 1))
+            / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl")))).as("c"))
+      val scored = contrib.groupBy("doc_id").agg(
+        round(qterms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
+          .reduce(_ + _), 4).as("score"))
+      scored
+        .select(row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("bigint").as("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    },
+
+    // Beyond-reference: facet counts over a query's result set — the
+    // standard search-results sidebar (result count per metadata value).
+    // Engine hits (a bounded candidate set) broadcast-join back to the
+    // metadata columns; the aggregation is over the result set, not the
+    // corpus.
+    NamedQuery(
+      "ws_facets",
+      s"""SELECT lang AS language, source, count(*) AS n FROM documents
+         |WHERE list_contains($toks, 'spark')
+         |GROUP BY lang, source ORDER BY language, source""".stripMargin) { (s, dir) =>
+      val hits = engine(s, dir).run("TEXT == 'spark'")
+        .select(col("docId").cast("bigint").as("doc_id"))
+      Tables.load(hits.sparkSession, dir, "documents")
+        .join(broadcast(hits), "doc_id")
+        .groupBy(col("lang").as("language"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("language", "source")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

@@ -514,4 +514,25 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("quality gate: rank-defined exact quantile on a planted distribution") {
+    // 100 docs with distinct_permille exactly {250: 30 docs, 500: 30,
+    // 750: 40}: "w" repeated k times with d distinct tokens gives
+    // floor(d*1000/k). 1/4 -> 250 (4 tokens 1 distinct), 1/2 -> 500,
+    // 3/4 -> 750. ceil(0.25*100) = 25th smallest = 250 -> threshold 250
+    // keeps ALL docs. At q=0.31: rank 31 lands on 500 -> drops the 30
+    // 250-docs. Both ends pin the rank definition, not just the filter.
+    def doc(i: Long, distinct: Int, total: Int): (Long, String) =
+      (i, ((0 until distinct).map(d => s"t$d") ++ Seq.fill(total - distinct)("t0"))
+        .mkString(" "))
+    val docs = ((0L until 30L).map(doc(_, 1, 4)) ++
+      (30L until 60L).map(doc(_, 2, 4)) ++
+      (60L until 100L).map(doc(_, 3, 4))).toDF("doc_id", "text")
+    val all = Curation.qualityGate(docs, q = 0.25)
+      .as[(Long, Long, Long)].collect()
+    assert(all.length == 100 && all.forall(_._3 == 250L))
+    val gated = Curation.qualityGate(docs, q = 0.31)
+      .as[(Long, Long, Long)].collect()
+    assert(gated.length == 70 && gated.forall(r => r._2 >= 500L && r._3 == 500L))
+  }
 }

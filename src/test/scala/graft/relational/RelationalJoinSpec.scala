@@ -1,0 +1,89 @@
+package graft.relational
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.Row
+
+/** Pins the edge semantics of the two non-equi joins on crafted data —
+  * the sf-corpus oracle compare exercises volume, not boundaries:
+  *
+  *  - q24 as-of: tie at equal timestamps (purchase AT the click's ts is
+  *    eligible), tie among equal-ts purchases (max event_id wins), and
+  *    the no-preceding-purchase sentinel.
+  *  - q25 range: half-open window [ts-30min, ts), both boundary
+  *    nanoseconds, and a match that crosses a bucket edge (the probe of
+  *    bucket-1 — delete it and the cross-bucket case fails).
+  */
+class RelationalJoinSpec extends SparkSuite {
+
+  private val MIN30 = 1800000000000L // ns
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_join_spec").toString
+    import spark.implicits._
+    // (event_id, ts_nanos, user_id, event_type, value)
+    val base = 1700000000000000000L
+    Seq(
+      // user 1: purchase history around one click
+      (1L, base + 100L, 1L, "purchase", 10.0, "{}"),
+      (2L, base + 200L, 1L, "purchase", 20.0, "{}"), // same ts as the click
+      (3L, base + 200L, 1L, "click", 0.5, "{}"),     // ties with event 2
+      (4L, base + 150L, 1L, "purchase", 15.0, "{}"),
+      (9L, base + 150L, 1L, "purchase", 16.0, "{}"), // equal-ts pair: max id wins
+      // user 2: click with NO preceding purchase (purchase is later)
+      (5L, base + 300L, 2L, "click", 0.5, "{}"),
+      (6L, base + 400L, 2L, "purchase", 30.0, "{}"),
+      // range-join fixture: error at a bucket-aligned instant, clicks at
+      // the exact window boundaries. MIN30 divides base? use explicit
+      // offsets: error at base+2*MIN30 (bucket edge), clicks at ts-W
+      // (in), ts-W-1 (out), ts-1 (in — previous bucket from the error's
+      // view only via the bucket-1 probe when the error sits at an
+      // edge), ts (out)
+      (7L, base + 2 * MIN30, 3L, "error", 0.0, "{}"),
+      (10L, base + 2 * MIN30 - MIN30, 4L, "click", 1.0, "{}"),     // = ts-W: in
+      (11L, base + 2 * MIN30 - MIN30 - 1, 4L, "click", 2.0, "{}"), // out
+      (12L, base + 2 * MIN30 - 1, 4L, "click", 4.0, "{}"),         // in (bucket-1)
+      (13L, base + 2 * MIN30, 4L, "click", 8.0, "{}")              // = ts: out
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def run(name: String): Seq[Row] =
+    RelationalQueries.all.find(_.name == name).get.fn(spark, dir).collect().toSeq
+
+  test("q24 as-of: equal-ts purchase is eligible and equal-ts pair resolves to max id") {
+    val rows = run("q24_asof_join").map(r =>
+      (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // click 3 at ts=base+200: eligible purchases are 1 (ts+100), 4 & 9
+    // (ts+150), 2 (ts+200, SAME instant — eligible). Latest ts wins: 2.
+    assert(rows.contains((3L, 2L, 20.0, 0L)))
+    // click 5 (user 2): no preceding purchase → the -1 sentinel triple
+    assert(rows.contains((5L, -1L, -1.0, -1L)))
+  }
+
+  test("q24 as-of: equal-ts tie among purchases resolves to max event_id") {
+    // Re-run with the click moved between +150 and +200 so 4/9 tie wins:
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_join_spec2").toString
+    val base = 1700000000000000000L
+    Seq(
+      (4L, base + 150L, 1L, "purchase", 15.0, "{}"),
+      (9L, base + 150L, 1L, "purchase", 16.0, "{}"),
+      (3L, base + 160L, 1L, "click", 0.5, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = RelationalQueries.all.find(_.name == "q24_asof_join").get
+      .fn(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows === Seq((3L, 9L, 16.0)))
+  }
+
+  test("q25 range: half-open [ts-W, ts) boundaries and the cross-bucket probe") {
+    val rows = run("q25_range_join").map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // error 7: clicks 10 (= ts-W, in) and 12 (= ts-1, in, lands in the
+    // PREVIOUS bucket); 11 (ts-W-1) and 13 (= ts) excluded
+    assert(rows === Seq((7L, 2L, 5.0)))
+  }
+}
