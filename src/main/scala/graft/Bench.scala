@@ -149,10 +149,12 @@ object Bench {
     // measure anything) but not reported: at 76 entries every concurrent
     // key competes with per-query resolution for line budget.
     require(resultsCnt.head.sum > 0, "concurrent workload returned zero hits")
-    // sf as basename and concurrent numbers at 2 decimals: same
-    // information, ~20 chars back for the per-query map.
+    // sf as basename, concurrent numbers at 2 decimals, and no static /
+    // derivable concurrent keys (8 clients is documented above and in
+    // README; wall = n/qps): same information, ~50 chars back for the
+    // per-query map.
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","concurrent":{"n":$nQueries,"clients":8,"wall_sec":${f2(concWall)},"qps":${f2(nQueries / concWall)},"qps_best":${f2(nQueries / concWallBest)}}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","concurrent":{"n":$nQueries,"qps":${f2(nQueries / concWall)},"qps_best":${f2(nQueries / concWallBest)}}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

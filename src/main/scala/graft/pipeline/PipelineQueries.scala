@@ -55,6 +55,36 @@ object PipelineQueries {
     })
   }
 
+  /** PQ analogue of the IVF oracle contract: each run persists its
+    * trained codebooks (8 subspaces × 16 codewords × 8 dims) where the
+    * static `sim_pq_topk` oracle SQL re-reads them; encoding and the
+    * whole ADC serving path are re-derived in SQL from the books. The
+    * oracle hardcodes the (m=8, k=16, subDim=8) geometry — it is part
+    * of the query's definition, like the LSH bit counts.
+    */
+  private val PqOracleBooks = "/root/repo/target/pq-oracle/codebooks"
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Similarity.PqIndex]
+
+  private def cachedPq(
+      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex = {
+    pqCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) pqCache.remove(k)
+    }
+    pqCache.getOrElseUpdate((s, dir), {
+      val pq0 = Similarity.buildPq(Tables.load(s, dir, "embeddings"))
+      import s.implicits._
+      pq0.books.zipWithIndex.flatMap { case (book, mi) =>
+        book.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
+      }.toSeq.toDF("m", "code", "cw")
+        .coalesce(1).write.mode("overwrite").parquet(PqOracleBooks)
+      val pq = pq0.copy(codes = pq0.codes.cache())
+      pq.codes.count() // materialize once; serving reads the cache
+      pq
+    })
+  }
+
   /** Engine-identical cosine in DuckDB: `list_dot_product` over DOUBLE[]
     * folds left-to-right in double precision — the same IEEE ops in the
     * same order as the engine's `graft_dot` (sequential `s += a(i)*b(i)`
@@ -409,6 +439,125 @@ object PipelineQueries {
       val ivf = cachedIvf(s, dir)
       Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5,
         nprobe = ivf.cents.length)
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ (product-quantization) ANN: ADC shortlist over the coded corpus
+    // + exact cosine rerank. Same oracle strategy as sim_ivf_topk —
+    // k-means TRAINING is persisted per run, and the oracle re-derives
+    // all of SERVING from the codebooks: per-vector encoding (argmin
+    // subspace distance, ties to the lowest code — row_number ORDER BY
+    // d, code), per-query ADC tables, the ADC distance as a FIXED-ORDER
+    // list_sum fold over subspaces (bit-identical to the engine's
+    // m-order loop, so planted duplicate vectors' equal-code ties
+    // resolve identically by neighbor_id), the shortlist, and the exact
+    // top-5 rerank.
+    NamedQuery(
+      "sim_pq_topk",
+      s"""WITH books AS (SELECT m, code, cw
+         |    FROM read_parquet('$PqOracleBooks/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | sd AS (SELECT v.vec_id, b.m, b.code,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (v.e[b.m*8 + i] - b.cw[i]) * (v.e[b.m*8 + i] - b.cw[i]))) AS d
+         |  FROM emb v CROSS JOIN books b),
+         | enc AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM sd) r WHERE rn = 1 GROUP BY vec_id),
+         | qtab AS (SELECT q.vec_id AS query_id, b.m, b.code,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (q.e[b.m*8 + i] - b.cw[i]) * (q.e[b.m*8 + i] - b.cw[i]))) AS d
+         |  FROM emb q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         | qtl AS (SELECT query_id, list(d ORDER BY m, code) AS tbl
+         |  FROM qtab GROUP BY query_id),
+         | adc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> q.tbl[(i-1)*16 + v.codes[i] + 1])) AS d
+         |  FROM enc v CROSS JOIN qtl q WHERE v.vec_id <> q.query_id),
+         | short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+         |    FROM adc) r WHERE rn <= 20),
+         | scored AS (SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.query_id
+         |  JOIN embeddings ec ON ec.vec_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pq = cachedPq(s, dir)
+      Similarity.pqTopK(pq, emb.filter(col("vec_id") % 100 === 0), k = 5, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ: the standard billion-scale composition — IVF cells prune
+    // WHICH candidates are scored, PQ codes cheapen HOW. The oracle is
+    // the literal composition of the sim_ivf_topk and sim_pq_topk
+    // oracles from the two persisted training artifacts: nearest-cell
+    // assignment + nprobe probe set from the centroids, encoding + ADC
+    // tables + the fixed-order fold from the codebooks, candidates =
+    // probed-cell members, then shortlist and exact top-5 rerank.
+    NamedQuery(
+      "sim_ivfpq_topk",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         | books AS (SELECT m, code, cw
+         |    FROM read_parquet('$PqOracleBooks/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | cdist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | crk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist),
+         | assign AS (SELECT vec_id, cell FROM crk WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cell FROM crk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         | sd AS (SELECT v.vec_id, b.m, b.code,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (v.e[b.m*8 + i] - b.cw[i]) * (v.e[b.m*8 + i] - b.cw[i]))) AS d
+         |  FROM emb v CROSS JOIN books b),
+         | enc AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM sd) r WHERE rn = 1 GROUP BY vec_id),
+         | qtab AS (SELECT q.vec_id AS query_id, b.m, b.code,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (q.e[b.m*8 + i] - b.cw[i]) * (q.e[b.m*8 + i] - b.cw[i]))) AS d
+         |  FROM emb q CROSS JOIN books b WHERE q.vec_id % 100 = 0),
+         | qtl AS (SELECT query_id, list(d ORDER BY m, code) AS tbl
+         |  FROM qtab GROUP BY query_id),
+         | adc AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> q.tbl[(i-1)*16 + v.codes[i] + 1])) AS d
+         |  FROM probe p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN enc v ON v.vec_id = a.vec_id
+         |  JOIN qtl q ON q.query_id = p.query_id),
+         | short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+         |    FROM adc) r WHERE rn <= 20),
+         | scored AS (SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.query_id
+         |  JOIN embeddings ec ON ec.vec_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(cachedIvf(s, dir), cachedPq(s, dir),
+        emb.filter(col("vec_id") % 100 === 0), k = 5, nprobe = 4, shortlist = 20)
         .orderBy("query_id", "rank")
     },
 

@@ -362,6 +362,257 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$dir/assigned"), pruneScan = true)
   }
 
+  // ---- PQ (product-quantization) ANN ------------------------------------
+
+  /** A trained product quantizer: `books(m)(c)` is codeword `c` of
+    * subspace `m` (each of length dim/m), `codes` the encoded corpus
+    * (vec_id, embedding, code: array<int> of length m). At 100 TB the
+    * codes table IS the point: m bytes per vector instead of dim floats
+    * (32× at dim=64/m=8), so the scan that ADC-scores candidates reads
+    * a fraction of the raw-embedding bytes.
+    */
+  case class PqIndex(books: Array[Array[Array[Double]]], codes: DataFrame)
+
+  private def subvec(v: Array[Float], m: Int, subDim: Int): Array[Float] = {
+    val out = new Array[Float](subDim); var j = 0
+    while (j < subDim) { out(j) = v(m * subDim + j); j += 1 }
+    out
+  }
+
+  /** Nearest codeword: strict `<` keeps the LOWEST index on ties — the
+    * oracle's `ORDER BY d, code` tie-break.
+    */
+  private def nearestCode(sv: Array[Float], book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cw = book(c); var d = 0.0; var j = 0
+      val n = math.min(sv.length, cw.length)
+      while (j < n) { val t = sv(j) - cw(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train a product quantizer: the embedding space splits into `m`
+    * subspaces; each gets its own `k`-codeword k-means. Training runs on
+    * a bounded DETERMINISTIC sample (first `trainN` by vec_id — a top-k
+    * selection, not a global sort), so training cost is
+    * corpus-independent — the standard posture at 100 TB, where
+    * quantizers train on a sample and only ENCODING touches every row.
+    * Each Lloyd iteration is ONE distributed job covering all m
+    * subspaces (flatMap to (subspace, code, subvector) → per-(m, code,
+    * dim) mean → collect m·k·subDim rows — driver state bounded by the
+    * codebook size, never the corpus).
+    */
+  def trainPq(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+      trainN: Int = 2048): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.orderBy("vec_id").limit(trainN)
+      .select("embedding").as[Array[Float]].cache()
+    val first = sample.take(k)
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (mi, ci) =>
+      subvec(first(ci % first.length), mi, subDim).map(_.toDouble)
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val updated = sample
+        .flatMap { v =>
+          (0 until m).map { mi =>
+            val sv = subvec(v, mi, subDim)
+            (mi, nearestCode(sv, bc.value(mi)), sv.map(_.toDouble))
+          }
+        }
+        .toDF("m", "code", "sv")
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("m", "code", "d").agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      updated.foreach { r =>
+        next(r.getAs[Int]("m"))(r.getAs[Int]("code"))(r.getAs[Int]("d")) =
+          r.getAs[Double]("mu")
+      }
+      books = next
+    }
+    sample.unpersist()
+    books
+  }
+
+  /** Encode the corpus: one projection pass, broadcast codebooks. The
+    * embedding column rides along because the serving path exact-reranks
+    * its ADC shortlist; a pure-compression deployment would drop it.
+    */
+  def buildPq(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+      trainN: Int = 2048): PqIndex = {
+    val spark = emb.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val books = trainPq(emb, m, k, iters, trainN)
+    val subDim = books.head.head.length
+    val bc = spark.sparkContext.broadcast(books)
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      Array.tabulate(bc.value.length)(mi =>
+        nearestCode(subvec(a, mi, subDim), bc.value(mi)))
+    })
+    PqIndex(books, emb.select(col("vec_id"), col("embedding"),
+      encodeUdf(col("embedding")).as("code")))
+  }
+
+  /** ADC (asymmetric-distance) top-k over a PQ index with exact rerank:
+    * each query precomputes an m×k table of subspace distances to every
+    * codeword (tiny, broadcast with the queries); a coded corpus row's
+    * approximate distance is then m table lookups summed IN SUBSPACE
+    * ORDER (a fixed-order fold both engines reproduce bit-identically —
+    * identical-code rows, e.g. planted duplicates, get bit-equal
+    * distances so the neighbor_id tie-break is total). The ADC pass
+    * selects a `shortlist`, and only those rows load real embeddings
+    * for the exact cosine top-k — the classic two-stage PQ serving
+    * pipeline. Corpus scan cost: one streamed pass over CODES (m bytes
+    * per row), not embeddings.
+    */
+  def pqTopK(pq: PqIndex, queries: DataFrame, k: Int, shortlist: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pq.codes.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val m = pq.books.length
+    val kCodes = pq.books.head.length
+    val subDim = pq.books.head.head.length
+    val bc = spark.sparkContext.broadcast(pq.books)
+    val adcTableUdf = udf((q: Seq[Float]) => {
+      val a = q.toArray
+      val tbl = new Array[Double](m * kCodes)
+      var mi = 0
+      while (mi < m) {
+        var ci = 0
+        while (ci < kCodes) {
+          val cw = bc.value(mi)(ci); var d = 0.0; var j = 0
+          while (j < subDim) { val t = a(mi * subDim + j) - cw(j); d += t * t; j += 1 }
+          tbl(mi * kCodes + ci) = d
+          ci += 1
+        }
+        mi += 1
+      }
+      tbl
+    })
+    val adcDistUdf = udf((tbl: Seq[Double], code: Seq[Int]) => {
+      var d = 0.0; var mi = 0
+      while (mi < m) { d += tbl(mi * kCodes + code(mi)); mi += 1 }
+      d
+    })
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"), adcTableUdf(col("embedding")).as("tbl"))
+    // stage 1: ADC over codes only (ids + m-byte codes wide, never
+    // embeddings), shortlist per query
+    val adc = pq.codes.select(col("vec_id"), col("code"))
+      .join(broadcast(qs.select(col("query_id"), col("tbl"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDistUdf(col("tbl"), col("code")).as("adc"))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = adc.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // stage 2: exact cosine rerank of the shortlist only
+    val scored = short
+      .join(pq.codes.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), norm(col("embedding")).as("nrm")), Seq("neighbor_id"))
+      .join(broadcast(qs.select(col("query_id"), col("qemb"),
+        norm(col("qemb")).as("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF-PQ: the standard billion-scale ANN composition — IVF cells
+    * prune WHICH candidates are scored (each query reads ~nprobe/cells
+    * of the corpus), PQ codes cheapen HOW each candidate is scored
+    * (m table lookups over m-byte codes instead of a dim-float dot
+    * product), and the exact cosine rerank touches real embeddings for
+    * shortlist·|queries| rows only. Both artifacts are independently
+    * trained/oracled; this operator is their join on vec_id. The ADC
+    * fold and all tie-breaks are identical to `pqTopK`, the probe rule
+    * identical to `ivfTopKWith` — so the composed semantics stay
+    * SQL-re-derivable from the two persisted training artifacts.
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, shortlist: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pq.codes.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val m = pq.books.length
+    val kCodes = pq.books.head.length
+    val subDim = pq.books.head.head.length
+    val bcB = spark.sparkContext.broadcast(pq.books)
+    val bcC = spark.sparkContext.broadcast(ivf.cents)
+    val probeUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      bcC.value.indices
+        .map(c => (c, {
+          var d = 0.0; var i = 0
+          val ct = bcC.value(c); val n = math.min(a.length, ct.length)
+          while (i < n) { val t = a(i) - ct(i); d += t * t; i += 1 }
+          d
+        }))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val adcTableUdf = udf((q: Seq[Float]) => {
+      val a = q.toArray
+      val tbl = new Array[Double](m * kCodes)
+      var mi = 0
+      while (mi < m) {
+        var ci = 0
+        while (ci < kCodes) {
+          val cw = bcB.value(mi)(ci); var d = 0.0; var j = 0
+          while (j < subDim) { val t = a(mi * subDim + j) - cw(j); d += t * t; j += 1 }
+          tbl(mi * kCodes + ci) = d
+          ci += 1
+        }
+        mi += 1
+      }
+      tbl
+    })
+    val adcDistUdf = udf((tbl: Seq[Double], code: Seq[Int]) => {
+      var d = 0.0; var mi = 0
+      while (mi < m) { d += tbl(mi * kCodes + code(mi)); mi += 1 }
+      d
+    })
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"), adcTableUdf(col("embedding")).as("tbl"),
+      explode(probeUdf(col("embedding"))).as("cell"))
+    // coded + cell-assigned corpus: at ingest this would be ONE table
+    // (cell-partitioned parquet carrying the code column); here the two
+    // independently-built artifacts join on vec_id
+    val corpus = ivf.assigned.select(col("vec_id"), col("cell"))
+      .join(pq.codes.select(col("vec_id"), col("code")), Seq("vec_id"))
+    val adc = corpus
+      .join(broadcast(qs.select(col("query_id"), col("tbl"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDistUdf(col("tbl"), col("code")).as("adc"))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = adc.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = short
+      .join(pq.codes.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), norm(col("embedding")).as("nrm")), Seq("neighbor_id"))
+      .join(broadcast(qs.select(col("query_id"), col("qemb"),
+        norm(col("qemb")).as("qnrm")).distinct()), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the
     * per-call training).
     */

@@ -515,6 +515,50 @@ class PipelineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("PQ: lossless codebooks reproduce brute-force top-k; duplicate survives ADC shortlist") {
+    // Corpus built from exactly 4 distinct subvectors per 2-dim subspace
+    // (m=2, k=4, dim=4), with the first 4 vectors covering all 4 values
+    // in BOTH subspaces: k-means init lands on the distinct values and
+    // Lloyd keeps them (each cluster's mean is its single value), so
+    // encoding is LOSSLESS and ADC distance equals true squared L2.
+    // no zero subvector: pool(0)++pool(0) would be the zero vector,
+    // whose cosine is NaN
+    val pool = Seq(
+      Array(1f, 0f), Array(0f, 1f), Array(2f, 2f), Array(5f, 3f))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (pool(i % 4) ++ pool((i + i / 4) % 4)).toSeq)
+    }
+    import spark.implicits._
+    val emb = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val pq = Similarity.buildPq(emb, m = 2, k = 4, iters = 2, trainN = 40)
+    // codes bounded and identical embeddings get identical codes
+    val codes = pq.codes.select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    assert(codes(0L) == codes(16L)) // vec 16 repeats vec 0's subvectors
+    // with shortlist >= corpus, the exact rerank sees everything the
+    // brute-force path sees: results must match row-for-row
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(pq, queries, k = 3, shortlist = 40)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = Similarity.topK(emb, queries, k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want)
+    // a planted exact duplicate has ADC distance 0 — it must survive
+    // even a tiny shortlist and rerank to rank 1 with cosine 1.0
+    val dup = Similarity.pqTopK(pq, emb.filter(col("vec_id") === 0), k = 1, shortlist = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(dup.length == 1 && dup.head._4 == 1.0)
+    // IVF-PQ with full probe + full shortlist degenerates to the same
+    // exact result: cells partition (not drop) candidates, lossless
+    // codes rank them truly, the rerank is exact
+    val ivf = Similarity.buildIvf(emb, cells = 4, persist = false)
+    val composed = Similarity
+      .ivfPqTopK(ivf, pq, queries, k = 3, nprobe = 4, shortlist = 40)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(composed == want)
+  }
+
   test("quality gate: rank-defined exact quantile on a planted distribution") {
     // 100 docs with distinct_permille exactly {250: 30 docs, 500: 30,
     // 750: 40}: "w" repeated k times with d distinct tokens gives
