@@ -126,17 +126,19 @@ object Bench {
     // that budget or its head gets truncated and the whole report is
     // unparseable (this happened when values carried full double
     // precision, and again at 10 ms fixed resolution once the registry
-    // hit 76 entries). Totals keep 3 decimals. Printing after
+    // hit 76 entries; now 79 queries + index_build = 80 keys). Totals
+    // keep 3 decimals. Printing after
     // spark.stop() guarantees no shutdown logging lands between the
     // JSON and end-of-output.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // The budget is tight at 76 entries, so per-query values print with
+    // The budget is tight at ~80 entries, so per-query values print with
     // ~2 significant figures: sub-second at 10 ms resolution, >=1 s at
     // 100 ms (a 4% grid — finer than host noise), trailing zeros
     // stripped ("0.20" -> "0.2", "1.00" -> "1"). This also BOUNDS a
     // slow run's line growth: a contention window that pushes several
     // queries past 10 s once added 2 chars per query at fixed %.2f.
+    // (Counts here track the registry; see README for the current one.)
     def fq(v: Double): String = {
       val s = if (v >= 1) "%.1f".formatLocal(java.util.Locale.ROOT, v) else f2(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
@@ -146,8 +148,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // resultsCnt is still computed (the workload must produce hits to
-    // measure anything) but not reported: at 76 entries every concurrent
-    // key competes with per-query resolution for line budget.
+    // measure anything) but not reported: every concurrent key competes
+    // with per-query resolution for line budget.
     require(resultsCnt.head.sum > 0, "concurrent workload returned zero hits")
     // sf as basename, concurrent numbers at 2 decimals, and no static /
     // derivable concurrent keys (8 clients is documented above and in

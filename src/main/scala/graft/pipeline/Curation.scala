@@ -219,31 +219,45 @@ object Curation {
   /** Corpus-quantile quality gate: keep documents whose lexical
     * diversity (`distinct_permille`, an exact integer in [0,1000]) is at
     * or above the EXACT q-quantile of the corpus distribution — "drop
-    * the worst quartile" at q=0.25. The quantile is rank-defined (the
-    * value at ascending rank ceil(q*N)), so both engines agree without
-    * any interpolation-rule fine print.
+    * the worst quartile" at qPermille=250. The quantile is rank-defined
+    * (the value at ascending rank ceil(qPermille·N/1000)) and the
+    * quantile itself is an integer permille, so the rank predicate is
+    * PURE INTEGER arithmetic — `1000·cum >= qPermille·N` — with no
+    * float ceil anywhere (0.31*100 is 31.000000000000004 in double;
+    * ceil of that is 32, not the 31 the contract promises).
+    *
+    * Zero-token documents are dropped by definition (no diversity score
+    * exists for them) — made EXPLICIT here rather than letting NULL
+    * ordering decide: Spark windows sort NULLs first, DuckDB row_number
+    * sorts them last, so a NULL score group would shift the rank
+    * threshold differently in the two engines.
     *
     * Exact quantiles normally need a global sort; integer-permille
     * scores make a histogram route exact AND scale-free: one
-    * aggregation to <=1001 (value, count) rows, a cumulative sum over
-    * that BOUNDED histogram (single-partition window over <=1001 rows —
-    * bounded by the value domain, not the corpus), and a one-row
-    * broadcast of the threshold back onto the scored corpus. Total cost
-    * at any corpus size: one narrow scoring pass + one tiny shuffle —
+    * aggregation to <=1001 (value, count) rows, cumulative + grand
+    * totals over that BOUNDED histogram (single-partition windows over
+    * <=1001 rows — bounded by the value domain, not the corpus), and a
+    * one-row broadcast of the threshold back onto the scored corpus.
+    * Cost at any corpus size: the narrow scoring pass runs twice (once
+    * into the histogram, once under the final filter — at 100 TB you
+    * would persist the score column instead) plus one tiny shuffle;
     * the same shape `approx_percentile` would cost, but exact.
     */
-  def qualityGate(docs: DataFrame, q: Double = 0.25): DataFrame = {
+  def qualityGate(docs: DataFrame, qPermille: Int = 250): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = TextAnalysis.quality(docs)
+    val scorable = docs.filter(size(TextAnalysis.toks(col("text"))) > 0)
+    val scored = TextAnalysis.quality(scorable)
       .select(col("doc_id"), col("distinct_permille"))
     val hist = scored.groupBy("distinct_permille").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("distinct_permille")
+    val wCum = Window.orderBy("distinct_permille")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = scored.agg(count(lit(1)).as("n"))
+    val wAll = Window.orderBy("distinct_permille")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // cum >= ceil(qPermille·n/1000)  ⟺  1000·cum >= qPermille·n
     val threshold = hist
-      .withColumn("cum", sum("cnt").over(w))
-      .crossJoin(broadcast(n))
-      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .select(col("distinct_permille"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+      .filter(col("cum") * 1000 >= col("n") * qPermille)
       .agg(min("distinct_permille").as("p_threshold"))
     scored
       .crossJoin(broadcast(threshold))

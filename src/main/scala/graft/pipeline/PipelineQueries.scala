@@ -36,24 +36,34 @@ object PipelineQueries {
     */
   private val IvfOracleCentroids = "/root/repo/target/ivf-oracle/centroids"
 
-  /** Cache lookup with dead-session eviction: entries whose SparkContext
-    * has stopped would otherwise pin the session, its cached `assigned`
-    * DataFrame and broadcast centroids for the JVM lifetime.
+  /** Shared cache discipline for trained ANN artifacts (IVF, PQ): ONE
+    * definition of the subtle parts — dead-session eviction (an entry
+    * whose SparkContext has stopped would otherwise pin the session,
+    * its cached DataFrames and broadcasts for the JVM lifetime) and the
+    * getOrElseUpdate build (which under a concurrent first call may
+    * evaluate twice; both evaluations write identical-schema artifacts
+    * to the same oracle path with mode=overwrite, so the last writer
+    * wins and the SQL reads a complete artifact either way).
     */
-  private def cachedIvf(
-      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfIndex = {
-    ivfCache.keySet.foreach { k =>
-      if (k._1.sparkContext.isStopped) ivfCache.remove(k)
+  private def cachedArtifact[T](
+      cache: scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), T],
+      s: org.apache.spark.sql.SparkSession, dir: String)(build: => T): T = {
+    cache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
     }
-    ivfCache.getOrElseUpdate((s, dir), {
+    cache.getOrElseUpdate((s, dir), build)
+  }
+
+  private def cachedIvf(
+      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfIndex =
+    cachedArtifact(ivfCache, s, dir) {
       val ivf = Similarity.buildIvf(Tables.load(s, dir, "embeddings"))
       import s.implicits._
       ivf.cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(IvfOracleCentroids)
       ivf
-    })
-  }
+    }
 
   /** PQ analogue of the IVF oracle contract: each run persists its
     * trained codebooks (8 subspaces × 16 codewords × 8 dims) where the
@@ -68,11 +78,8 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Similarity.PqIndex]
 
   private def cachedPq(
-      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex = {
-    pqCache.keySet.foreach { k =>
-      if (k._1.sparkContext.isStopped) pqCache.remove(k)
-    }
-    pqCache.getOrElseUpdate((s, dir), {
+      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex =
+    cachedArtifact(pqCache, s, dir) {
       val pq0 = Similarity.buildPq(Tables.load(s, dir, "embeddings"))
       import s.implicits._
       pq0.books.zipWithIndex.flatMap { case (book, mi) =>
@@ -82,8 +89,7 @@ object PipelineQueries {
       val pq = pq0.copy(codes = pq0.codes.cache())
       pq.codes.count() // materialize once; serving reads the cache
       pq
-    })
-  }
+    }
 
   /** Engine-identical cosine in DuckDB: `list_dot_product` over DOUBLE[]
     * folds left-to-right in double precision — the same IEEE ops in the
@@ -806,22 +812,24 @@ object PipelineQueries {
     // lexical diversity). The integer-permille score domain makes the
     // exact quantile computable from a bounded histogram — no global
     // sort, no approx sketch; the oracle re-derives the same rank-
-    // defined threshold (value at ascending rank ceil(0.25*N)) via
+    // defined threshold (value at ascending rank ceil(250·N/1000),
+    // stated in pure integers as 1000·rn >= 250·N — no float ceil) via
     // row_number, an independent formulation of the same definition.
+    // Zero-token docs are excluded by definition on both sides.
     NamedQuery(
       "cu_quality_gate",
       s"""WITH s AS (SELECT doc_id,
          |    CAST(len(list_distinct(tk)) * 1000 // len(tk) AS BIGINT) AS distinct_permille
-         |  FROM (SELECT doc_id, $toks AS tk FROM documents) q),
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents) q WHERE len(tk) > 0),
          |n AS (SELECT count(*) AS n FROM s),
          |th AS (SELECT min(distinct_permille) AS p_threshold FROM (
          |    SELECT distinct_permille, row_number() OVER (ORDER BY distinct_permille) AS rn
          |    FROM s) r, n
-         |  WHERE rn >= ceil(0.25 * n.n))
+         |  WHERE rn * 1000 >= 250 * n.n)
          |SELECT s.doc_id, s.distinct_permille, th.p_threshold
          |FROM s, th WHERE s.distinct_permille >= th.p_threshold
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-      Curation.qualityGate(Tables.load(s, dir, "documents"), q = 0.25)
+      Curation.qualityGate(Tables.load(s, dir, "documents"), qPermille = 250)
         .orderBy("doc_id")
     }
   )

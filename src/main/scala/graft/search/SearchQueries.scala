@@ -299,10 +299,13 @@ object SearchQueries {
       val qterms = Seq("spark", "join", "vector")
       val (k1, b) = (1.2, 0.75)
       // Load on the index's own (serving) session: one session per plan.
+      // dl reuses THE tokenizer that produced the postings offsets
+      // (tf/df) — one definition, so they cannot drift apart.
       val serving = index(s, dir).termPostings.sparkSession
       val docLens = Tables.load(serving, dir, "documents")
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => t =!= "")).cast("double").as("dl"))
+          size(graft.functions.TextFunctions.tokenizeWs(col("text")))
+            .cast("double").as("dl"))
       val stats = docLens.agg(
         count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
       val tf = index(s, dir).termPostings

@@ -563,19 +563,25 @@ class PipelineSpec extends SparkSuite {
     // 100 docs with distinct_permille exactly {250: 30 docs, 500: 30,
     // 750: 40}: "w" repeated k times with d distinct tokens gives
     // floor(d*1000/k). 1/4 -> 250 (4 tokens 1 distinct), 1/2 -> 500,
-    // 3/4 -> 750. ceil(0.25*100) = 25th smallest = 250 -> threshold 250
-    // keeps ALL docs. At q=0.31: rank 31 lands on 500 -> drops the 30
-    // 250-docs. Both ends pin the rank definition, not just the filter.
+    // 3/4 -> 750. Rank ceil(250*100/1000) = 25th smallest = 250 ->
+    // threshold 250 keeps ALL docs. At qPermille=310 the rank is
+    // EXACTLY 31 (integer arithmetic — the float 0.31*100 rounds to
+    // 31.000000000000004, whose ceil would be the wrong rank 32; both
+    // land on value 500 here, but the integer contract is what the
+    // doc comment promises): threshold 500 drops the 30 250-docs.
+    // Both ends pin the rank definition, not just the filter. A
+    // zero-token doc must be excluded, not NULL-sorted into the ranks.
     def doc(i: Long, distinct: Int, total: Int): (Long, String) =
       (i, ((0 until distinct).map(d => s"t$d") ++ Seq.fill(total - distinct)("t0"))
         .mkString(" "))
     val docs = ((0L until 30L).map(doc(_, 1, 4)) ++
       (30L until 60L).map(doc(_, 2, 4)) ++
-      (60L until 100L).map(doc(_, 3, 4))).toDF("doc_id", "text")
-    val all = Curation.qualityGate(docs, q = 0.25)
+      (60L until 100L).map(doc(_, 3, 4)) :+ (100L, "  ")).toDF("doc_id", "text")
+    val all = Curation.qualityGate(docs, qPermille = 250)
       .as[(Long, Long, Long)].collect()
     assert(all.length == 100 && all.forall(_._3 == 250L))
-    val gated = Curation.qualityGate(docs, q = 0.31)
+    assert(!all.exists(_._1 == 100L)) // the zero-token doc is excluded
+    val gated = Curation.qualityGate(docs, qPermille = 310)
       .as[(Long, Long, Long)].collect()
     assert(gated.length == 70 && gated.forall(r => r._2 >= 500L && r._3 == 500L))
   }

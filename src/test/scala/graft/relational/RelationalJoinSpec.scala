@@ -21,7 +21,12 @@ class RelationalJoinSpec extends SparkSuite {
     val d = java.nio.file.Files.createTempDirectory("graft_join_spec").toString
     import spark.implicits._
     // (event_id, ts_nanos, user_id, event_type, value)
-    val base = 1700000000000000000L
+    // base is BUCKET-ALIGNED (a multiple of MIN30): the range-join
+    // fixture below places the error exactly at a bucket edge so that a
+    // click at ts-1 lands in the PREVIOUS bucket — reachable only
+    // through the bucket-1 probe (delete the probe of bucket-1 in
+    // q25_range_join and that click is lost)
+    val base = 1700000000000000000L / MIN30 * MIN30 + MIN30
     Seq(
       // user 1: purchase history around one click
       (1L, base + 100L, 1L, "purchase", 10.0, "{}"),
@@ -32,12 +37,14 @@ class RelationalJoinSpec extends SparkSuite {
       // user 2: click with NO preceding purchase (purchase is later)
       (5L, base + 300L, 2L, "click", 0.5, "{}"),
       (6L, base + 400L, 2L, "purchase", 30.0, "{}"),
-      // range-join fixture: error at a bucket-aligned instant, clicks at
-      // the exact window boundaries. MIN30 divides base? use explicit
-      // offsets: error at base+2*MIN30 (bucket edge), clicks at ts-W
-      // (in), ts-W-1 (out), ts-1 (in — previous bucket from the error's
-      // view only via the bucket-1 probe when the error sits at an
-      // edge), ts (out)
+      // range-join fixture: error AT a bucket edge (base is aligned, so
+      // base+2W is too), clicks at the exact window boundaries:
+      //  - 10 at ts-W: included (closed lower bound), bucket-1
+      //  - 11 at ts-W-1: excluded (below the window) — and in bucket-2,
+      //    which is not probed at all
+      //  - 12 at ts-1: included; sits in bucket-1 (the error is at an
+      //    edge), so ONLY the bucket-1 probe can reach it
+      //  - 13 at ts: excluded (open upper bound), error's own bucket
       (7L, base + 2 * MIN30, 3L, "error", 0.0, "{}"),
       (10L, base + 2 * MIN30 - MIN30, 4L, "click", 1.0, "{}"),     // = ts-W: in
       (11L, base + 2 * MIN30 - MIN30 - 1, 4L, "click", 2.0, "{}"), // out
