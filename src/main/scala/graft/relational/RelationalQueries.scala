@@ -515,6 +515,45 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // -- q26: EXACT per-group quantiles — rank-defined (value at
+    // ascending rank ceil(p·n/1000) within the group), the same pure
+    // integer rank predicate as cu_quality_gate (1000·rn >= p·n; no
+    // float ceil). The quantile VALUES pass through untouched — no
+    // arithmetic ever touches them, so the cell-exact compare is safe
+    // on raw doubles. Scale shape: one window partitioned by the
+    // natural group key (per-group sorts run in parallel across
+    // groups); a pathologically hot group is the standard per-key
+    // window hazard — the fix at 100 TB is a two-pass histogram like
+    // cu_quality_gate's if values can be bucketized, or a sampled
+    // sketch if not.
+    NamedQuery(
+      "q26_quantiles",
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN rn*1000 >= n*500 THEN value END) AS p50,
+        |  min(CASE WHEN rn*1000 >= n*950 THEN value END) AS p95
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w  = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wn = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        // explicit NULL exclusion on BOTH sides: Spark windows order
+        // NULLS FIRST, DuckDB row_number NULLS LAST — a NULL value
+        // would shift every rank differently in the two engines (the
+        // cu_quality_gate review lesson, applied preemptively)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          min(when(col("rn") * 1000 >= col("n") * 500, col("value"))).as("p50"),
+          min(when(col("rn") * 1000 >= col("n") * 950, col("value"))).as("p95"))
+        .orderBy("event_type")
+    },
+
     // -- q25: interval (range) join with NO equi-key — for each 'error'
     // event, the count and value of ALL users' 'click' events in the 30
     // minutes before it. The naive plan is a cartesian product with a
