@@ -93,4 +93,65 @@ class RelationalJoinSpec extends SparkSuite {
     // PREVIOUS bucket); 11 (ts-W-1) and 13 (= ts) excluded
     assert(rows === Seq((7L, 2L, 5.0)))
   }
+
+  test("randomized equivalence vs in-memory references (as-of, range, quantiles)") {
+    // The crafted fixtures pin specific edges; this pins the GENERAL
+    // semantics: random event sets with deliberately tie-heavy
+    // timestamps (drawn from a small instant pool, so equal-ts
+    // eligibility and tie-breaks fire constantly), checked row-for-row
+    // against naive per-row references.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val W = MIN30
+    val base = 1700000000000000000L / W * W + W
+    val types = Vector("click", "purchase", "error", "view")
+    for (trial <- 0 until 3) {
+      val instants = Vector.fill(40)(base + math.abs(rnd.nextLong()) % (4 * W))
+      case class E(id: Long, ts: Long, user: Long, typ: String, value: Double)
+      val events = (0 until 250).map { i =>
+        E(i.toLong, instants(rnd.nextInt(instants.length)), rnd.nextInt(5).toLong,
+          types(rnd.nextInt(types.length)), rnd.nextInt(10000) / 100.0)
+      }
+      val d = java.nio.file.Files.createTempDirectory(s"graft_join_rand$trial").toString
+      events.map(e => (e.id, e.ts, e.user, e.typ, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(2).write.mode("overwrite").parquet(s"$d/events.parquet")
+      def q(name: String) = RelationalQueries.all.find(_.name == name).get.fn(spark, d)
+
+      // as-of: latest purchase with (ts, id) <= / max ordering
+      val expectAsof = events.filter(_.typ == "click").sortBy(_.id).map { l =>
+        val elig = events.filter(p =>
+          p.typ == "purchase" && p.user == l.user && p.ts <= l.ts)
+        if (elig.isEmpty) (l.id, l.user, -1L, -1.0, -1L)
+        else {
+          val p = elig.maxBy(p => (p.ts, p.id))
+          (l.id, l.user, p.id, p.value, (l.ts - p.ts) / 1000000000L)
+        }
+      }
+      val gotAsof = q("q24_asof_join")
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq
+      assert(gotAsof == expectAsof, s"asof trial $trial")
+
+      // range: clicks in [ts-W, ts), any user; decimal-exact value sum
+      val expectRange = events.filter(_.typ == "error").sortBy(_.id).map { e =>
+        val in = events.filter(c =>
+          c.typ == "click" && c.ts >= e.ts - W && c.ts < e.ts)
+        val v = in.map(c => BigDecimal(c.value).setScale(2)).sum
+        (e.id, in.size.toLong, v.toDouble)
+      }
+      val gotRange = q("q25_range_join")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(gotRange == expectRange, s"range trial $trial")
+
+      // quantiles: value at ascending rank r = min{r : 1000r >= p*n}
+      val expectQ = events.groupBy(_.typ).toSeq.sortBy(_._1).map { case (t, es) =>
+        val vs = es.map(_.value).sorted
+        def at(p: Int) = vs((p * vs.size + 999) / 1000 - 1)
+        (t, vs.size.toLong, at(500), at(950))
+      }
+      val gotQ = q("q26_quantiles")
+        .as[(String, Long, Double, Double)].collect().toSeq
+      assert(gotQ == expectQ, s"quantiles trial $trial")
+    }
+  }
 }
