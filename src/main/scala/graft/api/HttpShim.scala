@@ -21,6 +21,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `GET /explain?query=…&auths=a,b` → the engine's access-path report
   *    (plan tree, cardinalities, broadcast/shard decisions) with NO
   *    execution — beyond the reference, which only logs this.
+  *  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N (beyond reference).
+  *  - `GET /facets?query=…&field=F&auths=…` → facet counts (beyond ref).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -76,6 +78,28 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     // All-negation is a client error on this route too, but explain is a
     // diagnostic — report the rejection as the BODY, like a planner would
     ("text/plain; charset=utf-8", service.explain(q, auths))
+  })
+
+  // Beyond-reference search-result surfaces: ranked retrieval and facet
+  // counts (WikiSearchEngine.rank/facets through QueryService).
+  //  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N as JSON
+  //  - `GET /facets?query=…&field=SOURCE&auths=…` → facet counts as JSON
+  server.createContext("/rank", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val terms = params.getOrElse("terms",
+      throw new IllegalArgumentException("missing required parameter: terms"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) throw new IllegalArgumentException("terms is empty")
+    val limit = params.get("limit").map(_.toInt).getOrElse(10)
+    ("application/json", service.rank(terms, limit))
+  })
+
+  server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val (q, auths) = queryAndAuths(params)
+    val field = params.getOrElse("field",
+      throw new IllegalArgumentException("missing required parameter: field"))
+    ("application/json", service.facets(q, field, auths))
   })
 
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))

@@ -107,6 +107,30 @@ class QueryService(engine: WikiSearchEngine) {
   def explain(q: String, auths: Seq[String] = Nil): String =
     engine.explainAccess(q, auths)
 
+  /** BM25 ranked retrieval (`WikiSearchEngine.rank`) → top `limit`
+    * (rank, docId, score) triples as a JSON array.
+    */
+  def rank(terms: Seq[String], limit: Int = 10): String = {
+    val rows = engine.rank(terms).limit(limit).collect()
+    rows.map { r =>
+      s"""{"rank":${r.getAs[Long]("rank")},"id":"${r.getAs[String]("docId")}","score":${r.getAs[Double]("score")}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** Facet counts for a query's hit set (`WikiSearchEngine.facets`) as
+    * a JSON array; a null facet value (document missing the field)
+    * serializes as JSON null.
+    */
+  def facets(q: String, field: String, auths: Seq[String] = Nil): String = {
+    val rows = engine.facets(q, field, auths).collect()
+    rows.map { r =>
+      val v = Option(r.getAs[String]("value"))
+        .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .getOrElse("null")
+      s"""{"language":"${r.getAs[String]("language")}","value":$v,"n":${r.getAs[Long]("n")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   private def toDocument(r: Row): Document = {
     val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq
       .flatMap { case (name, vals) => vals.toSeq.map(v => Field(name, v)) }

@@ -183,6 +183,62 @@ class WikiSearchEngine(
         unbase64(col("textB64")).cast("string").as("DOCUMENT"))
   }
 
+  /** BM25 ranked retrieval over this engine's own index (beyond the
+    * reference, which returns unranked sets although its index already
+    * stores everything BM25 needs): tf = TermWeight offsets length, df
+    * from the filtered postings, document length from the stored
+    * content (the SAME `tokenizeWs` that produced the offsets), corpus
+    * stats as a one-row broadcast. Per-term contributions are summed in
+    * EXPLICIT term order so the float association is reproducible.
+    *
+    * `tieBreak` orders equal-score documents (and is the secondary sort
+    * under the score): callers with numeric document ids pass the cast
+    * column so ties match a numeric oracle; default is the stored
+    * string docId.
+    */
+  def rank(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      tieBreak: Column = col("docId")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "rank() needs at least one term")
+    val docLens = index.documents.select(col("docId"),
+      size(graft.functions.TextFunctions.tokenizeWs(
+        unbase64(col("textB64")).cast("string"))).cast("double").as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = index.termPostings
+      .filter(col("term").isin(terms: _*))
+      .select(col("docId"), col("term"), size(col("offsets")).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(docLens, "docId")
+      .crossJoin(broadcast(stats))
+      .select(col("docId"), col("term"),
+        (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl"))))
+          .as("c"))
+    val scored = contrib.groupBy("docId").agg(
+      round(terms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
+        .reduce(_ + _), 4).as("score"))
+    scored
+      .select(row_number().over(Window.orderBy(col("score").desc, tieBreak))
+        .cast("bigint").as("rank"), col("docId"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Facet counts over a query's result set — the results-sidebar
+    * aggregation (beyond the reference). One value row per (language,
+    * field value) with its hit count; documents missing the field count
+    * under a NULL value so facet totals reconcile with the hit count.
+    */
+  def facets(query: String, field: String, auths: Seq[String] = Nil): DataFrame =
+    run(query, auths)
+      .select(col("language"),
+        explode_outer(element_at(col("fields"), field)).as("value"))
+      .groupBy("language", "value").agg(count(lit(1)).as("n"))
+      .orderBy("language", "value")
+
   /** Whether the query would take the index-assisted path (vs full
     * scan) — a planning probe for tests/diagnostics; runs no jobs beyond
     * bare-term rewrites.

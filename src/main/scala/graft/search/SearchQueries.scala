@@ -295,38 +295,13 @@ object SearchQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, score
          |FROM scored ORDER BY rank""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val qterms = Seq("spark", "join", "vector")
-      val (k1, b) = (1.2, 0.75)
-      // Load on the index's own (serving) session: one session per plan.
-      // dl reuses THE tokenizer that produced the postings offsets
-      // (tf/df) — one definition, so they cannot drift apart.
-      val serving = index(s, dir).termPostings.sparkSession
-      val docLens = Tables.load(serving, dir, "documents")
-        .select(col("doc_id"),
-          size(graft.functions.TextFunctions.tokenizeWs(col("text")))
-            .cast("double").as("dl"))
-      val stats = docLens.agg(
-        count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-      val tf = index(s, dir).termPostings
-        .filter(col("term").isin(qterms: _*))
-        .select(col("docId").cast("bigint").as("doc_id"), col("term"),
-          size(col("offsets")).cast("double").as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val contrib = tf
-        .join(broadcast(df), "term")
-        .join(docLens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"),
-          (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-            * (col("tf") * (k1 + 1))
-            / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl")))).as("c"))
-      val scored = contrib.groupBy("doc_id").agg(
-        round(qterms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
-          .reduce(_ + _), 4).as("score"))
-      scored
-        .select(row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-          .cast("bigint").as("rank"), col("doc_id"), col("score"))
+      // Single implementation: the ENGINE's BM25 (WikiSearchEngine.rank
+      // — dl from the stored content via the same tokenizer that built
+      // the postings). Numeric tie-break so equal-score ties match the
+      // oracle's numeric doc_id ordering.
+      engine(s, dir).rank(Seq("spark", "join", "vector"),
+        tieBreak = col("docId").cast("bigint"))
+        .select(col("rank"), col("docId").cast("bigint").as("doc_id"), col("score"))
         .orderBy("rank")
     },
 
@@ -340,12 +315,10 @@ object SearchQueries {
       s"""SELECT lang AS language, source, count(*) AS n FROM documents
          |WHERE list_contains($toks, 'spark')
          |GROUP BY lang, source ORDER BY language, source""".stripMargin) { (s, dir) =>
-      val hits = engine(s, dir).run("TEXT == 'spark'")
-        .select(col("docId").cast("bigint").as("doc_id"))
-      Tables.load(hits.sparkSession, dir, "documents")
-        .join(broadcast(hits), "doc_id")
-        .groupBy(col("lang").as("language"), col("source"))
-        .agg(count(lit(1)).as("n"))
+      // Single implementation: WikiSearchEngine.facets over the hit
+      // set's own fields map (every doc carries exactly one SOURCE).
+      engine(s, dir).facets("TEXT == 'spark'", "SOURCE")
+        .select(col("language"), col("value").as("source"), col("n"))
         .orderBy("language", "source")
     },
 

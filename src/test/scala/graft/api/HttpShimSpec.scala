@@ -113,4 +113,20 @@ class HttpShimSpec extends SparkSuite {
     val (_, _, body) = get(s"/query?$all&format=json&limit=2")
     assert(body.sliding(7).count(_ == "\"id\":\"6") == 2)
   }
+
+  test("/rank returns BM25-ranked JSON and rejects empty terms") {
+    val (status, ct, body) = get("/rank?terms=abacus&limit=5")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.startsWith("""[{"rank":1,"""))
+    assert(body.contains("\"score\":"))
+    assert(get("/rank")._1 == 400)            // missing terms
+    assert(get("/rank?terms=,")._1 == 400)    // empty after trim
+  }
+
+  test("/facets counts the hit set per field value") {
+    val (status, ct, body) = get(s"/facets?$q&field=TITLE")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.contains(""""language":"enwiki"""") && body.contains(""""n":1"""))
+    assert(get(s"/facets?$q")._1 == 400) // missing field param
+  }
 }
