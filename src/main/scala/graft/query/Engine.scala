@@ -227,6 +227,33 @@ class WikiSearchEngine(
       .orderBy("rank")
   }
 
+  /** Term-in-context snippets: ±`window` tokens around the term's FIRST
+    * occurrence in each document containing it — the classic use of the
+    * TermWeight word offsets the reference stores but never queries
+    * (`ws_phrase` uses them for adjacency; this uses them for display).
+    * Plan shape: postings filtered to one term (tiny), co-partitioned
+    * join to the content store on (partition, language, docId), one
+    * narrow tokenize+slice projection — no corpus scan, no offsets
+    * recomputation.
+    *
+    * `tokenizer` must match the one that BUILT the index (offsets index
+    * into its token stream): `TextFunctions.tokenize` for the wiki XML
+    * path, `TextFunctions.tokenizeWs` for the documents-table path.
+    */
+  def highlights(term: String, window: Int = 3,
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+    val first = index.termPostings.filter(col("term") === term)
+      .select(col("partition"), col("language"), col("docId"),
+        col("offsets").getItem(0).as("pos"))
+    first.join(index.documents, Seq("partition", "language", "docId"))
+      .select(col("docId"), col("language"),
+        concat_ws(" ", slice(
+          tokenizer(unbase64(col("textB64")).cast("string")),
+          greatest(col("pos") - window + 1, lit(1)), lit(2 * window + 1)))
+          .as("snippet"))
+      .orderBy("docId")
+  }
+
   /** Facet counts over a query's result set — the results-sidebar
     * aggregation (beyond the reference). One value row per (language,
     * field value) with its hit count; documents missing the field count

@@ -192,4 +192,27 @@ class EngineWikiSpec extends SparkSuite {
       .select("docId").collect().map(_.getString(0)).toSet
     assert(ids == Set("655"))
   }
+
+  test("highlights: the stored offsets locate the term in a re-tokenized snippet") {
+    // wiki path: offsets were produced by TextFunctions.tokenize (the
+    // markup-aware default) — the snippet window must CONTAIN the term,
+    // proving stored offset and re-derived token stream line up
+    val rows = engine.highlights("abacus", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(rows.keySet == Set("655"))
+    val snippet = rows("655").split(" ")
+    assert(snippet.contains("abacus") && snippet.length <= 5)
+
+    // documents path: tokenizeWs offsets on a crafted doc — the window
+    // is exact and position-checked, including the left-edge clamp
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g", "en", "s", 13L), (2L, "d x y", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix2 = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)
+    val eng2 = new WikiSearchEngine(spark, ix2)
+    val got = eng2.highlights("d", window = 2,
+        tokenizer = graft.functions.TextFunctions.tokenizeWs)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(got == Map("1" -> "b c d e f", "2" -> "d x y"))
+  }
 }
