@@ -16,9 +16,8 @@ run / fork := true
 // that line into "[info] {…}", which does not parse (BENCH_r01–r03 all
 // recorded parsed:null for this reason). StdoutOutput passes the forked
 // JVM's stdout through verbatim, so the bench JSON line starts at column 0.
-// Scoped to run/runMain only: a bare `outputStrategy` would also apply to
-// forked TEST JVMs and disable sbt's buffered per-suite logging.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Scoped to Compile/run+runMain only: a less-scoped `outputStrategy` would
+// also apply to forked TEST JVMs and disable sbt's buffered per-suite logging.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -146,7 +146,25 @@ object Bench {
     // "ib" = one-time search-index materialization (named "index_build"
     // through round 5's BENCH_r json; shortened for line budget),
     // excluded from total.
-    val qs = (results :+ ("ib" -> indexBuild))
+    //
+    // BENCH-ONLY key abbreviation: the numbered relational and wikisearch
+    // queries drop their descriptive suffix ("q17_small_quantity_revenue"
+    // -> "q17", "ws_q15_ne_numeric_on_text" -> "ws_q15") — the number
+    // already identifies the query and the suffixes alone cost ~420
+    // chars of the ~1800-char tail-capture budget (round 5 printed 1806
+    // chars + its own truncation warning). Registry/CORRECTNESS names
+    // are UNCHANGED — this mapping exists only on the bench line; the
+    // full-name mapping lives in README.md's bench section.
+    def short(name: String): String = name match {
+      case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
+      case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
+      case s => s
+    }
+    val shortNames = results.map { case (k, _) => short(k) }
+    require(shortNames.distinct.size == shortNames.size,
+      "bench short-name collision: " +
+        shortNames.diff(shortNames.distinct).distinct.mkString(","))
+    val qs = (results.map { case (k, v) => (short(k), v) } :+ ("ib" -> indexBuild))
       .map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -163,7 +181,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars; tail capture may truncate it")
+    // Alarm threshold is 1650 (not the ~1800 hard budget): the warning
+    // must fire while there is still headroom to fix the registry, not
+    // when truncation is already imminent.
+    if (line.length > 1650)
+      System.err.println(s"[bench] WARNING: JSON line is ${line.length} chars (budget ~1800); shorten keys before adding queries")
   }
 }

@@ -113,7 +113,7 @@ class QueryService(engine: WikiSearchEngine) {
   def rank(terms: Seq[String], limit: Int = 10): String = {
     val rows = engine.rank(terms).limit(limit).collect()
     rows.map { r =>
-      s"""{"rank":${r.getAs[Long]("rank")},"id":"${r.getAs[String]("docId")}","score":${r.getAs[Double]("score")}}"""
+      s"""{"rank":${r.getAs[Long]("rank")},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
     }.mkString("[", ",", "]")
   }
 
@@ -124,12 +124,16 @@ class QueryService(engine: WikiSearchEngine) {
   def facets(q: String, field: String, auths: Seq[String] = Nil): String = {
     val rows = engine.facets(q, field, auths).collect()
     rows.map { r =>
-      val v = Option(r.getAs[String]("value"))
-        .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .getOrElse("null")
-      s"""{"language":"${r.getAs[String]("language")}","value":$v,"n":${r.getAs[Long]("n")}}"""
+      val v = Option(r.getAs[String]("value")).map(jstr).getOrElse("null")
+      s"""{"language":${jstr(r.getAs[String]("language"))},"value":$v,"n":${r.getAs[Long]("n")}}"""
     }.mkString("[", ",", "]")
   }
+
+  /** JSON string literal: a quote or backslash in a stored id/value must
+    * not break the document (same escaping for every interpolated string).
+    */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def toDocument(r: Row): Document = {
     val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq

@@ -187,7 +187,8 @@ class WikiSearchEngine(
     * reference, which returns unranked sets although its index already
     * stores everything BM25 needs): tf = TermWeight offsets length, df
     * from the filtered postings, document length from the stored
-    * content (the SAME `tokenizeWs` that produced the offsets), corpus
+    * content (via `tokenizer`, which MUST be the tokenizer that BUILT
+    * the postings so tf and dl come from the same token stream), corpus
     * stats as a one-row broadcast. Per-term contributions are summed in
     * EXPLICIT term order so the float association is reproducible.
     *
@@ -195,35 +196,48 @@ class WikiSearchEngine(
     * under the score): callers with numeric document ids pass the cast
     * column so ties match a numeric oracle; default is the stored
     * string docId.
+    *
+    * `tokenizer` defaults like `highlights`: `TextFunctions.tokenize`
+    * for the wiki XML path; pass `TextFunctions.tokenizeWs` on a
+    * documents-table engine.
     */
   def rank(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      tieBreak: Column = col("docId")): DataFrame = {
+      tieBreak: Column = col("docId"),
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "rank() needs at least one term")
-    val docLens = index.documents.select(col("docId"),
-      size(graft.functions.TextFunctions.tokenizeWs(
-        unbase64(col("textB64")).cast("string"))).cast("double").as("dl"))
+    // Lengths and postings join on the FULL document key (partition,
+    // language, docId): a docId repeated across languages is a distinct
+    // document and must neither duplicate-join its dl row nor merge
+    // score contributions with its namesakes.
+    val docKey = Seq("partition", "language", "docId")
+    val docLens = index.documents.select(
+      col("partition"), col("language"), col("docId"),
+      size(tokenizer(unbase64(col("textB64")).cast("string")))
+        .cast("double").as("dl"))
     val stats = docLens.agg(
       count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
     val tf = index.termPostings
       .filter(col("term").isin(terms: _*))
-      .select(col("docId"), col("term"), size(col("offsets")).cast("double").as("tf"))
+      .select(col("partition"), col("language"), col("docId"), col("term"),
+        size(col("offsets")).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val contrib = tf
       .join(broadcast(df), "term")
-      .join(docLens, "docId")
+      .join(docLens, docKey)
       .crossJoin(broadcast(stats))
-      .select(col("docId"), col("term"),
+      .select(col("partition"), col("language"), col("docId"), col("term"),
         (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
           * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl"))))
           .as("c"))
-    val scored = contrib.groupBy("docId").agg(
+    val scored = contrib.groupBy(docKey.map(col): _*).agg(
       round(terms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
         .reduce(_ + _), 4).as("score"))
     scored
-      .select(row_number().over(Window.orderBy(col("score").desc, tieBreak))
-        .cast("bigint").as("rank"), col("docId"), col("score"))
+      .select(row_number().over(
+        Window.orderBy(col("score").desc, tieBreak, col("language"), col("partition")))
+        .cast("bigint").as("rank"), col("docId"), col("language"), col("score"))
       .orderBy("rank")
   }
 

@@ -577,16 +577,21 @@ object RelationalQueries {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
       val W = 1800000000000L // 30 min in nanos == bucket width
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-1970 ts_nanos would otherwise land one bucket high and its
+      // matches would be silently dropped vs the oracle's direct range
+      // predicate. pmod is non-negative, so (ts - pmod(ts, W)) is the
+      // floor multiple and the div is exact.
+      val bucketOf = expr(s"(ts_nanos - pmod(ts_nanos, ${W}L)) div ${W}L")
       val ev = Tables.events(s, dir)
       val errors = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("ts_nanos"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("ts_nanos").as("c_ts"), col("value"),
-          expr(s"ts_nanos div ${W}L").as("bucket"))
+          bucketOf.as("bucket"))
       val probed = errors
         .select(col("event_id"), col("ts_nanos"),
-          explode(array(expr(s"ts_nanos div ${W}L") - 1, expr(s"ts_nanos div ${W}L")))
-            .as("bucket"))
+          explode(array(bucketOf - 1, bucketOf)).as("bucket"))
       val matched = probed.join(clicks, "bucket")
         .filter(col("c_ts") >= col("ts_nanos") - W && col("c_ts") < col("ts_nanos"))
         .groupBy("event_id")

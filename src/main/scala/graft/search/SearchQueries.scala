@@ -300,7 +300,8 @@ object SearchQueries {
       // the postings). Numeric tie-break so equal-score ties match the
       // oracle's numeric doc_id ordering.
       engine(s, dir).rank(Seq("spark", "join", "vector"),
-        tieBreak = col("docId").cast("bigint"))
+        tieBreak = col("docId").cast("bigint"),
+        tokenizer = graft.functions.TextFunctions.tokenizeWs)
         .select(col("rank"), col("docId").cast("bigint").as("doc_id"), col("score"))
         .orderBy("rank")
     },
@@ -331,6 +332,32 @@ object SearchQueries {
         .filter(col("docId").cast("bigint") % 97 === 0)
         .select(col("docId").cast("bigint").as("doc_id"),
           unbase64(col("textB64")).cast("string").as("text"))
+        .orderBy("doc_id")
+    },
+
+    // Beyond-reference display path: term-in-context snippets from the
+    // STORED TermWeight offsets (`TermWeight.proto:54-57` is where the
+    // reference keeps them; `ws_phrase` proves adjacency, this proves
+    // display). The engine slices ±3 tokens around the first stored
+    // offset — no re-search of the text — while the oracle re-derives
+    // the first occurrence position from the raw text; they can only
+    // agree if the index's stored offsets are exact. Engine slice is
+    // 1-based start max(p1-3, 1), fixed 7-token length; DuckDB
+    // list_slice end-index start+6 is the same 7 tokens, and both
+    // truncate at the array end.
+    NamedQuery(
+      "ws_snip",
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, lang, tk, list_position(tk, 'spark') AS p1
+         |      FROM t WHERE list_contains(tk, 'spark'))
+         |SELECT doc_id, lang AS language,
+         |  array_to_string(list_slice(tk, greatest(p1 - 3, 1), greatest(p1 - 3, 1) + 6), ' ')
+         |    AS snippet
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir).highlights("spark", window = 3,
+          tokenizer = graft.functions.TextFunctions.tokenizeWs)
+        .select(col("docId").cast("bigint").as("doc_id"),
+          col("language"), col("snippet"))
         .orderBy("doc_id")
     }
   )
