@@ -157,9 +157,20 @@ class WikiSearchEngine(
             df => df.filter(col("partition").isin(parts: _*))
           case _ => identity
         }
-        val events = eventView(
-          auth = df => shardPrune(authFilter(df)),
-          candidates = Some(candidateDf(cand)))
+        val events = cand match {
+          // Driver-local candidates (exact docs + symbolic lossy
+          // shards) compile to ONE IN predicate on the event scan — no
+          // broadcast exchange, no semi-join: a warm all-EQ query is a
+          // single Spark job. Empty candidates fold to lit(false) and
+          // PropagateEmptyRelation collapses the whole plan.
+          case LocalCand(docs, shards, _) =>
+            shardPrune(authFilter(index.events))
+              .filter(candPredicate(docs, shards))
+          case _ =>
+            eventView(
+              auth = df => shardPrune(authFilter(df)),
+              candidates = Some(candidateDf(cand)))
+        }
         finish(events.filter(
           Compiler.compile(ast, config.unevaluatedFields, residualNorms)))
       case None => // full scan (AbstractQueryLogic.java:838-884)
@@ -336,8 +347,11 @@ class WikiSearchEngine(
         val cand = materialize(tree, stats,
           df => if (auths.isEmpty) df else df.filter(col("language").isin(auths: _*)), auths)
         val mat = cand match {
-          case LocalCand(docs, card) =>
-            s"candidates: DRIVER-LOCAL ${docs.size} docs (broadcast into the event semi-join); est card=$card"
+          case LocalCand(docs, Nil, card) =>
+            s"candidates: DRIVER-LOCAL ${docs.size} docs (IN predicate on the event scan); est card=$card"
+          case LocalCand(docs, shards, card) =>
+            s"candidates: DRIVER-LOCAL ${docs.size} docs + ${shards.size} lossy shards " +
+              s"(one IN predicate on the event scan; residual re-verifies); est card=$card"
           case DistCand(_, card, parts) =>
             s"candidates: DISTRIBUTED (lossy/range fallback); est card=$card; " +
               s"static shard footprint=${parts.map(_.sorted.mkString("{", ",", "}")).getOrElse("unbounded")}"
@@ -662,9 +676,22 @@ class WikiSearchEngine(
     * and negation subtraction, so a pure-EQ boolean query costs ZERO
     * extra Spark jobs between planning and the final semi-join — and that
     * semi-join broadcasts the local relation.
+    *
+    * `shards` holds lossy (ignore-row) fallbacks SYMBOLICALLY as their
+    * (partition, language) keys instead of expanding them to a
+    * distributed doc set: the candidate set is docs ∪ every-doc-in-
+    * shards, and `run` compiles that union into one IN predicate on the
+    * event scan. Sound only when the residual re-verifies everything
+    * (default config) — the reference's shard-range fallback expresses
+    * the same "whole tablet becomes the range" idea
+    * (`RangeCalculator.java:683-705`) without a per-query distributed
+    * candidate materialization. Under `unevaluatedFields` the EqLeaf
+    * path never produces shard-bearing LocalCands (it needs the exact
+    * fi-verification machinery, which is distributed).
     */
   private sealed trait MCand { def card: Long }
-  private case class LocalCand(docs: Seq[(Int, String, String)], card: Long) extends MCand
+  private case class LocalCand(docs: Seq[(Int, String, String)],
+      shards: Seq[(Int, String)], card: Long) extends MCand
   /** `parts` = the candidate set's partition (shard) footprint when it is
     * known at plan time (EqLeaf postings — exact AND lossy rows — are
     * collected driver-side, so their shards are known even on the
@@ -676,15 +703,44 @@ class WikiSearchEngine(
 
   /** Known shard footprint of a candidate set (None = unbounded). */
   private def partsOf(m: MCand): Option[Seq[Int]] = m match {
-    case LocalCand(docs, _)   => Some(docs.map(_._1).distinct)
-    case DistCand(_, _, p)    => p
+    case LocalCand(docs, shards, _) =>
+      Some((docs.map(_._1) ++ shards.map(_._1)).distinct)
+    case DistCand(_, _, p) => p
   }
 
   private val CandKeys = Seq("partition", "language", "docId")
 
   private def candidateDf(c: MCand): DataFrame = c match {
-    case LocalCand(docs, _) => docs.toDF(CandKeys: _*)
+    case LocalCand(docs, Nil, _) => docs.toDF(CandKeys: _*)
+    case LocalCand(docs, shards, _) =>
+      docs.toDF(CandKeys: _*).unionByName(
+        allDocs.join(broadcast(shards.toDF("partition", "language")),
+          Seq("partition", "language"), "left_semi"))
     case DistCand(df, _, _) => df
+  }
+
+  /** The LocalCand membership test compiled to ONE codegen'd predicate
+    * (InSet over concatenated keys) — zero exchanges, zero extra jobs on
+    * the warm serving path; the previous broadcast semi-join cost two
+    * scheduler round-trips per query (the broadcast-exchange job + the
+    * main job) even when the candidate relation was already driver-local.
+    * NUL (U+0000) as separator: it cannot occur in stored
+    * partition/language/docId (partition is an int rendered in decimal;
+    * language/docId are identifier-shaped), so the concatenation is
+    * injective and the membership test is exactly per-column equality.
+    */
+  private def candPredicate(docs: Seq[(Int, String, String)],
+      shards: Seq[(Int, String)]): Column = {
+    val S = 0.toChar.toString
+    val docPred =
+      if (docs.isEmpty) lit(false)
+      else concat_ws(S, col("partition"), col("language"), col("docId"))
+        .isin(docs.map { case (p, l, d) => s"$p$S$l$S$d" }: _*)
+    val shardPred =
+      if (shards.isEmpty) lit(false)
+      else concat_ws(S, col("partition"), col("language"))
+        .isin(shards.map { case (p, l) => s"$p$S$l" }: _*)
+    docPred || shardPred
   }
 
   private def materialize(
@@ -693,7 +749,7 @@ class WikiSearchEngine(
       auth: DataFrame => DataFrame,
       auths: Seq[String]): MCand = n match {
 
-    case EmptyLeaf => LocalCand(Nil, 0L)
+    case EmptyLeaf => LocalCand(Nil, Nil, 0L)
 
     case EqLeaf(tag, field, forms) =>
       val st    = stats.getOrElse(tag, LeafStats(Nil, 0L))
@@ -701,21 +757,23 @@ class WikiSearchEngine(
       val exact = rows.filterNot(_.ignore)
         .flatMap(r => r.uids.map(u => (r.partition, r.language, u))).distinct
       val shards = rows.filter(_.ignore).map(r => (r.partition, r.language)).distinct
-      if (shards.isEmpty) LocalCand(exact, st.card)
-      else {
+      if (shards.isEmpty) LocalCand(exact, Nil, st.card)
+      else if (config.unevaluatedFields.isEmpty)
         // lossy rows degrade to whole-(partition, language) candidate
         // sets — the reference's shard-range fallback
-        // (`RangeCalculator.java:683-705`); partition-pruned via
-        // broadcast semi-join. EXCEPT on an unevaluated field: there the
-        // residual compiles to TRUE, so a whole-shard candidate set
-        // would leak every doc in the shard — the reference instead
-        // walks the EXACT per-partition fi index within the shard
-        // (`BooleanLogicIterator`); our fi analogues are termPostings
-        // (TEXT) and docsFields (event fields).
-        val shardSource = // see termNode: ANY unevaluated field forces exactness
-          if (config.unevaluatedFields.nonEmpty) exactFieldDocs(field, forms)
-          else allDocs
-        val shardDocs = shardSource.join(
+        // (`RangeCalculator.java:683-705`). The residual re-verifies
+        // every candidate under the default config, so the shard part
+        // stays SYMBOLIC (driver-local keys compiled into the event
+        // scan's IN predicate) — no distributed candidate
+        // materialization, no broadcast exchange on the serving path.
+        LocalCand(exact, shards, st.card)
+      else {
+        // Unevaluated field: the residual compiles to TRUE, so a
+        // whole-shard candidate set would leak every doc in the shard —
+        // the reference instead walks the EXACT per-partition fi index
+        // within the shard (`BooleanLogicIterator`); our fi analogues
+        // are termPostings (TEXT) and docsFields (event fields).
+        val shardDocs = exactFieldDocs(field, forms).join(
           broadcast(shards.toDF("partition", "language")),
           Seq("partition", "language"), "left_semi")
         // no dedup: candidates only ever feed semi/anti-joins, which are
@@ -733,7 +791,9 @@ class WikiSearchEngine(
       val ms   = cs.map(materialize(_, stats, auth, auths))
       val card = ms.map(_.card).sum
       if (ms.forall(_.isInstanceOf[LocalCand]))
-        LocalCand(ms.collect { case LocalCand(d, _) => d }.flatten.distinct, card)
+        LocalCand(
+          ms.collect { case LocalCand(d, _, _) => d }.flatten.distinct,
+          ms.collect { case LocalCand(_, sh, _) => sh }.flatten.distinct, card)
       else { // union without dedup — downstream semi-join is duplicate-tolerant
         val parts = ms.map(partsOf)
         DistCand(ms.map(candidateDf).reduce(_ unionByName _), card,
@@ -746,13 +806,14 @@ class WikiSearchEngine(
         if (ms.size == 1) ms.head
         else if (config.unevaluatedFields.isEmpty) {
           // Default config: the residual re-verifies everything, so any
-          // superset of the true match set is sound. When every branch is
-          // an exact local posting set (no lossy rows), intersect them
-          // driver-side — exact, smaller than any single branch, and an
-          // empty result collapses the downstream semi-join to an empty
-          // LocalRelation (PropagateEmptyRelation). Otherwise keep the
-          // reference's min-cardinality superset rule
-          // (`RangeCalculator.java:825-834`).
+          // superset of the true match set is sound. When every branch
+          // is driver-local (exact postings and/or symbolic lossy
+          // shards), intersect them driver-side — exact over the
+          // symbolic form, smaller than any single branch, and an empty
+          // result collapses the downstream filter to an empty
+          // LocalRelation (PropagateEmptyRelation). Only a distributed
+          // branch (range scan) falls back to the reference's
+          // min-cardinality superset rule (`RangeCalculator.java:825-834`).
           if (ms.forall(_.isInstanceOf[LocalCand])) intersectAll(ms)
           else ms.minBy(_.card)
         } else intersectAll(ms)
@@ -763,9 +824,13 @@ class WikiSearchEngine(
         val negRows = st.rows.filterNot(_.ignore)
           .flatMap(r => r.uids.map(u => (r.partition, r.language, u)))
         val step = acc match {
-          case LocalCand(docs, c) =>
+          case LocalCand(docs, shards, c) =>
+            // exact postings subtract from the doc part; the symbolic
+            // shard part keeps its negated docs as candidates — sound
+            // because shard-bearing locals only exist under the default
+            // config, where the residual's absence check re-verifies
             val negSet = negRows.toSet
-            LocalCand(docs.filterNot(negSet.contains), c)
+            LocalCand(docs.filterNot(negSet.contains), shards, c)
           case DistCand(df, c, p) if negRows.nonEmpty =>
             DistCand(df.join(
               broadcast(negRows.toDF(CandKeys: _*)), CandKeys, "left_anti"), c, p)
@@ -792,12 +857,27 @@ class WikiSearchEngine(
   /** Chained semi-join intersection (AndIterator leapfrog, J1) — local
     * sets intersect driver-side; a distributed base semi-joins the rest
     * (local branches broadcast).
+    *
+    * All-local intersection is EXACT over the symbolic form: branch i's
+    * candidate set is docs_i ∪ shards_i, so the intersection is
+    * (∩ shards) ∪ {d ∈ ⋃ docs : ∀i. d ∈ docs_i ∨ shard(d) ∈ shards_i}
+    * — still driver-local and strictly smaller than any min-cardinality
+    * superset branch. With no lossy rows anywhere it degenerates to the
+    * plain exact doc-set intersection.
     */
   private def intersectAll(ms: Seq[MCand]): MCand = {
     val card = ms.map(_.card).min
     if (ms.forall(_.isInstanceOf[LocalCand])) {
-      val sets = ms.collect { case LocalCand(d, _) => d.toSet }
-      LocalCand(sets.reduce(_ intersect _).toSeq, card)
+      val ls        = ms.collect { case l: LocalCand => l }
+      val docSets   = ls.map(_.docs.toSet)
+      val shardSets = ls.map(_.shards.toSet)
+      val shards    = shardSets.reduce(_ intersect _)
+      val docs = docSets.reduce(_ union _).filter { d =>
+        !shards.contains((d._1, d._2)) && // already covered by ∩ shards
+          docSets.lazyZip(shardSets).forall((ds, ss) =>
+            ds.contains(d) || ss.contains((d._1, d._2)))
+      }
+      LocalCand(docs.toSeq, shards.toSeq, card)
     } else {
       val (dists, locals) = ms.partition(_.isInstanceOf[DistCand])
       val base = dists.map(candidateDf).reduce(
