@@ -17,6 +17,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow-input relation out to the session's parallelism before
+    * a CPU-heavy per-row pass (shingling, hashing, embedding math).
+    * Parquet cannot split below a row group, so a small single-file
+    * table scans as ONE partition and a heavy UDF over it runs
+    * single-task no matter how many cores the session has. The
+    * round-robin shuffle moves each row once; when the source already
+    * has at least the session's parallelism (any at-scale input) this
+    * is the identity — it exists for narrow sources, not as a general
+    * repartition.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // hash on the first column, not round-robin: RoundRobinPartitioning
+    // sorts each input partition first (retry determinism) — pure waste
+    // here — and its exchange defeats cached-plan reuse less cleanly
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(df.columns.head))
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads nanos as LongType
     * under this flag (set in Sessions.configure). Exposed as both the raw
     * nanos and a derived micros timestamp column `ts`.

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.Sessions
+
+import scala.collection.mutable
+
+/** Per-job breakdown of one registry query (not part of the driver
+  * surface): runs the named query once warm, then once instrumented,
+  * printing every Spark job's wall time, stage names and task counts —
+  * the "where do the seconds go" view TimeQueries lacks. Usage:
+  *   graft.tools.ProfileQuery <sfDir> <query>
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name  = args.lift(1).getOrElse("dd_ngram_jaccard")
+    val spark = Sessions.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm: codegen, parquet footers, caches
+
+    case class J(id: Int, var t0: Long = 0L, var t1: Long = 0L,
+        var stages: Seq[String] = Nil, var tasks: Int = 0)
+    val jobs = mutable.LinkedHashMap.empty[Int, J]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.synchronized {
+          jobs(e.jobId) = J(e.jobId, e.time,
+            stages = e.stageInfos.map(s => s"${s.name.takeWhile(_ != '(').trim}[${s.numTasks}]"),
+            tasks = e.stageInfos.map(_.numTasks).sum)
+        }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(l)
+    val js = jobs.synchronized(jobs.values.toSeq)
+    println(f"$name: wall=$wall%.3f s, jobs=${js.size}, job-time sum=${js.map(j => j.t1 - j.t0).sum / 1e3}%.3f s")
+    js.foreach { j =>
+      println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%7.3f s tasks=${j.tasks}%4d  ${j.stages.mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}
