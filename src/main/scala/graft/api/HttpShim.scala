@@ -102,6 +102,25 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     ("application/json", service.facets(q, field, auths))
   })
 
+  //  - `GET /snippets?terms=a,b&window=3&limit=N` → per-(doc, term)
+  //    first-occurrence context windows as JSON
+  //  - `GET /snippets?phrase=a,b&window=3` → adjacent-phrase context
+  //    windows as JSON (exactly one of terms/phrase must be present)
+  server.createContext("/snippets", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    def csv(k: String) = params.get(k).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val (terms, phrase) = (csv("terms"), csv("phrase"))
+    val window = params.get("window").map(_.toInt).getOrElse(3)
+    val limit  = params.get("limit").map(_.toInt).getOrElse(100)
+    (terms.nonEmpty, phrase.nonEmpty) match {
+      case (true, false) => ("application/json", service.snippets(terms, window, limit))
+      case (false, true) => ("application/json", service.phraseSnippets(phrase, window, limit))
+      case _ => throw new IllegalArgumentException(
+        "exactly one of terms= or phrase= is required")
+    }
+  })
+
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))
 
   def start(): HttpShim = { server.start(); this }

@@ -129,6 +129,26 @@ class QueryService(engine: WikiSearchEngine) {
     }.mkString("[", ",", "]")
   }
 
+  /** Multi-term snippets (`WikiSearchEngine.snippets`) — one entry per
+    * (document, matched term), first `limit` rows as a JSON array.
+    */
+  def snippets(terms: Seq[String], window: Int = 3, limit: Int = 100): String = {
+    val rows = engine.snippets(terms, window).limit(limit).collect()
+    rows.map { r =>
+      s"""{"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"term":${jstr(r.getAs[String]("term"))},"snippet":${jstr(r.getAs[String]("snippet"))}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** Phrase snippets (`WikiSearchEngine.phraseSnippets`) — documents
+    * where the phrase occurs as adjacent tokens, JSON array.
+    */
+  def phraseSnippets(phrase: Seq[String], window: Int = 3, limit: Int = 100): String = {
+    val rows = engine.phraseSnippets(phrase, window).limit(limit).collect()
+    rows.map { r =>
+      s"""{"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"snippet":${jstr(r.getAs[String]("snippet"))}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** JSON string literal: a quote or backslash in a stored id/value must
     * not break the document (same escaping for every interpolated string).
     */

@@ -279,6 +279,68 @@ class WikiSearchEngine(
       .orderBy("docId")
   }
 
+  /** Multi-term snippets — `highlights` over a query's full term set:
+    * one row per (document, matched term), ±`window` tokens around that
+    * term's first stored offset. The per-doc hits aggregate BEFORE the
+    * content join, so each document's text is fetched and tokenized
+    * once no matter how many terms hit it; the postings side stays
+    * tiny (filtered to the term set) and the join is co-partitioned on
+    * the document key — no corpus scan at any size.
+    */
+  def snippets(terms: Seq[String], window: Int = 3,
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+    require(terms.nonEmpty, "snippets() needs at least one term")
+    val keys = Seq("partition", "language", "docId")
+    val hits = index.termPostings.filter(col("term").isin(terms: _*))
+      .select(keys.map(col) :+ struct(col("term"),
+        col("offsets").getItem(0).as("pos")).as("hit"): _*)
+      .groupBy(keys.map(col): _*).agg(collect_list(col("hit")).as("hits"))
+    hits.join(index.documents, keys)
+      .select(col("docId"), col("language"),
+        tokenizer(unbase64(col("textB64")).cast("string")).as("tk"),
+        explode(col("hits")).as("h"))
+      .select(col("docId"), col("language"), col("h.term").as("term"),
+        concat_ws(" ", slice(col("tk"),
+          greatest(col("h.pos") - window + 1, lit(1)), lit(2 * window + 1)))
+          .as("snippet"))
+      .orderBy("docId", "term")
+  }
+
+  /** Phrase snippets — the display companion of `ws_phrase`'s adjacency
+    * check, generalized to k-token phrases: documents where the phrase
+    * occurs as ADJACENT tokens, with ±`window` tokens around the FIRST
+    * occurrence of the whole phrase. Phrase start positions are the
+    * intersection of each term's offsets shifted by its phrase index
+    * (offsets of t_i minus i) — set algebra on the stored TermWeight
+    * arrays; the text is never re-searched. Postings co-partition on
+    * the document key; docs missing any phrase term drop out of the
+    * inner joins before any content is touched.
+    */
+  def phraseSnippets(phrase: Seq[String], window: Int = 3,
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+    require(phrase.size >= 2, "phraseSnippets() needs at least two tokens")
+    val keys = Seq("partition", "language", "docId")
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      index.termPostings.filter(col("term") === t)
+        .select(keys.map(col) :+
+          transform(col("offsets"), x => x - i).as(s"o$i"): _*)
+    }
+    val joined = shifted.reduce(_.join(_, keys))
+    val starts = phrase.indices.map(i => col(s"o$i")).reduce(array_intersect)
+    joined
+      .select(keys.map(col) :+ starts.as("starts"): _*)
+      .where(size(col("starts")) > 0)
+      .select(keys.map(col) :+ array_min(col("starts")).as("pos"): _*)
+      .join(index.documents, keys)
+      .select(col("docId"), col("language"),
+        concat_ws(" ", slice(
+          tokenizer(unbase64(col("textB64")).cast("string")),
+          greatest(col("pos") - window + 1, lit(1)),
+          lit(2 * window + phrase.size)))
+          .as("snippet"))
+      .orderBy("docId")
+  }
+
   /** Facet counts over a query's result set — the results-sidebar
     * aggregation (beyond the reference). One value row per (language,
     * field value) with its hit count; documents missing the field count

@@ -359,6 +359,50 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id"),
           col("language"), col("snippet"))
         .orderBy("doc_id")
+    },
+
+    // Multi-term snippets: one row per (doc, matched term) — the /snippets
+    // serving surface. Same stored-offset discipline as ws_snip, across a
+    // term set with one tokenize per document.
+    NamedQuery(
+      "ws_msnip",
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, lang, tk, term, list_position(tk, term) AS p1
+         |      FROM t CROSS JOIN (SELECT unnest(['spark','vector']) AS term)
+         |      WHERE list_contains(tk, term))
+         |SELECT doc_id, lang AS language, term,
+         |  array_to_string(list_slice(tk, greatest(p1 - 3, 1), greatest(p1 - 3, 1) + 6), ' ')
+         |    AS snippet
+         |FROM p ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      engine(s, dir).snippets(Seq("spark", "vector"), window = 3,
+          tokenizer = graft.functions.TextFunctions.tokenizeWs)
+        .select(col("docId").cast("bigint").as("doc_id"),
+          col("language"), col("term"), col("snippet"))
+        .orderBy("doc_id", "term")
+    },
+
+    // Phrase snippets: context around the FIRST adjacent occurrence of a
+    // 2-token phrase, derived entirely from stored offsets (intersection
+    // of shifted offset arrays); the oracle re-finds the phrase in the
+    // raw text — agreement proves the stored offsets are positionally
+    // exact, not just present
+    NamedQuery(
+      "ws_psnip",
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, lang, tk,
+         |        list_filter(generate_series(1, len(tk) - 1),
+         |          i -> tk[i] = 'spark' AND tk[i+1] = 'join') AS starts
+         |      FROM t)
+         |SELECT doc_id, lang AS language,
+         |  array_to_string(list_slice(tk, greatest(p1 - 3, 1), greatest(p1 - 3, 1) + 7), ' ')
+         |    AS snippet
+         |FROM (SELECT doc_id, lang, tk, starts[1] AS p1 FROM s WHERE len(starts) > 0) q
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir).phraseSnippets(Seq("spark", "join"), window = 3,
+          tokenizer = graft.functions.TextFunctions.tokenizeWs)
+        .select(col("docId").cast("bigint").as("doc_id"),
+          col("language"), col("snippet"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -114,6 +114,19 @@ class HttpShimSpec extends SparkSuite {
     assert(body.sliding(7).count(_ == "\"id\":\"6") == 2)
   }
 
+  test("/snippets serves term and phrase context windows; rejects bad params") {
+    val (status, ct, body) = get("/snippets?terms=abacus&window=2")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.contains("\"term\":\"abacus\"") && body.contains("abacus"))
+
+    // phrase mode: tokens stored lowercased — 'abacus is' occurs in the doc
+    val (ps, _, pbody) = get("/snippets?phrase=abacus,is&window=1")
+    assert(ps == 200 && pbody.contains("abacus is"))
+
+    assert(get("/snippets")._1 == 400)                      // neither param
+    assert(get("/snippets?terms=a&phrase=b,c")._1 == 400)   // both params
+  }
+
   test("/rank returns BM25-ranked JSON and rejects empty terms") {
     val (status, ct, body) = get("/rank?terms=abacus&limit=5")
     assert(status == 200 && ct.startsWith("application/json"))

@@ -215,4 +215,40 @@ class EngineWikiSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(2))).toMap
     assert(got == Map("1" -> "b c d e f", "2" -> "d x y"))
   }
+
+  test("snippets: one window per (doc, matched term), one tokenize per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g", "en", "s", 13L), // contains b AND f
+      (2L, "f x y", "en", "s", 5L),          // contains f only
+      (3L, "z z z", "en", "s", 5L))          // contains neither
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val got = eng.snippets(Seq("b", "f"), window = 1,
+        tokenizer = graft.functions.TextFunctions.tokenizeWs)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getString(3)).toMap
+    assert(got == Map(
+      ("1", "b") -> "a b c",
+      ("1", "f") -> "e f g",
+      ("2", "f") -> "f x y")) // left-edge clamp keeps 3 tokens
+  }
+
+  test("phraseSnippets: adjacency from shifted stored offsets, first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u v spark join w x", "en", "s", 18L),  // phrase at pos 2
+      (2L, "join spark a b", "en", "s", 14L),      // both terms, NOT adjacent in order
+      (3L, "spark join spark join y", "en", "s", 23L)) // twice: first wins
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val got = eng.phraseSnippets(Seq("spark", "join"), window = 1,
+        tokenizer = graft.functions.TextFunctions.tokenizeWs)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    // window=1 + 2 phrase tokens = 4-token slices around the phrase start
+    assert(got == Map(
+      "1" -> "v spark join w",
+      "3" -> "spark join spark join")) // left clamp at doc start
+  }
 }
