@@ -336,6 +336,38 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup with pairwise cosine
+    // restricted to WITHIN k-means clusters — the tractable-at-scale
+    // form of dd_embedding_neardup (which compares globally). Reuses the
+    // run's persisted IVF centroids; the oracle re-derives the cell
+    // assignment from them (same CTE as sim_ivf_topk), then applies the
+    // same keep-lowest-id rule within each cell with the engine-identical
+    // cosine fold. Cross-cell near-dups are NOT dropped by construction —
+    // the documented approximation the method trades for Σ(cell²) cost.
+    NamedQuery(
+      "dd_semdedup",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist) t
+         |  WHERE rn = 1)
+         |SELECT a.vec_id, a.cell,
+         |  CASE WHEN EXISTS (SELECT 1
+         |        FROM assign b JOIN embeddings xb ON xb.vec_id = b.vec_id
+         |        WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |          AND ${cosSql("xb.embedding", "xa.embedding")} >= 0.4)
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM assign a JOIN embeddings xa ON xa.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semDedup(cachedIvf(s, dir), tau = 0.4).orderBy("vec_id")
+    },
+
     // ---- similarity search ----------------------------------------------
     NamedQuery(
       "sim_pairs_brute",

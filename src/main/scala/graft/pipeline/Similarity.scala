@@ -334,6 +334,32 @@ object Similarity {
     IvfIndex(cents, if (persist) assigned.cache() else assigned)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * removal made tractable by comparing embeddings only WITHIN their
+    * k-means cluster. A vector drops iff a LOWER-id vector in the SAME
+    * cell has cosine ≥ tau (the deterministic keep-one rule); pairs in
+    * different cells are never compared — that is the approximation the
+    * method trades for scale, and it is deliberate, not a bug: the
+    * pairwise work is Σ(cell²) instead of corpus², and each cell's
+    * self-join co-partitions on the cell key. Reuses the trained IVF
+    * assignment (ingest-time artifact at 100 TB), so the marginal cost
+    * over an existing index is one keyed self-join + verdict join.
+    */
+  def semDedup(ivf: IvfIndex, tau: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(ivf.assigned.sparkSession)
+    val x = ivf.assigned.select(col("cell"), col("vec_id"), col("embedding"))
+    val dropIds = x.as("a")
+      .join(x.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    ivf.assigned.select(col("vec_id"), col("cell"))
+      .join(dropIds.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("d").isNotNull, lit("drop")).otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Persist a trained IVF index: the assigned corpus as parquet
     * PARTITIONED BY cell (so a probe's scan prunes to its nprobe cells'
     * directories), centroids as a k-row table. This is the ingest-time

@@ -210,6 +210,22 @@ class PipelineSpec extends SparkSuite {
     assert(probed == direct)
   }
 
+  test("semDedup: drops within-cell near-dups keep-lowest-id; cross-cell pairs untouched") {
+    // hand-built assignment pins the semantics: vecs 1,2 are identical in
+    // cell 0 (2 drops); vec 3 is identical to them but in cell 1 (keeps —
+    // the documented within-cluster-only approximation); vec 4 is
+    // orthogonal in cell 0 (keeps)
+    val assigned = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "cell")
+    val ivf = Similarity.IvfIndex(Array(Array(1.0, 0.0), Array(0.0, 1.0)), assigned)
+    val got = Similarity.semDedup(ivf, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "keep", 2L -> "drop", 3L -> "keep", 4L -> "keep"))
+  }
+
   test("persisted IVF index: parquet round-trip answers identically and prunes cells") {
     val emb = (0 until 40).map { i =>
       val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
