@@ -21,6 +21,20 @@ object Bench {
     }
   }
 
+  /** BENCH-ONLY key abbreviation: the numbered relational and wikisearch
+    * queries drop their descriptive suffix ("q17_small_quantity_revenue"
+    * -> "q17", "ws_q15_ne_numeric_on_text" -> "ws_q15") — the number
+    * already identifies the query and the suffixes alone cost ~420 chars
+    * of the ~1800-char tail-capture budget (round 5 printed 1806 chars +
+    * its own truncation warning). Registry/CORRECTNESS names are
+    * UNCHANGED; the mapping is documented in README.md's bench section.
+    */
+  def shortName(name: String): String = name match {
+    case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
+    case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
+    case s => s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,6 +125,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
     }
+    // Short-name uniqueness is knowable BEFORE any measurement — check it
+    // here so a future name collision fails fast instead of burning three
+    // full registry passes and then aborting before the JSON line prints
+    // (the exact evidence-loss mode the line budget machinery prevents).
+    require(names.map(shortName).distinct.size == names.size,
+      "bench short-name collision: " +
+        names.map(shortName).diff(names.map(shortName).distinct).distinct.mkString(","))
     val passes = Seq.fill(3)(names.map(n => n -> guarded(n)).toMap)
     val results = names.map { name =>
       val runs = passes.flatMap(_(name)).sorted
@@ -145,26 +166,8 @@ object Bench {
     }
     // "ib" = one-time search-index materialization (named "index_build"
     // through round 5's BENCH_r json; shortened for line budget),
-    // excluded from total.
-    //
-    // BENCH-ONLY key abbreviation: the numbered relational and wikisearch
-    // queries drop their descriptive suffix ("q17_small_quantity_revenue"
-    // -> "q17", "ws_q15_ne_numeric_on_text" -> "ws_q15") — the number
-    // already identifies the query and the suffixes alone cost ~420
-    // chars of the ~1800-char tail-capture budget (round 5 printed 1806
-    // chars + its own truncation warning). Registry/CORRECTNESS names
-    // are UNCHANGED — this mapping exists only on the bench line; the
-    // full-name mapping lives in README.md's bench section.
-    def short(name: String): String = name match {
-      case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
-      case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
-      case s => s
-    }
-    val shortNames = results.map { case (k, _) => short(k) }
-    require(shortNames.distinct.size == shortNames.size,
-      "bench short-name collision: " +
-        shortNames.diff(shortNames.distinct).distinct.mkString(","))
-    val qs = (results.map { case (k, v) => (short(k), v) } :+ ("ib" -> indexBuild))
+    // excluded from total. Keys print abbreviated — see shortName above.
+    val qs = (results.map { case (k, v) => (shortName(k), v) } :+ ("ib" -> indexBuild))
       .map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

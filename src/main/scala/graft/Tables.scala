@@ -17,23 +17,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fan a narrow-input relation out to the session's parallelism before
-    * a CPU-heavy per-row pass (shingling, hashing, embedding math).
+  /** Fan a RAW-SCAN relation out to the session's parallelism before a
+    * CPU-heavy per-row pass (shingling, hashing, embedding math).
     * Parquet cannot split below a row group, so a small single-file
     * table scans as ONE partition and a heavy UDF over it runs
-    * single-task no matter how many cores the session has. The
-    * round-robin shuffle moves each row once; when the source already
-    * has at least the session's parallelism (any at-scale input) this
-    * is the identity — it exists for narrow sources, not as a general
-    * repartition.
+    * single-task no matter how many cores the session has. When the
+    * source already has at least the session's parallelism (any
+    * at-scale input) this is the identity.
+    *
+    * `key` names the column to hash-spread on and MUST be high-
+    * cardinality (a doc/vec id): hashing a low-cardinality column would
+    * silently keep the pass on few tasks. Hash, not round-robin:
+    * RoundRobinPartitioning sorts each input partition first (retry
+    * determinism) — pure waste here. Intended for raw table scans
+    * only — the `df.rdd` partition probe would eagerly materialize
+    * upstream shuffle stages on an AQE plan that contains exchanges.
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // hash on the first column, not round-robin: RoundRobinPartitioning
-    // sorts each input partition first (retry determinism) — pure waste
-    // here — and its exchange defeats cached-plan reuse less cleanly
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, org.apache.spark.sql.functions.col(df.columns.head))
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads nanos as LongType

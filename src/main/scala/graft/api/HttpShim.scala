@@ -113,6 +113,10 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val (terms, phrase) = (csv("terms"), csv("phrase"))
     val window = params.get("window").map(_.toInt).getOrElse(3)
     val limit  = params.get("limit").map(_.toInt).getOrElse(100)
+    // client faults must map to 400, not surface as execution-time 500s
+    // (a negative window reaches Spark's slice as a negative length)
+    if (window < 0) throw new IllegalArgumentException(s"window must be >= 0: $window")
+    if (limit <= 0) throw new IllegalArgumentException(s"limit must be > 0: $limit")
     (terms.nonEmpty, phrase.nonEmpty) match {
       case (true, false) => ("application/json", service.snippets(terms, window, limit))
       case (false, true) => ("application/json", service.phraseSnippets(phrase, window, limit))

@@ -17,9 +17,19 @@ object Dedup {
 
   /** jaccardPairs hot-shingle probe results, keyed by
     * (corpus semanticHash, n, dfCap) — see the probe comment there.
+    * ASSUMES the data behind a given plan is immutable for the JVM's
+    * lifetime (true for the harness corpora and for at-scale immutable
+    * snapshot dirs): if a path is overwritten in place, the stale entry
+    * could skip the hot/cold machinery — results stay exact either way,
+    * only the skew protection's engagement is affected. Cleared when it
+    * grows past a bound so a long-lived session cannot leak entries.
     */
   private val probeMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Boolean]
+  private def memoizedProbe(key: (Int, Int, Int))(probe: => Boolean): Boolean = {
+    if (probeMemo.size > 64) probeMemo.clear()
+    probeMemo.getOrElseUpdate(key, probe)
+  }
 
   /** Exact dedup: group by content hash. At 100 TB: hash first (64-byte
     * key instead of full text in the shuffle), one shuffle on the hash,
@@ -316,8 +326,8 @@ object Dedup {
     // plan-time jobs entirely. A semanticHash collision would only pick
     // the other (equally exact) plan shape — correctness never depends
     // on this cache.
-    val anyHot = dfCap > 0 && probeMemo.getOrElseUpdate(
-      (docs.semanticHash(), n, dfCap), !hot.isEmpty)
+    val anyHot = dfCap > 0 && memoizedProbe(
+      (docs.semanticHash(), n, dfCap))(!hot.isEmpty)
 
     val (joinSide, extraPairs, hotCorrection) =
       if (dfCap <= 0 || !anyHot)

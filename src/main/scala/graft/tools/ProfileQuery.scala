@@ -36,9 +36,14 @@ object ProfileQuery {
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
+    // wait for job-end events to drain (bounded poll — the listener bus
+    // is async and a fixed sleep can miss a late onJobEnd, leaving t1=0
+    // and a garbage negative duration in the report)
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (jobs.synchronized(jobs.values.exists(_.t1 == 0L)) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
     spark.sparkContext.removeSparkListener(l)
-    val js = jobs.synchronized(jobs.values.toSeq)
+    val js = jobs.synchronized(jobs.values.toSeq).filter(_.t1 != 0L)
     println(f"$name: wall=$wall%.3f s, jobs=${js.size}, job-time sum=${js.map(j => j.t1 - j.t0).sum / 1e3}%.3f s")
     js.foreach { j =>
       println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%7.3f s tasks=${j.tasks}%4d  ${j.stages.mkString(" | ")}")

@@ -66,7 +66,14 @@ object SkewBench {
       val t0  = System.nanoTime()
       val out = body
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      // drain: poll until no new task-end events arrive (the listener
+      // bus is async; a fixed sleep can undercount a late straggler)
+      var prev = -1L
+      var cur  = stages.synchronized(stages.values.map(_.tasks.toLong).sum)
+      while (cur != prev) {
+        Thread.sleep(200); prev = cur
+        cur = stages.synchronized(stages.values.map(_.tasks.toLong).sum)
+      }
       spark.sparkContext.removeSparkListener(l)
       // the final-agg stage is the one with the largest max task
       // shuffle read — the reducer the hot key lands on
