@@ -96,6 +96,40 @@ object Curation {
         when(col("n_contaminated") > 0, lit("contaminated")).otherwise(lit("clean")))
   }
 
+  /** Graded decontamination — the overlap-FRACTION form (the GPT-3
+    * appendix-C / PaLM shape): per document, the permille of its
+    * distinct n-grams that occur anywhere in the eval set, with a drop
+    * verdict at ≥ `dropAt`. `contamination` above answers "touched at
+    * all?" (right for exact-answer leakage); this grades HOW MUCH, so a
+    * document sharing one boilerplate shingle with a benchmark survives
+    * while a true leak drops. Integer permille via `div` — no float
+    * ratio to diverge from the oracle. Same shuffle shape as
+    * `contamination`: eval set collapses to broadcast-size distinct
+    * hashes, corpus probes it inside the shingling stage, one per-doc
+    * aggregation.
+    */
+  def overlapFraction(
+      docs: DataFrame, evalDocs: DataFrame, n: Int = 3, dropAt: Int = 200): DataFrame = {
+    val evalSh = Dedup.shingleHashes(evalDocs, n).select("sh").distinct()
+    val per = Dedup.shingleHashes(docs, n)
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      // integer div, not a double ratio: floor semantics are portable.
+      // The div runs on the PRE-coalesce nullable columns: a doc shorter
+      // than n tokens has no `per` row, so the division sees NULL (not
+      // 0) and coalesces to 0 — under ANSI mode a 0 divisor would throw
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(expr("(n_overlap * 1000) div n_shingles"), lit(0L))
+          .as("overlap_permille"))
+      .withColumn("verdict",
+        when(col("overlap_permille") >= dropAt, lit("drop")).otherwise(lit("keep")))
+  }
+
   /** Domain mixture table: per source, document and token counts plus
     * an integer sampling weight proportional to token share
     * (`tokens·1000 // total` — integer math, so the table is exact and

@@ -790,6 +790,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Graded decontamination: the overlap-FRACTION form (integer
+    // permille of a doc's distinct 3-grams found in the eval set; drop
+    // at >= 200 permille). cu_contam is the membership form; this is
+    // the GPT-3/PaLM-style graded gate.
+    NamedQuery(
+      "cu_overlap",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         | per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+         |          count(ev.s) AS n_overlap
+         |         FROM sh LEFT JOIN ev ON sh.s = ev.s
+         |         WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(p.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0
+         |       ELSE (p.n_overlap * 1000) // p.n_shingles END AS BIGINT)
+         |    AS overlap_permille,
+         |  CASE WHEN coalesce(p.n_shingles, 0) <> 0
+         |        AND (p.n_overlap * 1000) // p.n_shingles >= 200
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Curation.overlapFraction(
+          docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    },
+
     NamedQuery(
       "cu_mix",
       s"""SELECT source, CAST(n_docs AS BIGINT) AS n_docs,

@@ -367,6 +367,26 @@ class PipelineSpec extends SparkSuite {
     assert(c(2L) == ((0L, "clean")))
   }
 
+  test("overlapFraction grades permille with an exact drop boundary; short docs keep") {
+    val evals = Seq((100L, "secret eval question about spark joins")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 10 distinct trigrams, 2 shared ("secret eval question",
+      // "eval question about") -> exactly 200 permille: boundary DROPS
+      (1L, "u1 u2 u3 u4 u5 u6 u7 secret eval question about end"),
+      // 8 distinct trigrams, 1 shared -> 125 permille: keeps
+      (2L, "w1 w2 w3 w4 w5 w6 secret eval question end"),
+      (3L, "entirely unrelated words here friend"), // 0 permille
+      (4L, "too short")                             // < n tokens: 0 shingles
+    ).toDF("doc_id", "text")
+    val got = Curation.overlapFraction(corpus, evals, n = 3, dropAt = 200)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((10L, 2L, 200L, "drop")))
+    assert(got(2L) == ((8L, 1L, 125L, "keep")))
+    assert(got(3L) == ((3L, 0L, 0L, "keep")))
+    assert(got(4L) == ((0L, 0L, 0L, "keep")))
+  }
+
   test("cross-doc span shares: hand-computed windows, within-doc repeats excluded") {
     val d = Seq(
       (1L, "a b c d e f g"),     // windows(3): abc bcd cde def efg (5)
