@@ -186,6 +186,38 @@ object Dedup {
         when(col("component") === col("doc_id"), lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Keep-BEST dedup verdicts: like `dedupClusters`, but the keeper per
+    * component is the member maximizing `score` (ties → lowest doc_id)
+    * instead of blindly the lowest id — the canonical-selection rule
+    * real curation pipelines use (keep the longest / highest-quality
+    * variant of a near-dup cluster, drop the rest). `docs` must carry
+    * `doc_id` and the score column. Cost over keep-first: one extra
+    * shuffle on `component` for the per-component argmax window; the
+    * corpus is still touched exactly once.
+    */
+  def dedupClustersKeepBest(
+      docs: DataFrame, pairs: DataFrame, score: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val withComp = docs.select(col("doc_id"), col(score).as("_score"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_score"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    // argmax via max(struct): one partial-aggregable pass, no window
+    // sort. struct compares lexicographically, so (score, -doc_id) max
+    // = highest score, ties to LOWEST id. doc_id = Long.MinValue would
+    // overflow the negation, but ids here are non-negative by contract
+    // (the same contract packSequences documents).
+    val keepers = withComp
+      .groupBy("component")
+      .agg(max(struct(col("_score"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("component"), (-col("best.neg_id")).as("keeper_id"))
+    withComp.join(keepers, Seq("component"), "left")
+      .select(col("doc_id"), col("component"), col("keeper_id"),
+        when(col("doc_id") === col("keeper_id"), lit("keep"))
+          .otherwise(lit("drop")).as("verdict"))
+  }
+
   /** (doc_id, shingle) pairs: distinct word n-grams per document.
     * Compiled UDF rather than nested higher-order functions — HOF
     * expressions evaluate interpreted per element, which dominates on a

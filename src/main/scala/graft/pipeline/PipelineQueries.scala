@@ -100,6 +100,34 @@ object PipelineQueries {
     * its own normalization, so a pair within one ulp of a `tau` cutoff
     * or a 4-dp rounding boundary could flake the hash match.
     */
+  /** Recursive-CTE prefix re-deriving the jaccard(τ=0.1, n=3) near-dup
+    * components (transitive closure over the exact pair list) — the
+    * shared oracle front half of dd_cluster and dd_keep_best. Ends with
+    * `comp(doc_id, component)`; members only — isolated docs are absent
+    * and coalesce to their own id downstream.
+    */
+  private def clusterCte: String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, $toks AS tk FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, s FROM (
+       |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+       |     CASE WHEN i + 2 <= len(tk)
+       |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+       |   WHERE s IS NOT NULL),
+       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       | pr AS (SELECT a, b FROM (
+       |   SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
+       |   FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
+       |   WHERE j >= 0.1),
+       | e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+       | reach(u, v) AS (
+       |   SELECT u, v FROM e
+       |   UNION
+       |   SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       | comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)""".stripMargin
+
   private def cosSql(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
@@ -209,26 +237,7 @@ object PipelineQueries {
     // scale; the Spark side is the O(log²)-round star algorithm).
     NamedQuery(
       "dd_cluster",
-      s"""WITH RECURSIVE
-         | t AS (SELECT doc_id, $toks AS tk FROM documents),
-         | sh AS (SELECT DISTINCT doc_id, s FROM (
-         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
-         |     CASE WHEN i + 2 <= len(tk)
-         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
-         |   WHERE s IS NOT NULL),
-         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         | pr AS (SELECT a, b FROM (
-         |   SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
-         |   FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id) q
-         |   WHERE j >= 0.1),
-         | e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
-         | reach(u, v) AS (
-         |   SELECT u, v FROM e
-         |   UNION
-         |   SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-         | comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+      s"""$clusterCte
          |SELECT d.doc_id,
          |  coalesce(c.component, d.doc_id) AS component,
          |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
@@ -238,6 +247,31 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       Dedup.dedupClusters(docs,
         Dedup.jaccardPairs(docs, n = 3, tau = 0.1, dfCap = 200))
+        .orderBy("doc_id")
+    },
+
+    // Canonical selection: same clusters as dd_cluster, but the keeper
+    // per component is the LONGEST member (ties -> lowest id) — the
+    // keep-best rule curation pipelines apply instead of keep-first.
+    // Engine side is a partial-aggregable struct-argmax, not a window.
+    NamedQuery(
+      "dd_keep_best",
+      s"""$clusterCte,
+         | f AS (SELECT d.doc_id, d.n_chars,
+         |         coalesce(c.component, d.doc_id) AS component
+         |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         | k AS (SELECT component, doc_id AS keeper_id FROM (
+         |   SELECT component, doc_id,
+         |     row_number() OVER (PARTITION BY component
+         |                        ORDER BY n_chars DESC, doc_id) AS rn
+         |   FROM f) t WHERE rn = 1)
+         |SELECT f.doc_id, f.component, k.keeper_id,
+         |  CASE WHEN f.doc_id = k.keeper_id THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM f JOIN k ON f.component = k.component
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupClustersKeepBest(docs,
+          Dedup.jaccardPairs(docs, n = 3, tau = 0.1, dfCap = 200), "n_chars")
         .orderBy("doc_id")
     },
 

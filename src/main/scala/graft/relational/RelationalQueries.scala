@@ -603,6 +603,91 @@ object RelationalQueries {
           coalesce(col("v"), lit(0).cast("decimal(18,2)"))
             .cast("double").as("clicks_value"))
         .orderBy("event_id")
+    },
+
+    // -- q27: CUBE — ALL grouping-set combinations in one pass ------------
+    // Complements q19_rollup (hierarchy subtotals, SQL-text path): cube
+    // emits every subset (2ᵏ sets, incl. the gid=2 level rollup never
+    // produces) on the DataFrame API path, and grouping_id()
+    // disambiguates a NULL data value from an aggregated-out level —
+    // both engines encode it with the leftmost group column as the high
+    // bit. Spark plans this as Expand (4 grouping-set replicas of each
+    // row) feeding ONE partial-aggregable hash agg — a single shuffle
+    // for all levels; the expansion factor is the set count, never the
+    // data size.
+    NamedQuery(
+      "q27_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity")).cast("decimal(18,2)").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "returnflag", "linestatus")
+    },
+
+    // -- q28: PIVOT — long-to-wide reshaping ------------------------------
+    // The pivot VALUES are passed explicitly: without them Spark runs an
+    // extra distinct job over the pivot column to discover headers — a
+    // full-corpus pass a 100 TB pipeline should never pay for a reshape
+    // whose schema the caller already knows. With explicit values this
+    // is exactly one shuffled aggregation (map-side partial per group).
+    NamedQuery(
+      "q28_pivot",
+      """SELECT l_returnflag AS returnflag,
+        |  CAST(coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)), 0) AS DOUBLE) AS qty_f,
+        |  CAST(coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)), 0) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")).cast("decimal(18,2)").cast("double"))
+        .select(col("returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"))
+        .orderBy("returnflag")
+    },
+
+    // -- q29: running DISTINCT count over a window ------------------------
+    // Spark has no count(DISTINCT) window function; the idiomatic
+    // composition is size(collect_set() OVER w) — running distinct state
+    // per partition, one shuffle on user_id, no self-join. The frame is
+    // RANGE unbounded→current (peers included), so same-timestamp rows
+    // agree on the count and ordering ties can't diverge. The oracle
+    // derives it independently: mark each (user, type)'s first
+    // occurrence, running-sum the markers over the same RANGE frame.
+    // Memory posture: the running set holds DISTINCT event types — a
+    // bounded enum — not events; for unbounded-cardinality columns use
+    // the sketch path instead.
+    NamedQuery(
+      "q29_distinct_window",
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type FROM events),
+        | m AS (SELECT event_id, user_id, tsn,
+        |   CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY tsn, event_id) = 1
+        |        THEN 1 ELSE 0 END AS first_occ
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(first_occ) OVER (PARTITION BY user_id ORDER BY tsn
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+        |FROM m ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_nanos")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+        .orderBy("event_id")
     }
   )
 }

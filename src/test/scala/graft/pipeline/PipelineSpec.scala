@@ -387,6 +387,18 @@ class PipelineSpec extends SparkSuite {
     assert(got(4L) == ((0L, 0L, 0L, "keep")))
   }
 
+  test("dedupClustersKeepBest keeps the highest-score member; ties to lowest id") {
+    val docs  = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // component {1,2,3}; 4 isolated
+    val got = Dedup.dedupClustersKeepBest(docs, pairs, "n_chars")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 2L, "drop")))
+    assert(got(2L) == ((1L, 2L, "keep"))) // 2 and 3 tie at 9 chars; lowest id
+    assert(got(3L) == ((1L, 2L, "drop")))
+    assert(got(4L) == ((4L, 4L, "keep"))) // isolated doc is its own keeper
+  }
+
   test("cross-doc span shares: hand-computed windows, within-doc repeats excluded") {
     val d = Seq(
       (1L, "a b c d e f g"),     // windows(3): abc bcd cde def efg (5)
