@@ -514,6 +514,62 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Recall@5 of IVF (nprobe=4) against exact brute-force top-5 — the
+    // evaluation metric the nprobe dial is tuned with, as a first-class
+    // operator. The oracle is the literal composition of the two sides'
+    // existing oracles (centroid-derived IVF serving + direct brute
+    // rank) joined on (query, neighbor); integer permille, no float
+    // ratio. Deterministic because both sides tie-break rank 5 by
+    // (cosine desc, neighbor_id) with the engine-identical cosine fold.
+    NamedQuery(
+      "sim_recall",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist),
+         | assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cell FROM rk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         | scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM probe p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = a.vec_id),
+         | ivfk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+         |  WHERE rn <= 5),
+         | brutek AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 100 = 0) t
+         |  WHERE rn <= 5),
+         | h AS (SELECT i.query_id, count(*) AS n FROM ivfk i
+         |   JOIN brutek b ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |   GROUP BY i.query_id)
+         |SELECT q.query_id,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+         |FROM (SELECT DISTINCT query_id FROM brutek) q
+         |LEFT JOIN h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.recallAtK(
+          Similarity.ivfTopKWith(cachedIvf(s, dir), queries, k = 5),
+          Similarity.topK(emb, queries, k = 5), k = 5)
+        .orderBy("query_id")
+    },
+
     // PQ (product-quantization) ANN: ADC shortlist over the coded corpus
     // + exact cosine rerank. Same oracle strategy as sim_ivf_topk —
     // k-means TRAINING is persisted per run, and the oracle re-derives

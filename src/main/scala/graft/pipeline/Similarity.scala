@@ -683,4 +683,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation metric the nprobe/L/band dials are tuned against.
+    * Inputs are two top-k result sets with (query_id, neighbor_id)
+    * columns (`ivfTopKWith`/`pqTopK`/`lshPairs`-shaped vs `topK`);
+    * output is per-query hits and integer recall permille (hits·1000
+    * div k — no float ratio). Both inputs are |Q|·k rows — metric-sized,
+    * never corpus-sized — so the joins here are trivial at any corpus
+    * scale; the cost lives in producing the inputs. Queries the approx
+    * side missed entirely still appear (left join from the exact side's
+    * query set, zero hits). Deterministic because both producers
+    * tie-break rank k by (cosine desc, neighbor_id).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000 div $k").as("recall_permille"))
+  }
 }

@@ -387,6 +387,15 @@ class PipelineSpec extends SparkSuite {
     assert(got(4L) == ((0L, 0L, 0L, "keep")))
   }
 
+  test("recallAtK: integer permille per query; queries the approx side missed score zero") {
+    val exact  = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 13L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id") // q2 absent
+    val got = Similarity.recallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 500L)))
+    assert(got(2L) == ((0L, 0L)))
+  }
+
   test("dedupClustersKeepBest keeps the highest-score member; ties to lowest id") {
     val docs  = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("doc_id", "n_chars")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // component {1,2,3}; 4 isolated
