@@ -36,6 +36,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Short-name uniqueness is knowable before ANY work — registry-only,
+    // so check it before the SparkSession even exists: a future name
+    // collision must fail fast, not after the index build, warm-up, and
+    // concurrent section have burned minutes of discarded measurement
+    // (the evidence-loss mode the line budget machinery prevents). "ib"
+    // is appended to the JSON after abbreviation, so it participates.
+    {
+      val shorts = SparkEntry.registry.map(q => shortName(q.name)) :+ "ib"
+      require(shorts.distinct.size == shorts.size,
+        "bench short-name collision: " +
+          shorts.diff(shorts.distinct).distinct.mkString(","))
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]")
@@ -125,13 +137,6 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
     }
-    // Short-name uniqueness is knowable BEFORE any measurement — check it
-    // here so a future name collision fails fast instead of burning three
-    // full registry passes and then aborting before the JSON line prints
-    // (the exact evidence-loss mode the line budget machinery prevents).
-    require(names.map(shortName).distinct.size == names.size,
-      "bench short-name collision: " +
-        names.map(shortName).diff(names.map(shortName).distinct).distinct.mkString(","))
     val passes = Seq.fill(3)(names.map(n => n -> guarded(n)).toMap)
     val results = names.map { name =>
       val runs = passes.flatMap(_(name)).sorted

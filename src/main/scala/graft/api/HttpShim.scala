@@ -46,7 +46,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val t0     = System.nanoTime()
     val params = queryParams(ex)
     val (q, auths) = queryAndAuths(params)
-    val limit = params.get("limit").map(_.toInt).getOrElse(100)
+    val limit = intParam(params, "limit", default = 100, min = 1, max = 1000000)
     val results = service.query(q, auths, limit)
     // per-query serving metrics on the wire (set before safely() sends
     // headers): end-to-end parse→plan→execute→collect time + row count
@@ -90,7 +90,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       throw new IllegalArgumentException("missing required parameter: terms"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (terms.isEmpty) throw new IllegalArgumentException("terms is empty")
-    val limit = params.get("limit").map(_.toInt).getOrElse(10)
+    val limit = intParam(params, "limit", default = 10, min = 1, max = 1000000)
     ("application/json", service.rank(terms, limit))
   })
 
@@ -111,12 +111,8 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     def csv(k: String) = params.get(k).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val (terms, phrase) = (csv("terms"), csv("phrase"))
-    val window = params.get("window").map(_.toInt).getOrElse(3)
-    val limit  = params.get("limit").map(_.toInt).getOrElse(100)
-    // client faults must map to 400, not surface as execution-time 500s
-    // (a negative window reaches Spark's slice as a negative length)
-    if (window < 0) throw new IllegalArgumentException(s"window must be >= 0: $window")
-    if (limit <= 0) throw new IllegalArgumentException(s"limit must be > 0: $limit")
+    val window = intParam(params, "window", default = 3, min = 0, max = 1000)
+    val limit  = intParam(params, "limit", default = 100, min = 1, max = 1000000)
     (terms.nonEmpty, phrase.nonEmpty) match {
       case (true, false) => ("application/json", service.snippets(terms, window, limit))
       case (false, true) => ("application/json", service.phraseSnippets(phrase, window, limit))
@@ -142,6 +138,20 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val auths = params.get("auths").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     (q, auths)
+  }
+
+  /** Bounded integer param — ONE parser for every route, like
+    * queryAndAuths. The bounds turn client faults into 400s that Spark
+    * would otherwise surface as execution-time 500s: a negative
+    * limit/window throws inside Dataset.limit/slice, and a window near
+    * Int.MaxValue overflows the 2·window+1 slice length negative.
+    */
+  private def intParam(params: Map[String, String], k: String,
+      default: Int, min: Int, max: Int): Int = {
+    val v = params.get(k).map(_.toInt).getOrElse(default) // NFE → 400 via safely
+    if (v < min || v > max)
+      throw new IllegalArgumentException(s"$k must be in [$min, $max]: $v")
+    v
   }
 
   private def fromAccept(ex: HttpExchange): Option[String] = {

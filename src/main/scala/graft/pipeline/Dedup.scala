@@ -27,7 +27,10 @@ object Dedup {
   private val probeMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Boolean]
   private def memoizedProbe(key: (Int, Int, Int))(probe: => Boolean): Boolean = {
-    if (probeMemo.size > 64) probeMemo.clear()
+    // bound-clear only when the key is ABSENT: clearing ahead of a hit
+    // would evict the entry we're about to serve and re-run the probe
+    // job the memo exists to skip
+    if (!probeMemo.contains(key) && probeMemo.size > 64) probeMemo.clear()
     probeMemo.getOrElseUpdate(key, probe)
   }
 

@@ -36,14 +36,27 @@ object ProfileQuery {
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    // wait for job-end events to drain (bounded poll — the listener bus
-    // is async and a fixed sleep can miss a late onJobEnd, leaving t1=0
-    // and a garbage negative duration in the report)
+    // wait for the listener bus to drain (bounded poll). "Nothing
+    // incomplete" alone is not quiescence: a short final job may have
+    // NEITHER of its events delivered yet, so the map looks complete
+    // while a whole job is still in flight — require the snapshot
+    // (job count, #incomplete) to also hold stable across two
+    // consecutive polls before trusting it.
     val deadline = System.nanoTime() + 5_000_000_000L
-    while (jobs.synchronized(jobs.values.exists(_.t1 == 0L)) &&
-        System.nanoTime() < deadline) Thread.sleep(50)
+    var snap   = (-1, -1)
+    var stable = 0
+    while (stable < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      val cur = jobs.synchronized((jobs.size, jobs.values.count(_.t1 == 0L)))
+      if (cur == snap && cur._2 == 0) stable += 1 else stable = 0
+      snap = cur
+    }
     spark.sparkContext.removeSparkListener(l)
-    val js = jobs.synchronized(jobs.values.toSeq).filter(_.t1 != 0L)
+    val (js, dropped) =
+      jobs.synchronized(jobs.values.toSeq).partition(_.t1 != 0L)
+    if (dropped.nonEmpty)
+      println(s"  WARNING: ${dropped.size} job(s) missing onJobEnd at the " +
+        "drain deadline — job count/time below UNDERSTATE the query")
     println(f"$name: wall=$wall%.3f s, jobs=${js.size}, job-time sum=${js.map(j => j.t1 - j.t0).sum / 1e3}%.3f s")
     js.foreach { j =>
       println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%7.3f s tasks=${j.tasks}%4d  ${j.stages.mkString(" | ")}")

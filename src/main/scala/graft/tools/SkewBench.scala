@@ -66,13 +66,19 @@ object SkewBench {
       val t0  = System.nanoTime()
       val out = body
       val sec = (System.nanoTime() - t0) / 1e9
-      // drain: poll until no new task-end events arrive (the listener
-      // bus is async; a fixed sleep can undercount a late straggler)
-      var prev = -1L
-      var cur  = stages.synchronized(stages.values.map(_.tasks.toLong).sum)
-      while (cur != prev) {
+      // drain: poll until the task count holds stable for TWO
+      // consecutive 200ms windows (one quiet window can be a bus-thread
+      // GC pause with events still pending, which would undercount the
+      // exact measurement this tool exists for), bounded by a deadline
+      // so a busy bus can't spin the loop forever.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var prev   = -1L
+      var stable = 0
+      var cur    = stages.synchronized(stages.values.map(_.tasks.toLong).sum)
+      while (stable < 2 && System.nanoTime() < deadline) {
         Thread.sleep(200); prev = cur
         cur = stages.synchronized(stages.values.map(_.tasks.toLong).sum)
+        if (cur == prev) stable += 1 else stable = 0
       }
       spark.sparkContext.removeSparkListener(l)
       // the final-agg stage is the one with the largest max task

@@ -125,6 +125,12 @@ class HttpShimSpec extends SparkSuite {
 
     assert(get("/snippets")._1 == 400)                      // neither param
     assert(get("/snippets?terms=a&phrase=b,c")._1 == 400)   // both params
+    // out-of-bounds ints are client faults (400), not execution 500s:
+    // 2*window+1 would overflow negative at window ~ Int.MaxValue/2
+    assert(get("/snippets?terms=a&window=1073741824")._1 == 400)
+    assert(get("/snippets?terms=a&window=-1")._1 == 400)
+    assert(get("/query?query=TEXT%20%3D%3D%20%27abacus%27&limit=-1")._1 == 400)
+    assert(get("/rank?terms=abacus&limit=0")._1 == 400)
   }
 
   test("/rank returns BM25-ranked JSON and rejects empty terms") {

@@ -408,6 +408,19 @@ class PipelineSpec extends SparkSuite {
     assert(got(4L) == ((4L, 4L, "keep"))) // isolated doc is its own keeper
   }
 
+  test("dedupClustersKeepBest with a constant score degenerates to keep-first") {
+    val rnd   = new scala.util.Random(7)
+    val n     = 60
+    val docs  = (1L to n.toLong).map(i => (i, 1L)).toDF("doc_id", "score")
+    val pairs = Seq.fill(40)(((rnd.nextInt(n) + 1).toLong, (rnd.nextInt(n) + 1).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val kb = Dedup.dedupClustersKeepBest(docs, pairs, "score")
+      .select("doc_id", "component", "verdict")
+    val kf = Dedup.dedupClusters(docs.select("doc_id"), pairs)
+      .select("doc_id", "component", "verdict")
+    assert(kb.except(kf).isEmpty && kf.except(kb).isEmpty)
+  }
+
   test("cross-doc span shares: hand-computed windows, within-doc repeats excluded") {
     val d = Seq(
       (1L, "a b c d e f g"),     // windows(3): abc bcd cde def efg (5)
