@@ -688,6 +688,60 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
         .orderBy("event_id")
+    },
+
+    // -- q30: PERCENTILE_CONT — interpolated per-group quantiles ----------
+    // The CONT companion to q26's DISC form: value at 0-based position
+    // p·(n−1)/1000, linearly interpolated between the two bracketing
+    // ranks. Neither engine's built-in is trusted across engines —
+    // instead BOTH sides derive lo/frac in pure integer math (permille,
+    // memory-hazard rule: no float ceil/rank arithmetic) and evaluate
+    // the ONE lerp `v_lo + (v_hi − v_lo)·frac/1000` in the same
+    // operation order, so the doubles are bit-identical. Same
+    // per-group-window scale posture as q26 (skewed groups → the
+    // histogram escape hatch documented there).
+    NamedQuery(
+      "q30_quantile_cont",
+      """WITH ps AS (SELECT unnest([250, 500, 750]) AS p),
+        | b AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+        | r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |              count(*) OVER (PARTITION BY g) AS n FROM b),
+        | m AS (SELECT r.g, ps.p, r.v, r.rn,
+        |              (ps.p * (r.n - 1)) // 1000 + 1 AS lo,
+        |              (ps.p * (r.n - 1)) % 1000 AS frac
+        |       FROM r CROSS JOIN ps
+        |       WHERE r.rn = (ps.p * (r.n - 1)) // 1000 + 1
+        |          OR r.rn = (ps.p * (r.n - 1)) // 1000 + 2),
+        | a AS (SELECT g, p,
+        |         min(CASE WHEN rn = lo THEN v END) AS v_lo,
+        |         min(CASE WHEN rn = lo + 1 THEN v END) AS v_hi,
+        |         min(frac) AS frac
+        |       FROM m GROUP BY g, p)
+        |SELECT g AS returnflag, CAST(p AS BIGINT) AS p,
+        |  ROUND(v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac / 1000.0, 4) AS qc
+        |FROM a ORDER BY returnflag, p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val ps = s.createDataFrame(
+        Seq(Tuple1(250L), Tuple1(500L), Tuple1(750L))).toDF("p")
+      ranked.crossJoin(broadcast(ps))
+        .withColumn("posn", expr("p * (n - 1)"))
+        .withColumn("lo", expr("posn div 1000 + 1"))
+        .withColumn("frac", expr("posn % 1000"))
+        .filter(col("rn") === col("lo") || col("rn") === col("lo") + 1)
+        .groupBy("g", "p")
+        .agg(
+          min(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
+          min(when(col("rn") === col("lo") + 1, col("v"))).as("v_hi"),
+          min(col("frac")).as("frac"))
+        .select(col("g").as("returnflag"), col("p"),
+          round(col("v_lo") +
+            (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")) * col("frac") / lit(1000.0), 4)
+            .as("qc"))
+        .orderBy("returnflag", "p")
     }
   )
 }
