@@ -53,6 +53,27 @@ object Demo {
       println(res.toHtml.take(160))
     } else println("fixture not found (run from the repo root)")
 
+    // LLM-pipeline surface, one line each: near-dup canonical selection,
+    // graded decontamination, and the ANN quality dial.
+    println("== pipeline: keep-best dedup / graded decontamination / ANN recall")
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val kb = pipeline.Dedup.dedupClustersKeepBest(docs,
+      pipeline.Dedup.jaccardPairs(docs, n = 3, tau = 0.1, dfCap = 200), "n_chars")
+    println(s"keep-best verdicts: ${kb.filter(col("verdict") === "drop").count()} " +
+      s"near-dup doc(s) dropped of ${docs.count()}")
+    val ov = pipeline.Curation.overlapFraction(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    ov.orderBy(col("overlap_permille").desc, col("doc_id")).show(3, truncate = false)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val ivf = pipeline.Similarity.buildIvf(emb, persist = false)
+    val rec = pipeline.Similarity.recallAtK(
+      pipeline.Similarity.ivfTopKWith(ivf, queries, k = 5),
+      pipeline.Similarity.topK(emb, queries, k = 5), k = 5)
+    println("IVF nprobe=4 recall@5 per query (permille):")
+    rec.orderBy("query_id").show(5, truncate = false)
+
     spark.stop()
   }
 }
