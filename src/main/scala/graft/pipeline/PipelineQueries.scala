@@ -787,6 +787,28 @@ object PipelineQueries {
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Boilerplate mining: the corpus's most document-frequent trigrams
+    // (the n-grams a template/header dedup pass would strip). Shingles
+    // are distinct per doc by construction, so count = document
+    // frequency; top-20 with a lexical tie break is deterministic.
+    // One partial-aggregable shuffle on the shingle + a top-k — never
+    // per-pair work.
+    NamedQuery(
+      "ta_top_ngrams",
+      s"""SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df FROM (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |      CASE WHEN i + 2 <= len(tk)
+         |           THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+         |    FROM (SELECT doc_id, $toks AS tk FROM documents) t)
+         |  WHERE s IS NOT NULL)
+         |GROUP BY s ORDER BY df DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.shingles(Tables.load(s, dir, "documents"), n = 3)
+        .groupBy(col("shingle").as("ngram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram")).limit(20)
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     NamedQuery(
       "mm_binary_meta",

@@ -721,17 +721,25 @@ object RelationalQueries {
         |  ROUND(v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac / 1000.0, 4) AS qc
         |FROM a ORDER BY returnflag, p""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ranked = t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val ranked = base
         .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("v")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      // Target ranks first, from a groups×quantiles catalog (|G|·|P|
+      // rows): the corpus is then FILTERED against the ≤2 bracketing
+      // ranks per (group, p) through one broadcast join — never
+      // replicated |P|× the way a crossJoin-then-filter would, and the
+      // per-group count comes from a partial agg, not a second
+      // whole-partition window frame.
       val ps = s.createDataFrame(
         Seq(Tuple1(250L), Tuple1(500L), Tuple1(750L))).toDF("p")
-      ranked.crossJoin(broadcast(ps))
-        .withColumn("posn", expr("p * (n - 1)"))
-        .withColumn("lo", expr("posn div 1000 + 1"))
-        .withColumn("frac", expr("posn % 1000"))
-        .filter(col("rn") === col("lo") || col("rn") === col("lo") + 1)
+      val targets = base.groupBy("g").agg(count(lit(1)).as("n"))
+        .crossJoin(ps)
+        .withColumn("lo", expr("(p * (n - 1)) div 1000 + 1"))
+        .withColumn("frac", expr("(p * (n - 1)) % 1000"))
+        .select(col("g"), col("p"), col("lo"), col("frac"),
+          explode(array(col("lo"), col("lo") + 1)).as("rn"))
+      ranked.join(broadcast(targets), Seq("g", "rn"))
         .groupBy("g", "p")
         .agg(
           min(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
