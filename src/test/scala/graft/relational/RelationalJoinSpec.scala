@@ -152,6 +152,18 @@ class RelationalJoinSpec extends SparkSuite {
       val gotQ = q("q26_quantiles")
         .as[(String, Long, Double, Double)].collect().toSeq
       assert(gotQ == expectQ, s"quantiles trial $trial")
+
+      // running distinct type count: RANGE frame ⇒ peers included, so
+      // the reference is simply "distinct types of same-user events at
+      // ts' <= ts" — the tie-heavy instant pool makes peer groups real
+      val expectDw = events.sortBy(_.id).map { e =>
+        val n = events.filter(x => x.user == e.user && x.ts <= e.ts)
+          .map(_.typ).distinct.size.toLong
+        (e.id, e.user, n)
+      }
+      val gotDw = q("q29_distinct_window")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(gotDw == expectDw, s"distinct-window trial $trial")
     }
   }
 }
