@@ -94,6 +94,17 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     ("application/json", service.rank(terms, limit))
   })
 
+  //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions
+  //    (edit distance ≤ 1) with document frequency, best-first, as JSON
+  server.createContext("/fuzzy", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val term = params.getOrElse("term",
+      throw new IllegalArgumentException("missing required parameter: term"))
+    if (term.trim.isEmpty) throw new IllegalArgumentException("term is empty")
+    val limit = intParam(params, "limit", default = 10, min = 1, max = 1000)
+    ("application/json", service.fuzzy(term.trim, limit))
+  })
+
   server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
     val params = queryParams(ex)
     val (q, auths) = queryAndAuths(params)

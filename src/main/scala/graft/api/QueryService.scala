@@ -117,6 +117,20 @@ class QueryService(engine: WikiSearchEngine) {
     }.mkString("[", ",", "]")
   }
 
+  /** Typo-tolerant term suggestions (`WikiSearchEngine.fuzzyTerms`) as
+    * a JSON array of {term, df}, document-frequency-descending so the
+    * most plausible correction leads (ties alphabetical).
+    */
+  def fuzzy(term: String, limit: Int = 10): String = {
+    val rows = engine.fuzzyTerms(term)
+      .orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("term"))
+      .limit(limit).collect()
+    rows.map { r =>
+      s"""{"term":${jstr(r.getAs[String]("term"))},"df":${r.getAs[Long]("df")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Facet counts for a query's hit set (`WikiSearchEngine.facets`) as
     * a JSON array; a null facet value (document missing the field)
     * serializes as JSON null.

@@ -279,6 +279,40 @@ class WikiSearchEngine(
       .orderBy("docId")
   }
 
+  /** Typo-tolerant term lookup ("did you mean") — index terms within
+    * Levenshtein distance 1 of `term`, with document frequency.
+    * SymSpell-style (Garbe's symmetric-delete scheme): Lev(a,b) ≤ 1
+    * implies the 1-deletion neighborhoods of a and b (each including
+    * the string itself) intersect, so an equi-join of the dictionary's
+    * exploded neighborhood against the query's broadcast neighborhood
+    * is a COMPLETE candidate generator, and the exact codegen'd
+    * `levenshtein` verify on the candidates makes it precise (the
+    * neighborhood test alone admits e.g. transposed pairs at distance
+    * 2). Cost shape: the dictionary is VOCABULARY-sized (distinct
+    * postings terms, one shuffle), exploded ~(len+1)×; the query side
+    * is ≤ len+1 rows broadcast; df aggregates only over the matched
+    * candidates' postings. No corpus scan, no all-pairs distance.
+    *
+    * `term` follows `rank()`'s contract: pass it pre-normalized the
+    * way the index normalizes (lowercase for the stock paths).
+    */
+  def fuzzyTerms(term: String, maxEdits: Int = 1): DataFrame = {
+    require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
+    require(maxEdits == 1, "only 1-deletion neighborhoods are generated")
+    def dels(t: String): Seq[String] =
+      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1))).distinct
+    val qvars = spark.createDataFrame(dels(term).map(Tuple1(_))).toDF("del")
+    val delUdf = udf(dels _)
+    val cand = index.termPostings.select(col("term")).distinct()
+      .withColumn("del", explode(delUdf(col("term"))))
+      .join(broadcast(qvars), Seq("del"))
+      .select("term").distinct()
+      .filter(levenshtein(col("term"), lit(term)) <= maxEdits)
+    index.termPostings.join(broadcast(cand), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy("term")
+  }
+
   /** Multi-term snippets — `highlights` over a query's full term set:
     * one row per (document, matched term), ±`window` tokens around that
     * term's first stored offset. The per-doc hits aggregate BEFORE the

@@ -323,6 +323,22 @@ object SearchQueries {
         .orderBy("language", "source")
     },
 
+    // Beyond-reference: typo-tolerant term lookup ("did you mean") —
+    // SymSpell 1-deletion-neighborhood join over the vocabulary-sized
+    // term dictionary + exact levenshtein verify. The typo 'sow' matches
+    // 'row' (substitution) and 'slow' (insertion); the oracle states the
+    // semantics directly as a levenshtein filter over per-doc-distinct
+    // tokens — agreement proves the neighborhood join is a complete
+    // candidate generator on this corpus.
+    NamedQuery(
+      "ws_fuzzy",
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents) d
+         |WHERE levenshtein(term, 'sow') <= 1
+         |GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      engine(s, dir).fuzzyTerms("sow").orderBy("term")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

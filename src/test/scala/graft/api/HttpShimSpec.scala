@@ -133,6 +133,14 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/rank?terms=abacus&limit=0")._1 == 400)
   }
 
+  test("/fuzzy suggests did-you-mean terms within edit distance 1") {
+    val (st, ct, body) = get("/fuzzy?term=abacuz") // substitution typo
+    assert(st == 200 && ct.startsWith("application/json"))
+    assert(body.contains("\"term\":\"abacus\""))
+    assert(get("/fuzzy")._1 == 400)           // missing term
+    assert(get("/fuzzy?term=%20")._1 == 400)  // blank term
+  }
+
   test("/rank returns BM25-ranked JSON and rejects empty terms") {
     val (status, ct, body) = get("/rank?terms=abacus&limit=5")
     assert(status == 200 && ct.startsWith("application/json"))

@@ -251,4 +251,22 @@ class EngineWikiSpec extends SparkSuite {
       "1" -> "v spark join w",
       "3" -> "spark join spark join")) // left clamp at doc start
   }
+
+  test("fuzzyTerms: SymSpell candidates verified to exact levenshtein <= 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark sport sort short snark", "en", "s", 28L),
+      (2L, "sort spark", "en", "s", 10L),
+      (3L, "sparkle transposed", "en", "s", 18L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    // 'sprk' (deletion typo): spark (insertion, df=2) and no others —
+    // snark is distance 2, sparkle 3. 'sort': itself (df=2), short
+    // (insertion), sport (substitution); snark/spark are distance 2;
+    // transposition pairs must NOT match (lev counts them as 2).
+    val m1 = eng.fuzzyTerms("sprk").as[(String, Long)].collect().toMap
+    assert(m1 == Map("spark" -> 2L))
+    val m2 = eng.fuzzyTerms("sort").as[(String, Long)].collect().toMap
+    assert(m2 == Map("sort" -> 2L, "short" -> 1L, "sport" -> 1L))
+  }
 }
