@@ -288,28 +288,38 @@ class WikiSearchEngine(
     * is a COMPLETE candidate generator, and the exact codegen'd
     * `levenshtein` verify on the candidates makes it precise (the
     * neighborhood test alone admits e.g. transposed pairs at distance
-    * 2). Cost shape: the dictionary is VOCABULARY-sized (distinct
-    * postings terms, one shuffle), exploded ~(len+1)×; the query side
-    * is ≤ len+1 rows broadcast; df aggregates only over the matched
-    * candidates' postings. No corpus scan, no all-pairs distance.
+    * 2). Cost shape: ONE pass over postings (the vocabulary-sized
+    * df aggregation doubles as the dictionary), exploded ~(len+1)× by
+    * a codegen'd expression — `substr`/`length`/`levenshtein` all
+    * count CODEPOINTS, so the completeness claim holds beyond the BMP
+    * too (a UTF-16-unit deletion loop would miss supplementary-plane
+    * neighbors); the query side is ≤ len+1 rows broadcast. No corpus
+    * scan, no all-pairs distance.
     *
     * `term` follows `rank()`'s contract: pass it pre-normalized the
     * way the index normalizes (lowercase for the stock paths).
     */
-  def fuzzyTerms(term: String, maxEdits: Int = 1): DataFrame = {
+  def fuzzyTerms(term: String): DataFrame = {
     require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
-    require(maxEdits == 1, "only 1-deletion neighborhoods are generated")
-    def dels(t: String): Seq[String] =
-      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1))).distinct
+    def dels(t: String): Seq[String] = {
+      val cps = t.codePoints.toArray
+      (t +: cps.indices.map { i =>
+        val rest = cps.patch(i, Nil, 1)
+        new String(rest, 0, rest.length)
+      }).distinct
+    }
     val qvars = spark.createDataFrame(dels(term).map(Tuple1(_))).toDF("del")
-    val delUdf = udf(dels _)
-    val cand = index.termPostings.select(col("term")).distinct()
-      .withColumn("del", explode(delUdf(col("term"))))
-      .join(broadcast(qvars), Seq("del"))
-      .select("term").distinct()
-      .filter(levenshtein(col("term"), lit(term)) <= maxEdits)
-    index.termPostings.join(broadcast(cand), Seq("term"))
+    val t = col("term")
+    val neighborhood = array_distinct(concat(array(t),
+      transform(sequence(lit(0), length(t) - 1),
+        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
+    index.termPostings
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(length(t) > 0) // sequence(0,-1) would descend, not empty
+      .withColumn("del", explode(neighborhood))
+      .join(broadcast(qvars), Seq("del"))
+      .select("term", "df").distinct()
+      .filter(levenshtein(t, lit(term)) <= 1)
       .orderBy("term")
   }
 

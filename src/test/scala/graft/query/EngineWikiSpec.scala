@@ -257,13 +257,16 @@ class EngineWikiSpec extends SparkSuite {
     val docs = Seq(
       (1L, "spark sport sort short snark", "en", "s", 28L),
       (2L, "sort spark", "en", "s", 10L),
-      (3L, "sparkle transposed", "en", "s", 18L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      (3L, "sparkle srot", "en", "s", 12L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val eng = new WikiSearchEngine(spark,
       IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
     // 'sprk' (deletion typo): spark (insertion, df=2) and no others —
     // snark is distance 2, sparkle 3. 'sort': itself (df=2), short
-    // (insertion), sport (substitution); snark/spark are distance 2;
-    // transposition pairs must NOT match (lev counts them as 2).
+    // (insertion), sport (substitution). The TRANSPOSED 'srot' shares
+    // the deletions 'srt' and 'sot' with 'sort', so the neighborhood
+    // join DOES generate it as a candidate — only the exact levenshtein
+    // verify (distance 2) keeps it out; delete that filter and this
+    // assertion fails.
     val m1 = eng.fuzzyTerms("sprk").as[(String, Long)].collect().toMap
     assert(m1 == Map("spark" -> 2L))
     val m2 = eng.fuzzyTerms("sort").as[(String, Long)].collect().toMap
