@@ -385,6 +385,30 @@ class WikiSearchEngine(
       .orderBy("docId")
   }
 
+  /** NEAR/k proximity: documents where `a` and `b` occur within `k`
+    * tokens of each other, either order — the classic proximity
+    * operator between AND (any distance) and phrase (adjacent, in
+    * order), answered ENTIRELY from the stored TermWeight offsets:
+    * postings filtered to the two terms (tiny), co-partitioned join on
+    * the document key, one codegen'd exists-exists over the two offset
+    * arrays. The predicate uses only position DIFFERENCES, so it is
+    * invariant to the offset base. No content fetch, no corpus scan;
+    * per-doc cost is |oa|·|ob| on occurrence counts, bounded in
+    * practice by tf.
+    */
+  def near(a: String, b: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    val keys = Seq("partition", "language", "docId")
+    val pa = index.termPostings.filter(col("term") === a)
+      .select(keys.map(col) :+ col("offsets").as("oa"): _*)
+    val pb = index.termPostings.filter(col("term") === b)
+      .select(keys.map(col) :+ col("offsets").as("ob"): _*)
+    pa.join(pb, keys)
+      .filter(exists(col("oa"), i => exists(col("ob"), j => abs(i - j) <= k)))
+      .select(col("docId"), col("language"))
+      .orderBy("docId")
+  }
+
   /** Facet counts over a query's result set — the results-sidebar
     * aggregation (beyond the reference). One value row per (language,
     * field value) with its hit count; documents missing the field count

@@ -339,6 +339,27 @@ object SearchQueries {
       engine(s, dir).fuzzyTerms("sow").orderBy("term")
     },
 
+    // Beyond-reference: NEAR/3 proximity — 'spark' and 'join' within 3
+    // tokens, either order, answered entirely from stored offsets (no
+    // content fetch). The oracle re-derives token positions from raw
+    // text; the predicate uses only position differences, so the two
+    // sides' offset bases (0- vs 1-based) cancel.
+    NamedQuery(
+      "ws_near",
+      s"""WITH p AS (SELECT doc_id,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'spark' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pb
+         | FROM (SELECT doc_id, $toks AS tk FROM documents) t)
+         |SELECT doc_id FROM p
+         |WHERE len(list_filter(pa, i ->
+         |        len(list_filter(pb, j -> abs(i - j) <= 3)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir).near("spark", "join", k = 3)
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

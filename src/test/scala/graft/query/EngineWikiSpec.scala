@@ -252,6 +252,22 @@ class EngineWikiSpec extends SparkSuite {
       "3" -> "spark join spark join")) // left clamp at doc start
   }
 
+  test("near: proximity boundary at exactly k tokens, either order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark x y join", "en", "s", 14L),   // distance 3
+      (2L, "join z spark", "en", "s", 12L),     // distance 2, reversed order
+      (3L, "spark a b c join", "en", "s", 16L), // distance 4 — out at k=3
+      (4L, "spark only", "en", "s", 10L)        // one term absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(k: Int) = eng.near("spark", "join", k).collect().map(_.getString(0)).toSet
+    assert(ids(3) == Set("1", "2")) // boundary IN at k=3; order-free
+    assert(ids(2) == Set("2"))
+    assert(ids(4) == Set("1", "2", "3"))
+  }
+
   test("fuzzyTerms: SymSpell candidates verified to exact levenshtein <= 1") {
     import spark.implicits._
     val docs = Seq(
