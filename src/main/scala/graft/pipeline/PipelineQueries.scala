@@ -809,6 +809,30 @@ object PipelineQueries {
         .orderBy(col("df").desc, col("ngram")).limit(20)
     },
 
+    // Corpus-LM familiarity (integer-exact CCNet-style LM filter proxy):
+    // per-doc mean corpus document-frequency of its distinct trigrams,
+    // in per-mille of corpus size. Pure integer arithmetic end-to-end
+    // (a real log-perplexity would diverge in the last ulp across
+    // engines — oracle-parity hazard class 3), so both engines divide
+    // the same integers once. Docs with <3 tokens have no trigrams and
+    // are absent on both sides by construction.
+    NamedQuery(
+      "ta_lm_score",
+      s"""WITH tri AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |      CASE WHEN i + 2 <= len(tk)
+         |           THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+         |    FROM (SELECT doc_id, $toks AS tk FROM documents) t)
+         |  WHERE s IS NOT NULL),
+         | d AS (SELECT s, count(*) AS df FROM tri GROUP BY s)
+         |SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |  CAST((1000 * sum(d.df)) // (count(*) * (SELECT count(*) FROM documents)) AS BIGINT) AS fam_permille
+         |FROM tri JOIN d USING (s) GROUP BY tri.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     NamedQuery(
       "mm_binary_meta",

@@ -161,4 +161,35 @@ object TextAnalysis {
     }
     (tk.length.toLong, topTok, topBg, permille(dupTg, nTg.toLong))
   }
+
+  /** Corpus-LM familiarity score (the integer-exact cousin of CCNet-style
+    * LM perplexity filtering, Wenzek et al. 2020): for each document, the
+    * mean corpus document-frequency of its DISTINCT word trigrams, as a
+    * per-mille of corpus size. Documents whose trigrams are rare across
+    * the corpus (gibberish, boilerplate-free noise, OCR junk) score near
+    * zero; documents built from common constructions score high. Unlike
+    * real LM perplexity this needs no log() — platform log/exp differ in
+    * the last ulp across engines, while this stays in pure integer
+    * arithmetic until one final integer division, so the DuckDB oracle
+    * re-derives it bit-exactly.
+    *
+    * Shape at 100 TB: trigram extraction is a narrow per-doc pass
+    * (Dedup.shingles — the dedup ops' shared definition); the df table is
+    * one partial-aggregable shuffle on the trigram string; the score join
+    * is an equi-join on the same key, so it rides the same partitioning.
+    * Nothing is pairwise and no state is driver-side except the corpus
+    * row count. Docs with fewer than 3 tokens have no trigrams and no
+    * score — callers treat absence as "unscorable", not "bad".
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tri = Dedup.shingles(docs, n = 3)
+    val dfTbl = tri.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tri.join(dfTbl, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("df")).as("sum_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_tri"),
+        expr("(1000 * sum_df) div (n_tri * n_docs)").as("fam_permille"))
+  }
 }

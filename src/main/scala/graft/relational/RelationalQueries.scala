@@ -750,6 +750,38 @@ object RelationalQueries {
             (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")) * col("frac") / lit(1000.0), 4)
             .as("qc"))
         .orderBy("returnflag", "p")
+    },
+
+    // -- q31: GROUPING SETS — explicit set list (the general form) --------
+    // Completes the multi-level aggregation family (q19 ROLLUP hierarchy,
+    // q27 CUBE powerset): an explicit set list computes EXACTLY the
+    // requested levels — here the two 1-D marginals, which neither
+    // rollup nor cube can produce without also paying for levels the
+    // caller didn't ask for. Same Expand-then-ONE-hash-agg physical
+    // shape as q27: each input row replicates once per set (2×, a
+    // constant independent of data size) and partial aggregation folds
+    // map-side, so any number of requested levels costs one shuffle.
+    NamedQuery(
+      "q31_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity")).cast("decimal(18,2)").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "returnflag", "linestatus")
     }
   )
 }
