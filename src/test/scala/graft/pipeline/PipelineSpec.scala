@@ -328,6 +328,32 @@ class PipelineSpec extends SparkSuite {
     assert(r(5L).getAs[Long]("top_token_permille") == 0)
   }
 
+  test("lmScore: hand-computed familiarity, short docs absent, per-doc-distinct trigrams") {
+    val d = Seq(
+      (1L, "a b c d"), // trigrams {a b c, b c d}
+      (2L, "a b c"),   // trigrams {a b c}
+      (3L, "x y"),     // <3 tokens: unscorable
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(1L, 2L)) // short/empty docs are absent, not zero
+    // n_docs=4; df("a b c")=2, df("b c d")=1
+    assert(r(1L).getAs[Long]("n_tri") == 2)
+    assert(r(1L).getAs[Long]("fam_permille") == 375) // (1000*3) div (2*4)
+    assert(r(2L).getAs[Long]("n_tri") == 1)
+    assert(r(2L).getAs[Long]("fam_permille") == 500) // (1000*2) div (1*4)
+
+    // a trigram repeated WITHIN a doc counts once (distinct per doc):
+    // without distinctness doc 10's sum_df would triple and exceed 1000
+    val rep = Seq((10L, "t t t t t"), (11L, "t t t")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.lmScore(rep).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r2(10L).getAs[Long]("n_tri") == 1)
+    assert(r2(10L).getAs[Long]("fam_permille") == 1000) // df=2, n_docs=2
+    assert(r2(11L).getAs[Long]("fam_permille") == 1000)
+  }
+
   // ---- curation ----------------------------------------------------------
 
   test("split assignment is deterministic and independent of sampling") {
