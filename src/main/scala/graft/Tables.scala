@@ -29,13 +29,25 @@ object Tables {
     * cardinality (a doc/vec id): hashing a low-cardinality column would
     * silently keep the pass on few tasks. Hash, not round-robin:
     * RoundRobinPartitioning sorts each input partition first (retry
-    * determinism) — pure waste here. Intended for raw table scans
-    * only — the `df.rdd` partition probe would eagerly materialize
-    * upstream shuffle stages on an AQE plan that contains exchanges.
+    * determinism) — pure waste here.
+    *
+    * The partition-count probe (`df.rdd.getNumPartitions`) is GUARDED by
+    * a plan inspection: it is only safe on a raw scan (projections /
+    * filters over a relation), where building the RDD lineage runs no
+    * job. On any plan containing a shuffle-producing operator the probe
+    * would eagerly materialize upstream exchange stages at plan-build
+    * time — and such a plan has already been parallelized by its own
+    * shuffle, so fanOut is the identity there by design, not just for
+    * safety.
     */
   def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val rawScan = df.queryExecution.analyzed.collect { case p => p }.forall {
+      case _: Project | _: Filter | _: SubqueryAlias | _: LeafNode => true
+      case _                                                       => false
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (!rawScan || df.rdd.getNumPartitions >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 

@@ -15,6 +15,25 @@ object Dedup {
   def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** Per-`n` UDF instances, built once and reused for every call.
+    * This is a CACHE-CORRECTNESS device, not a convenience: Spark's
+    * CacheManager matches `.cache()` entries by canonicalized plan, and
+    * `ScalaUDF` canonicalizes by FUNCTION REFERENCE — a lambda allocated
+    * fresh inside an operator method makes every invocation's plan
+    * unique, so each bench pass / composed query (dd_ngram_jaccard,
+    * dd_cluster, dd_keep_best all shingle the same corpus) cached a NEW
+    * copy of the corpus-wide shingle table and hit none of the prior
+    * ones. With one shared instance per `n`, repeat invocations
+    * canonicalize equal, the second call on a corpus is a cache HIT, and
+    * storage holds exactly one entry per (corpus, n) instead of growing
+    * per call for the life of the session.
+    */
+  private val udfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def sharedUdf(kind: String, n: Int)(
+      mk: => org.apache.spark.sql.expressions.UserDefinedFunction) =
+    udfMemo.getOrElseUpdate((kind, n), mk)
+
   /** jaccardPairs hot-shingle probe results, keyed by
     * (corpus semanticHash, n, dfCap) — see the probe comment there.
     * ASSUMES the data behind a given plan is immutable for the JVM's
@@ -179,15 +198,22 @@ object Dedup {
     * is the keeper. One broadcast-friendly join against the (small)
     * component map — the full corpus is touched exactly once.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupClustersFromComponents(docs, connectedComponents(pairs))
+
+  /** `dedupClusters` with a PRECOMPUTED component map — the pairs→
+    * components front half is the expensive part (corpus-wide shingle
+    * pass + CC rounds), so pipelines that apply several keeper rules to
+    * one clustering (keep-first here, keep-best below) compute it once
+    * and share it. The map is small by construction (≤ #near-dup docs).
+    */
+  def dedupClustersFromComponents(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("verdict",
         when(col("component") === col("doc_id"), lit("keep")).otherwise(lit("drop")))
-  }
 
   /** Keep-BEST dedup verdicts: like `dedupClusters`, but the keeper per
     * component is the member maximizing `score` (ties → lowest doc_id)
@@ -199,8 +225,12 @@ object Dedup {
     * corpus is still touched exactly once.
     */
   def dedupClustersKeepBest(
-      docs: DataFrame, pairs: DataFrame, score: String): DataFrame = {
-    val comp = connectedComponents(pairs)
+      docs: DataFrame, pairs: DataFrame, score: String): DataFrame =
+    dedupClustersKeepBestFromComponents(docs, connectedComponents(pairs), score)
+
+  /** See `dedupClustersFromComponents` — same sharing rationale. */
+  def dedupClustersKeepBestFromComponents(
+      docs: DataFrame, comp: DataFrame, score: String): DataFrame = {
     val withComp = docs.select(col("doc_id"), col(score).as("_score"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("_score"),
@@ -227,7 +257,7 @@ object Dedup {
     * corpus-wide shingling pass.
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val shingleUdf = udf { text: String =>
+    val shingleUdf = sharedUdf("shingles", n)(udf { text: String =>
       val tk = text.split(" ").filter(_.nonEmpty)
       if (tk.length < n) Array.empty[String]
       else {
@@ -242,7 +272,7 @@ object Dedup {
         }
         seen.toArray
       }
-    }
+    })
     graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(shingleUdf(col("text"))).as("shingle"))
   }
@@ -275,11 +305,11 @@ object Dedup {
     * up to collisions (~|shingles|²/2⁶⁴).
     */
   def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
-    val udfH = udf { text: String =>
+    val udfH = sharedUdf("shingleHashes", n)(udf { text: String =>
       // Array.distinct keeps first-occurrence order — same output as
       // the previous insertion-ordered set
       windowHashes(text.split(" ").filter(_.nonEmpty), n).distinct
-    }
+    })
     graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(udfH(col("text"))).as("sh"))
   }
@@ -330,10 +360,10 @@ object Dedup {
     // size(arr) in a second projection: CollapseProject would inline the
     // deterministic UDF into both size() and explode() and run the
     // shingling twice per document)
-    val udfH = udf { text: String =>
+    val udfH = sharedUdf("jaccardShingles", n)(udf { text: String =>
       val hs = windowHashes(text.split(" ").filter(_.nonEmpty), n).distinct
       hs.map(h => (h, hs.length.toLong))
-    }
+    })
     val sh = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(udfH(col("text"))).as("e"))
       .select(col("doc_id"), col("e._2").as("nd"), col("e._1").as("sh"))
@@ -438,10 +468,10 @@ object Dedup {
     * trimming the copied spans, not dropping the doc).
     */
   def crossDocSpans(docs: DataFrame, n: Int = 5, trimAt: Int = 200): DataFrame = {
-    val winUdf = udf { text: String =>
+    val winUdf = sharedUdf("windows", n)(udf { text: String =>
       if (text == null) null
       else windowHashes(text.split(" ").filter(_.nonEmpty), n)
-    }
+    })
     // cached: both the df aggregation and the flagging join consume it —
     // without the cache the corpus-wide window pass executes twice
     val w = graft.Tables.fanOut(docs)
@@ -538,6 +568,8 @@ object Dedup {
   }
 
   private val minhashUdf = udf((es: Seq[Long]) => minhashSignatureHashed(es))
+  // object-level for canonical plan equality across calls (see sharedUdf)
+  private val tokenHashUdf = udf((t: String) => fnv1a(t, 0L))
 
   /** (doc_id, band, band_hash): LSH banding of a MinHash signature over
     * the given per-doc element-hash sets (doc_id, elems: array<long>).
@@ -570,7 +602,6 @@ object Dedup {
     // jaccardPairs): the corpus-wide pass never materializes or shuffles
     // shingle strings; exact verification intersects hash sets — equal
     // to string-set jaccard up to fnv1a collisions (~|shingles|²/2⁶⁴)
-    val tokenHashUdf = udf((t: String) => fnv1a(t, 0L))
     val sets =
       (if (shingleN <= 1)
          docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("shingle"))

@@ -39,6 +39,18 @@ object Similarity {
     * primitive arrays (~20× over interpreted expression-tree scoring on
     * millions of pairs).
     */
+  /** Row count memo keyed by canonicalized plan — block sizing only (a
+    * stale entry after an in-place overwrite would change block GEOMETRY,
+    * never results; same immutable-snapshot assumption as Dedup's
+    * probeMemo). Bounded-clear, same discipline.
+    */
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  private def memoCount(df: DataFrame): Long = {
+    val k = df.semanticHash()
+    if (!countMemo.contains(k) && countMemo.size > 64) countMemo.clear()
+    countMemo.getOrElseUpdate(k, df.count())
+  }
+
   def bruteForcePairs(emb: DataFrame, tau: Double, blocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -48,7 +60,7 @@ object Similarity {
     // count() job is noise next to the O(n²) work this op does anyway.
     val nBlocks =
       if (blocks > 0) blocks
-      else math.max(8, math.ceil(emb.count() / 16384.0).toInt)
+      else math.max(8, math.ceil(memoCount(emb) / 16384.0).toInt)
     val grouped = emb.select(
         pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"),
         col("vec_id").cast("long").as("id"), col("embedding"))
