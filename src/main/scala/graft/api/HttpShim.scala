@@ -22,6 +22,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    (plan tree, cardinalities, broadcast/shard decisions) with NO
   *    execution — beyond the reference, which only logs this.
   *  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N (beyond reference).
+  *    Every content-returning route (/query, /rank, /fuzzy, /snippets,
+  *    /facets) accepts `auths=a,b` and enforces the same language
+  *    visibility filter — an unauthorized document must not leak through
+  *    a ranking, a suggestion vocabulary, or a snippet window any more
+  *    than through a search hit.
   *  - `GET /facets?query=…&field=F&auths=…` → facet counts (beyond ref).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
@@ -91,7 +96,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (terms.isEmpty) throw new IllegalArgumentException("terms is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 1000000)
-    ("application/json", service.rank(terms, limit))
+    ("application/json", service.rank(terms, limit, authsOf(params)))
   })
 
   //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions
@@ -102,7 +107,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       throw new IllegalArgumentException("missing required parameter: term"))
     if (term.trim.isEmpty) throw new IllegalArgumentException("term is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 1000)
-    ("application/json", service.fuzzy(term.trim, limit))
+    ("application/json", service.fuzzy(term.trim, limit, authsOf(params)))
   })
 
   server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
@@ -124,9 +129,12 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val (terms, phrase) = (csv("terms"), csv("phrase"))
     val window = intParam(params, "window", default = 3, min = 0, max = 1000)
     val limit  = intParam(params, "limit", default = 100, min = 1, max = 1000000)
+    val auths = authsOf(params)
     (terms.nonEmpty, phrase.nonEmpty) match {
-      case (true, false) => ("application/json", service.snippets(terms, window, limit))
-      case (false, true) => ("application/json", service.phraseSnippets(phrase, window, limit))
+      case (true, false) =>
+        ("application/json", service.snippets(terms, window, limit, auths))
+      case (false, true) =>
+        ("application/json", service.phraseSnippets(phrase, window, limit, auths))
       case _ => throw new IllegalArgumentException(
         "exactly one of terms= or phrase= is required")
     }
@@ -146,10 +154,16 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   private def queryAndAuths(params: Map[String, String]): (String, Seq[String]) = {
     val q = params.getOrElse("query",
       throw new IllegalArgumentException("missing required parameter: query"))
-    val auths = params.get("auths").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    (q, auths)
+    (q, authsOf(params))
   }
+
+  /** The `auths` CSV alone — for routes without a boolean query (/rank,
+    * /fuzzy, /snippets). ONE parser shared with queryAndAuths so every
+    * content-returning route enforces the same visibility filter.
+    */
+  private def authsOf(params: Map[String, String]): Seq[String] =
+    params.get("auths").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Bounded integer param — ONE parser for every route, like
     * queryAndAuths. The bounds turn client faults into 400s that Spark

@@ -88,8 +88,19 @@ case class Results(documents: Seq[Document]) {
 /** Library facade over the engine — the boolean-search and content entry
   * points of the reference's REST layer (`IQuery.java:279-315`,
   * `Query.java:179-248`) minus the servlet container.
+  *
+  * `tokenizer` is the tokenizer that BUILT the index this service
+  * fronts (stored offsets index into its token stream): the default is
+  * the wiki-XML path's `TextFunctions.tokenize`; a service over a
+  * documents-table engine (postings built with `tokenizeWs`) passes
+  * that instead. Held HERE, once, so the BM25 doc lengths and snippet
+  * windows this service requests can never diverge from the index —
+  * per-call tokenizer choice was the exact mismatch `rank()`'s doc
+  * warns about.
   */
-class QueryService(engine: WikiSearchEngine) {
+class QueryService(engine: WikiSearchEngine,
+    tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      graft.functions.TextFunctions.tokenize) {
 
   /** Boolean-expression search → Results (top `limit` documents). */
   def query(q: String, auths: Seq[String] = Nil, limit: Int = 100): Results = {
@@ -107,13 +118,16 @@ class QueryService(engine: WikiSearchEngine) {
   def explain(q: String, auths: Seq[String] = Nil): String =
     engine.explainAccess(q, auths)
 
-  /** BM25 ranked retrieval (`WikiSearchEngine.rank`) → top `limit`
-    * (rank, docId, score) triples as a JSON array.
+  /** BM25 ranked retrieval → top `limit` (rank, docId, score) triples as
+    * a JSON array. Serving uses `WikiSearchEngine.rankTopK` — a bounded
+    * sort+limit (TakeOrderedAndProject), NOT the full-ranking global
+    * window — and assigns rank numbers here, at the presentation edge,
+    * from the collected row order.
     */
-  def rank(terms: Seq[String], limit: Int = 10): String = {
-    val rows = engine.rank(terms).limit(limit).collect()
-    rows.map { r =>
-      s"""{"rank":${r.getAs[Long]("rank")},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
+  def rank(terms: Seq[String], limit: Int = 10, auths: Seq[String] = Nil): String = {
+    val rows = engine.rankTopK(terms, limit, tokenizer = tokenizer, auths = auths).collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
     }.mkString("[", ",", "]")
   }
 
@@ -121,8 +135,8 @@ class QueryService(engine: WikiSearchEngine) {
     * a JSON array of {term, df}, document-frequency-descending so the
     * most plausible correction leads (ties alphabetical).
     */
-  def fuzzy(term: String, limit: Int = 10): String = {
-    val rows = engine.fuzzyTerms(term)
+  def fuzzy(term: String, limit: Int = 10, auths: Seq[String] = Nil): String = {
+    val rows = engine.fuzzyTerms(term, auths)
       .orderBy(org.apache.spark.sql.functions.col("df").desc,
         org.apache.spark.sql.functions.col("term"))
       .limit(limit).collect()
@@ -146,8 +160,9 @@ class QueryService(engine: WikiSearchEngine) {
   /** Multi-term snippets (`WikiSearchEngine.snippets`) — one entry per
     * (document, matched term), first `limit` rows as a JSON array.
     */
-  def snippets(terms: Seq[String], window: Int = 3, limit: Int = 100): String = {
-    val rows = engine.snippets(terms, window).limit(limit).collect()
+  def snippets(terms: Seq[String], window: Int = 3, limit: Int = 100,
+      auths: Seq[String] = Nil): String = {
+    val rows = engine.snippets(terms, window, tokenizer, auths).limit(limit).collect()
     rows.map { r =>
       s"""{"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"term":${jstr(r.getAs[String]("term"))},"snippet":${jstr(r.getAs[String]("snippet"))}}"""
     }.mkString("[", ",", "]")
@@ -156,18 +171,30 @@ class QueryService(engine: WikiSearchEngine) {
   /** Phrase snippets (`WikiSearchEngine.phraseSnippets`) — documents
     * where the phrase occurs as adjacent tokens, JSON array.
     */
-  def phraseSnippets(phrase: Seq[String], window: Int = 3, limit: Int = 100): String = {
-    val rows = engine.phraseSnippets(phrase, window).limit(limit).collect()
+  def phraseSnippets(phrase: Seq[String], window: Int = 3, limit: Int = 100,
+      auths: Seq[String] = Nil): String = {
+    val rows = engine.phraseSnippets(phrase, window, tokenizer, auths).limit(limit).collect()
     rows.map { r =>
       s"""{"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"snippet":${jstr(r.getAs[String]("snippet"))}}"""
     }.mkString("[", ",", "]")
   }
 
-  /** JSON string literal: a quote or backslash in a stored id/value must
-    * not break the document (same escaping for every interpolated string).
+  /** JSON string literal: a quote, backslash, OR control character in a
+    * stored id/value/token must not break the document — U+0000–U+001F
+    * are invalid raw in JSON strings, and `tokenizeWs` splits on single
+    * spaces only, so a stored token CAN carry a literal newline/tab.
+    * Same escaping for every interpolated string.
     */
   private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }.mkString("\"", "", "\"")
 
   private def toDocument(r: Row): Document = {
     val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq

@@ -131,8 +131,7 @@ class WikiSearchEngine(
         s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
     val ast = rewriteBareTerms(ast0)
 
-    val authFilter: DataFrame => DataFrame =
-      df => if (auths.isEmpty) df else df.filter(col("language").isin(auths: _*))
+    val authFilter = langAuth(auths)
 
     val analysis = new Analysis
     analyze(ast, analysis) match {
@@ -211,24 +210,64 @@ class WikiSearchEngine(
     * `tokenizer` defaults like `highlights`: `TextFunctions.tokenize`
     * for the wiki XML path; pass `TextFunctions.tokenizeWs` on a
     * documents-table engine.
+    *
+    * `auths` restricts BOTH the postings and the corpus statistics to
+    * the authorized languages — an unauthorized document must neither
+    * appear in results nor influence df/avgdl (same visibility model as
+    * `run`).
+    *
+    * This FULL-RANKING form assigns a rank to EVERY hit via a global
+    * window — it is the oracle/analytics surface. A global rank is
+    * inherently a single-ordering operation; for serving (where only
+    * the top k are wanted) use `rankTopK`, which plans as a bounded
+    * TakeOrderedAndProject instead of moving the whole hit set through
+    * one window task.
     */
   def rank(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       tieBreak: Column = col("docId"),
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    bm25Scored(terms, k1, b, tokenizer, auths)
+      .select(row_number().over(
+        Window.orderBy(col("score").desc, tieBreak, col("language"), col("partition")))
+        .cast("bigint").as("rank"), col("docId"), col("language"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** BM25 top-`k` for SERVING: same scoring plan as `rank`, but the
+    * ordering is a sort+limit — Spark plans it as TakeOrderedAndProject
+    * (per-partition top-k, then a k-bounded merge on the driver), so no
+    * task ever holds more than k rows regardless of hit-set size. Rank
+    * numbers are the caller's row index (the result IS the top-k in
+    * rank order) — the presentation edge assigns them after collect.
+    */
+  def rankTopK(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      tieBreak: Column = col("docId"),
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    bm25Scored(terms, k1, b, tokenizer, auths)
+      .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
+      .limit(k)
+      .select(col("docId"), col("language"), col("score"))
+  }
+
+  private def bm25Scored(terms: Seq[String], k1: Double, b: Double,
+      tokenizer: Column => Column, auths: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "rank() needs at least one term")
     // Lengths and postings join on the FULL document key (partition,
     // language, docId): a docId repeated across languages is a distinct
     // document and must neither duplicate-join its dl row nor merge
     // score contributions with its namesakes.
     val docKey = Seq("partition", "language", "docId")
-    val docLens = index.documents.select(
+    val docLens = langAuth(auths)(index.documents).select(
       col("partition"), col("language"), col("docId"),
       size(tokenizer(unbase64(col("textB64")).cast("string")))
         .cast("double").as("dl"))
     val stats = docLens.agg(
       count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-    val tf = index.termPostings
+    val tf = langAuth(auths)(index.termPostings)
       .filter(col("term").isin(terms: _*))
       .select(col("partition"), col("language"), col("docId"), col("term"),
         size(col("offsets")).cast("double").as("tf"))
@@ -242,15 +281,18 @@ class WikiSearchEngine(
           * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl"))))
           .as("c"))
-    val scored = contrib.groupBy(docKey.map(col): _*).agg(
+    contrib.groupBy(docKey.map(col): _*).agg(
       round(terms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
         .reduce(_ + _), 4).as("score"))
-    scored
-      .select(row_number().over(
-        Window.orderBy(col("score").desc, tieBreak, col("language"), col("partition")))
-        .cast("bigint").as("rank"), col("docId"), col("language"), col("score"))
-      .orderBy("rank")
   }
+
+  /** The one visibility rule (language = Accumulo column visibility in
+    * this engine's model, SURVEY §2): empty auths ⇒ unrestricted, else
+    * restrict to the authorized languages. Shared by `run` and every
+    * content-returning surface so no route can drift from it.
+    */
+  private def langAuth(auths: Seq[String]): DataFrame => DataFrame =
+    df => if (auths.isEmpty) df else df.filter(col("language").isin(auths: _*))
 
   /** Term-in-context snippets: ±`window` tokens around the term's FIRST
     * occurrence in each document containing it — the classic use of the
@@ -266,8 +308,9 @@ class WikiSearchEngine(
     * path, `TextFunctions.tokenizeWs` for the documents-table path.
     */
   def highlights(term: String, window: Int = 3,
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
-    val first = index.termPostings.filter(col("term") === term)
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
+    val first = langAuth(auths)(index.termPostings).filter(col("term") === term)
       .select(col("partition"), col("language"), col("docId"),
         col("offsets").getItem(0).as("pos"))
     first.join(index.documents, Seq("partition", "language", "docId"))
@@ -298,8 +341,12 @@ class WikiSearchEngine(
     *
     * `term` follows `rank()`'s contract: pass it pre-normalized the
     * way the index normalizes (lowercase for the stock paths).
+    *
+    * `auths` restricts the vocabulary AND the df counts to the
+    * authorized languages: term existence is itself information about
+    * unauthorized content (same visibility model as `run`).
     */
-  def fuzzyTerms(term: String): DataFrame = {
+  def fuzzyTerms(term: String, auths: Seq[String] = Nil): DataFrame = {
     require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
     def dels(t: String): Seq[String] = {
       val cps = t.codePoints.toArray
@@ -313,7 +360,7 @@ class WikiSearchEngine(
     val neighborhood = array_distinct(concat(array(t),
       transform(sequence(lit(0), length(t) - 1),
         i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
-    index.termPostings
+    langAuth(auths)(index.termPostings)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(length(t) > 0) // sequence(0,-1) would descend, not empty
       .withColumn("del", explode(neighborhood))
@@ -332,10 +379,11 @@ class WikiSearchEngine(
     * the document key — no corpus scan at any size.
     */
   def snippets(terms: Seq[String], window: Int = 3,
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
     require(terms.nonEmpty, "snippets() needs at least one term")
     val keys = Seq("partition", "language", "docId")
-    val hits = index.termPostings.filter(col("term").isin(terms: _*))
+    val hits = langAuth(auths)(index.termPostings).filter(col("term").isin(terms: _*))
       .select(keys.map(col) :+ struct(col("term"),
         col("offsets").getItem(0).as("pos")).as("hit"): _*)
       .groupBy(keys.map(col): _*).agg(collect_list(col("hit")).as("hits"))
@@ -361,11 +409,12 @@ class WikiSearchEngine(
     * inner joins before any content is touched.
     */
   def phraseSnippets(phrase: Seq[String], window: Int = 3,
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize): DataFrame = {
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
     require(phrase.size >= 2, "phraseSnippets() needs at least two tokens")
     val keys = Seq("partition", "language", "docId")
     val shifted = phrase.zipWithIndex.map { case (t, i) =>
-      index.termPostings.filter(col("term") === t)
+      langAuth(auths)(index.termPostings).filter(col("term") === t)
         .select(keys.map(col) :+
           transform(col("offsets"), x => x - i).as(s"o$i"): _*)
     }
@@ -396,12 +445,12 @@ class WikiSearchEngine(
     * per-doc cost is |oa|·|ob| on occurrence counts, bounded in
     * practice by tf.
     */
-  def near(a: String, b: String, k: Int): DataFrame = {
+  def near(a: String, b: String, k: Int, auths: Seq[String] = Nil): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
     val keys = Seq("partition", "language", "docId")
-    val pa = index.termPostings.filter(col("term") === a)
+    val pa = langAuth(auths)(index.termPostings).filter(col("term") === a)
       .select(keys.map(col) :+ col("offsets").as("oa"): _*)
-    val pb = index.termPostings.filter(col("term") === b)
+    val pb = langAuth(auths)(index.termPostings).filter(col("term") === b)
       .select(keys.map(col) :+ col("offsets").as("ob"): _*)
     pa.join(pb, keys)
       .filter(exists(col("oa"), i => exists(col("ob"), j => abs(i - j) <= k)))

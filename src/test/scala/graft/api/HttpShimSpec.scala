@@ -156,4 +156,30 @@ class HttpShimSpec extends SparkSuite {
     assert(body.contains(""""language":"enwiki"""") && body.contains(""""n":1"""))
     assert(get(s"/facets?$q")._1 == 400) // missing field param
   }
+
+  test("auths gate /rank, /fuzzy and /snippets like /query (no content-route bypass)") {
+    // the fixture is all enwiki: an frwiki-only client must see nothing
+    // through ANY content-returning route, and an enwiki client sees it all
+    assert(get("/rank?terms=abacus&auths=frwiki")._3 == "[]")
+    assert(get("/fuzzy?term=abacuz&auths=frwiki")._3 == "[]")
+    assert(get("/snippets?terms=abacus&auths=frwiki")._3 == "[]")
+    assert(get("/snippets?phrase=abacus,is&auths=frwiki")._3 == "[]")
+    assert(get("/rank?terms=abacus&auths=enwiki")._3.contains("\"rank\":1"))
+    assert(get("/snippets?terms=abacus&auths=enwiki")._3.contains("abacus"))
+  }
+
+  test("QueryService emits well-formed JSON for stored strings with control characters") {
+    import spark.implicits._
+    // tokenizeWs splits on single spaces ONLY, so a token can carry a
+    // literal newline/tab — it must leave jstr escaped, never raw
+    val docs = Seq((1L, "x a\nb\tc y", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val svc = new QueryService(
+      new WikiSearchEngine(spark,
+        graft.ingest.IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)),
+      tokenizer = graft.functions.TextFunctions.tokenizeWs)
+    val out = svc.snippets(Seq("x"), window = 2)
+    assert(out.contains("a\\nb\\tc"), s"control chars must be escaped: $out")
+    assert(!out.exists(c => c == '\n' || c == '\t'), s"raw control char leaked: $out")
+  }
 }

@@ -288,4 +288,50 @@ class EngineWikiSpec extends SparkSuite {
     val m2 = eng.fuzzyTerms("sort").as[(String, Long)].collect().toMap
     assert(m2 == Map("sort" -> 2L, "short" -> 1L, "sport" -> 1L))
   }
+
+  test("rankTopK: equals the full ranking's prefix; plans as bounded top-k, no window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark", "en", "s", 16L),
+      (2L, "spark a b c d e f g h", "en", "s", 21L),
+      (3L, "join x", "en", "s", 6L),
+      (4L, "spark join", "en", "s", 10L),
+      (5L, "nothing here", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val tok = graft.functions.TextFunctions.tokenizeWs _
+    val full = eng.rank(Seq("spark", "join"), tokenizer = tok)
+      .select("docId", "language", "score").collect().map(_.toSeq).toSeq
+    val top2 = eng.rankTopK(Seq("spark", "join"), 2, tokenizer = tok)
+    assert(top2.collect().map(_.toSeq).toSeq == full.take(2))
+    // the serving plan must be the bounded sort+limit, not a global window
+    val plan = top2.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+    assert(!plan.contains("Window"), s"serving top-k must not plan a window:\n$plan")
+  }
+
+  test("auths restrict rank, fuzzyTerms, snippets, and near to authorized languages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join secret", "en", "s", 17L),
+      (2L, "spark join classified", "fr", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val tok = graft.functions.TextFunctions.tokenizeWs _
+    // rank: the fr document must not appear, and must not influence stats
+    val ranked = eng.rankTopK(Seq("spark"), 10, tokenizer = tok, auths = Seq("en"))
+      .collect().map(_.getString(1)).toSet
+    assert(ranked == Set("en"))
+    // fuzzy vocabulary: 'classified' exists only in the fr doc
+    assert(eng.fuzzyTerms("classified", Seq("en")).collect().isEmpty)
+    assert(eng.fuzzyTerms("classified", Seq("fr")).collect().nonEmpty)
+    // snippets: no fr content slice for an en-only client
+    val sn = eng.snippets(Seq("classified"), 1, tok, Seq("en")).collect()
+    assert(sn.isEmpty)
+    // near: fr-only cooccurrence invisible under en auths
+    assert(eng.near("spark", "classified", 5, Seq("en")).collect().isEmpty)
+    assert(eng.near("spark", "classified", 5, Seq("fr")).collect().nonEmpty)
+  }
 }
