@@ -32,6 +32,7 @@ object Bench {
   def shortName(name: String): String = name match {
     case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
     case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
+    case "ws_near_q"                   => "ws_nq" // line budget (README bench section)
     case s => s
   }
 

@@ -93,6 +93,13 @@ object Compiler {
       val Seq(field, lo, hi) = t.args
       anyMatch(values(field.toUpperCase), v =>
         v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
+    // f:near(TEXT, a, b, k) — index-ENFORCED by the engine's NearLeaf
+    // (stored-offset postings join): the pivoted event view holds the
+    // DISTINCT term set, not positions, so the residual cannot
+    // re-evaluate proximity. TRUE here is sound because the engine
+    // rejects any placement (OR/NOT) where the plan intersection would
+    // not apply the leaf unconditionally (validateNearPlacement).
+    case "near" if t.args.size == 4 => lit(true)
     case other =>
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
   }

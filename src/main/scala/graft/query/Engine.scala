@@ -129,6 +129,7 @@ class WikiSearchEngine(
     if (QExpr.allNegated(ast0))
       throw new IllegalArgumentException(
         s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
+    validateNearPlacement(ast0, conjunctive = true)
     val ast = rewriteBareTerms(ast0)
 
     val authFilter = langAuth(auths)
@@ -445,17 +446,26 @@ class WikiSearchEngine(
     * per-doc cost is |oa|·|ob| on occurrence counts, bounded in
     * practice by tf.
     */
-  def near(a: String, b: String, k: Int, auths: Seq[String] = Nil): DataFrame = {
+  def near(a: String, b: String, k: Int, auths: Seq[String] = Nil): DataFrame =
+    nearDocKeys(a, b, k, langAuth(auths))
+      .select(col("docId"), col("language"))
+      .orderBy("docId")
+
+  /** The NEAR document-key set (full key, for plan composition): shared
+    * by the public `near` surface and the `f:near` query-language leaf,
+    * so the two cannot diverge.
+    */
+  private def nearDocKeys(
+      a: String, b: String, k: Int, auth: DataFrame => DataFrame): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
     val keys = Seq("partition", "language", "docId")
-    val pa = langAuth(auths)(index.termPostings).filter(col("term") === a)
+    val pa = auth(index.termPostings).filter(col("term") === a)
       .select(keys.map(col) :+ col("offsets").as("oa"): _*)
-    val pb = langAuth(auths)(index.termPostings).filter(col("term") === b)
+    val pb = auth(index.termPostings).filter(col("term") === b)
       .select(keys.map(col) :+ col("offsets").as("ob"): _*)
     pa.join(pb, keys)
       .filter(exists(col("oa"), i => exists(col("ob"), j => abs(i - j) <= k)))
-      .select(col("docId"), col("language"))
-      .orderBy("docId")
+      .select(keys.map(col): _*)
   }
 
   /** Facet counts over a query's result set — the results-sidebar
@@ -492,6 +502,8 @@ class WikiSearchEngine(
     val ast0 = QueryParser.parse(query)
     if (QExpr.allNegated(ast0))
       return s"REJECTED: all-negation query: $query"
+    try validateNearPlacement(ast0, conjunctive = true)
+    catch { case e: IllegalArgumentException => return s"REJECTED: ${e.getMessage}" }
     val ast = rewriteBareTerms(ast0)
     analyze(ast, new Analysis) match {
       case None =>
@@ -513,6 +525,9 @@ class WikiSearchEngine(
           case ScanLeaf(tag, _, fi) =>
             sb.append(s"${indent}RANGE/WILDCARD index scan card=${stats.get(tag).map(_.card).getOrElse(0L)}")
               .append(if (fi.isDefined) " (fi-verified)" else "").append('\n')
+          case NearLeaf(_, a, b, k) =>
+            sb.append(s"${indent}NEAR($a, $b, $k) — stored-offset postings join " +
+              "(exact, index-enforced)\n")
           case EmptyLeaf => sb.append(s"${indent}EMPTY (term absent from index)\n")
           case OrNode(cs) =>
             sb.append(s"${indent}OR\n"); cs.foreach(render(_, indent + "  "))
@@ -578,6 +593,14 @@ class WikiSearchEngine(
 
   private sealed trait PlanNode
   private case class EqLeaf(tag: Int, field: String, forms: Seq[String]) extends PlanNode
+  /** `f:near(TEXT, a, b, k)` — a proximity leaf answered from stored
+    * TermWeight offsets (the `near()` plan, J-series composition). The
+    * residual CANNOT re-verify it (the pivoted event view holds distinct
+    * terms, not positions), so this leaf is index-ENFORCED: it always
+    * participates in the AND intersection and is rejected under OR/NOT
+    * (`validateNearPlacement`).
+    */
+  private case class NearLeaf(tag: Int, a: String, b: String, k: Int) extends PlanNode
   /** Distributed index-scan leaf (prefix/suffix/range — can match
     * unboundedly many terms). `fiVerify` carries the exact fi-analogue
     * lookup of the SAME predicate when the field is unevaluated, so
@@ -598,6 +621,9 @@ class WikiSearchEngine(
     def scanLeaf(ix: DataFrame, fiVerify: Option[DataFrame]): ScanLeaf = {
       val l = ScanLeaf(nextTag, ix, fiVerify); nextTag += 1; leaves += l; l
     }
+    def nearLeaf(a: String, b: String, k: Int): NearLeaf = {
+      val l = NearLeaf(nextTag, a, b, k); nextTag += 1; leaves += l; l
+    }
   }
 
   /** Symbolic plan for the expression, or None when it is not
@@ -607,6 +633,7 @@ class WikiSearchEngine(
   private def analyze(e: QExpr, an: Analysis): Option[PlanNode] = e match {
     case t: Term if !Op.isNegative(t.op) => termNode(t, an)
     case _: Term                         => None // negations never drive the index
+    case f: FnTerm if isNearFn(f)        => Some(nearNode(f, an))
     case _: FnTerm                       => None
     case _: FnCmp                        => None // function results aren't indexed
     case _: BareTerm                     => None // rewritten earlier; unknown value
@@ -629,6 +656,7 @@ class WikiSearchEngine(
       val fused               = rangeBounds.flatMap { case (f, b) => rangeNode(f, b, an) }
       val positives           = rest.collect {
         case t: Term if !Op.isNegative(t.op) => analyze(t, an)
+        case f: FnTerm if isNearFn(f)        => analyze(f, an)
         case o: Or                           => analyze(o, an)
         case a: And                          => analyze(a, an)
       }.flatten
@@ -638,6 +666,50 @@ class WikiSearchEngine(
       }
       val all = fused ++ positives
       if (all.isEmpty) None else Some(AndNode(all, negatives))
+  }
+
+  private def isNearFn(f: FnTerm): Boolean = f.name == "near"
+
+  /** `f:near(TEXT, a, b, k)` → proximity plan leaf. Terms normalize like
+    * TEXT equality literals (same index, same normalizer); only TEXT is
+    * accepted — it is the one field whose postings store offsets (the
+    * reference likewise stores TermWeight offsets for article text only,
+    * `WikipediaMapper.java:243-260`).
+    */
+  private def nearNode(f: FnTerm, an: Analysis): PlanNode = {
+    require(f.args.size == 4,
+      s"f:near takes (field, term, term, k): f:near(${f.args.mkString(", ")})")
+    val Seq(field0, a, b, kStr) = f.args
+    if (field0.toUpperCase != "TEXT")
+      throw new IllegalArgumentException(
+        s"f:near is answered from stored TEXT offsets; field '$field0' has none")
+    val k =
+      try kStr.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"f:near distance must be an integer: '$kStr'") }
+    require(k >= 0, s"f:near distance must be >= 0: $k")
+    an.nearLeaf(normalizeLit("TEXT", a), normalizeLit("TEXT", b), k)
+  }
+
+  /** f:near is index-ENFORCED (its residual compiles to TRUE because the
+    * event view has no positions), which is only sound where the plan
+    * intersection applies it unconditionally: positive conjunctive
+    * position. Under OR a lossy sibling's shard fallback would leak
+    * through the TRUE residual; under NOT there is no enforcement at
+    * all — both are rejected loudly rather than answered wrongly.
+    */
+  private def validateNearPlacement(e: QExpr, conjunctive: Boolean): Unit = e match {
+    case f: FnTerm if isNearFn(f) =>
+      if (!conjunctive) throw new IllegalArgumentException(
+        "f:near composes conjunctively only (top level or under AND); " +
+          "OR/NOT placement cannot be residual-verified")
+    case FnCmp(f, _, _) if isNearFn(f) =>
+      throw new IllegalArgumentException(
+        "f:near selects documents; comparing its result to a literal is unsupported")
+    case And(cs) => cs.foreach(validateNearPlacement(_, conjunctive))
+    case Or(cs)  => cs.foreach(validateNearPlacement(_, conjunctive = false))
+    case Not(c)  => validateNearPlacement(c, conjunctive = false)
+    case _       => ()
   }
 
   private def termNode(t: Term, an: Analysis): Option[PlanNode] = {
@@ -792,6 +864,7 @@ class WikiSearchEngine(
   private def treeLeaves(n: PlanNode): Seq[PlanNode] = n match {
     case l: EqLeaf         => Seq(l)
     case l: ScanLeaf       => Seq(l)
+    case l: NearLeaf       => Seq(l)
     case EmptyLeaf         => Nil
     case OrNode(cs)        => cs.flatMap(treeLeaves)
     case AndNode(ps, negs) => ps.flatMap(treeLeaves) ++ negs
@@ -880,6 +953,13 @@ class WikiSearchEngine(
   private case class DistCand(df: DataFrame, card: Long, parts: Option[Seq[Int]] = None)
       extends MCand
 
+  private def hasNear(n: PlanNode): Boolean = n match {
+    case _: NearLeaf       => true
+    case OrNode(cs)        => cs.exists(hasNear)
+    case AndNode(ps, _)    => ps.exists(hasNear)
+    case _                 => false
+  }
+
   /** Known shard footprint of a candidate set (None = unbounded). */
   private def partsOf(m: MCand): Option[Seq[Int]] = m match {
     case LocalCand(docs, shards, _) =>
@@ -966,6 +1046,14 @@ class WikiSearchEngine(
       DistCand(toCandidates(ix, auth, fiVerify.getOrElse(allDocs)),
         stats.get(tag).map(_.card).getOrElse(0L))
 
+    case NearLeaf(_, a, b, k) =>
+      // Exact by construction (stored offsets, no lossy form exists for
+      // postings). Card is unknown without running the join — MaxValue
+      // keeps the min()-folds in intersectAll indifferent to it, and the
+      // AND path below never applies the min-card superset rule to a
+      // near-bearing conjunction anyway.
+      DistCand(nearDocKeys(a, b, k, auth), Long.MaxValue)
+
     case OrNode(cs) =>
       val ms   = cs.map(materialize(_, stats, auth, auths))
       val card = ms.map(_.card).sum
@@ -993,7 +1081,13 @@ class WikiSearchEngine(
           // LocalRelation (PropagateEmptyRelation). Only a distributed
           // branch (range scan) falls back to the reference's
           // min-cardinality superset rule (`RangeCalculator.java:825-834`).
-          if (ms.forall(_.isInstanceOf[LocalCand])) intersectAll(ms)
+          // EXCEPTION to the superset rule: a NearLeaf branch is
+          // index-ENFORCED (its residual is TRUE — positions aren't in
+          // the event view), so dropping it for a smaller sibling would
+          // silently un-enforce the proximity predicate. Near-bearing
+          // conjunctions always intersect exactly.
+          if (positives.exists(hasNear)) intersectAll(ms)
+          else if (ms.forall(_.isInstanceOf[LocalCand])) intersectAll(ms)
           else ms.minBy(_.card)
         } else intersectAll(ms)
       negatives.foldLeft(base) { (acc, neg) =>

@@ -360,6 +360,29 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
     },
 
+    // The same proximity operator composed INSIDE the query language —
+    // round 7's `f:near` (the reference's f: function namespace shape,
+    // QueryParser.java:763-800): an OR-of-EQ sibling drives index
+    // candidates, the NearLeaf intersects exactly from stored offsets,
+    // and the residual re-verifies the EQ branches. Bench key: ws_nq.
+    NamedQuery(
+      "ws_near_q",
+      s"""WITH p AS (SELECT doc_id, source,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'spark' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pb
+         | FROM (SELECT doc_id, source, $toks AS tk FROM documents) t)
+         |SELECT doc_id FROM p
+         |WHERE source IN ('src3', 'src7')
+         |  AND len(list_filter(pa, i ->
+         |        len(list_filter(pb, j -> abs(i - j) <= 3)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .run("(SOURCE == 'src3' or SOURCE == 'src7') and f:near(TEXT, 'spark', 'join', 3)")
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

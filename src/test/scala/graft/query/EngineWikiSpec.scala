@@ -289,6 +289,45 @@ class EngineWikiSpec extends SparkSuite {
     assert(m2 == Map("sort" -> 2L, "short" -> 1L, "sport" -> 1L))
   }
 
+  test("f:near composes into the query language, enforced from stored offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark x y join", "en", "s", 14L),    // distance 3 — in at k=3
+      (2L, "join z spark", "en", "s", 12L),      // distance 2, reversed order
+      (3L, "spark a b c join", "en", "t", 16L),  // distance 4 — out at k=3
+      (4L, "spark join", "en", "t", 10L)         // adjacent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(q: String) = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // standalone: equals the library near() surface
+    assert(ids("f:near(TEXT, 'spark', 'join', 3)") == Set("1", "2", "4"))
+    // conjunctive composition — the VERDICT's target shape: another
+    // branch drives candidates, near intersects exactly (never dropped
+    // by the min-card superset rule)
+    assert(ids("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 3)") == Set("4"))
+    assert(ids("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 4)") == Set("3", "4"))
+    // explain shows the stored-offset leaf, no execution
+    val report = eng.explainAccess("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 3)")
+    assert(report.contains("NEAR(spark, join, 3)"), report)
+    // unsound placements are rejected loudly, run AND explain
+    for (bad <- Seq(
+        "TEXT == 'spark' or f:near(TEXT, 'spark', 'join', 3)",
+        "TEXT == 'spark' and not f:near(TEXT, 'spark', 'join', 3)"))
+      assert(intercept[IllegalArgumentException](eng.run(bad)).getMessage
+        .contains("conjunctively"), bad)
+    // a BARE negated near is caught even earlier, by the all-negation rule
+    assert(intercept[IllegalArgumentException](
+      eng.run("not f:near(TEXT, 'a', 'b', 1)")).getMessage.contains("all-negation"))
+    assert(eng.explainAccess("TEXT == 'spark' or f:near(TEXT, 'a', 'b', 1)")
+      .startsWith("REJECTED"))
+    // non-TEXT fields carry no offsets; malformed k is a client error
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:near(SOURCE, 'a', 'b', 1)")).getMessage.contains("offsets"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:near(TEXT, 'a', 'b', 'x')")).getMessage.contains("integer"))
+  }
+
   test("rankTopK: equals the full ranking's prefix; plans as bounded top-k, no window") {
     import spark.implicits._
     val docs = Seq(
