@@ -42,8 +42,12 @@ object Tables {
     */
   def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Union is admitted: it is narrow (no shuffle, RDD lineage builds
+    // without running a job) and a union of small raw scans is exactly
+    // the few-partitions-needing-fan-out case this helper exists for.
     val rawScan = df.queryExecution.analyzed.collect { case p => p }.forall {
       case _: Project | _: Filter | _: SubqueryAlias | _: LeafNode => true
+      case _: Union                                                => true
       case _                                                       => false
     }
     val target = df.sparkSession.sparkContext.defaultParallelism

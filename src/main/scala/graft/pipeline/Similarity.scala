@@ -39,14 +39,17 @@ object Similarity {
     * primitive arrays (~20× over interpreted expression-tree scoring on
     * millions of pairs).
     */
-  /** Row count memo keyed by canonicalized plan — block sizing only (a
-    * stale entry after an in-place overwrite would change block GEOMETRY,
-    * never results; same immutable-snapshot assumption as Dedup's
-    * probeMemo). Bounded-clear, same discipline.
+  /** Row count memo keyed by the CANONICALIZED PLAN STRING, not the
+    * 32-bit semanticHash: a hash collision here would reuse the wrong
+    * count and mis-size block geometry (the 2 GB-row hazard the dynamic
+    * sizing exists to prevent) — unlike a cache-key miss, that is
+    * job-breaking, so the key must be collision-free. Stale-after-
+    * overwrite caveat as Dedup's probeMemo (immutable-snapshot
+    * assumption); bounded-clear, same discipline.
     */
-  private val countMemo = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def memoCount(df: DataFrame): Long = {
-    val k = df.semanticHash()
+    val k = df.queryExecution.analyzed.canonicalized.toString
     if (!countMemo.contains(k) && countMemo.size > 64) countMemo.clear()
     countMemo.getOrElseUpdate(k, df.count())
   }

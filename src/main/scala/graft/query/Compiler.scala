@@ -93,13 +93,6 @@ object Compiler {
       val Seq(field, lo, hi) = t.args
       anyMatch(values(field.toUpperCase), v =>
         v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
-    // f:near(TEXT, a, b, k) — index-ENFORCED by the engine's NearLeaf
-    // (stored-offset postings join): the pivoted event view holds the
-    // DISTINCT term set, not positions, so the residual cannot
-    // re-evaluate proximity. TRUE here is sound because the engine
-    // rejects any placement (OR/NOT) where the plan intersection would
-    // not apply the leaf unconditionally (validateNearPlacement).
-    case "near" if t.args.size == 4 => lit(true)
     case other =>
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
   }
@@ -142,7 +135,19 @@ object Compiler {
   def compile(
       e: QExpr,
       unevaluated: Set[String] = Set.empty,
-      norms: Map[String, FieldNorm] = Map.empty): Column = e match {
+      norms: Map[String, FieldNorm] = Map.empty,
+      nearEnforced: Boolean = false): Column = e match {
+    // f:near(TEXT, a, b, k): the pivoted event view holds the DISTINCT
+    // term set, not positions, so this compiler CANNOT evaluate
+    // proximity. The engine's NearLeaf enforces it from stored offsets
+    // and passes nearEnforced = true for its residual; every other
+    // caller (full-scan fallback, standalone evaluators like Soak)
+    // must fail loudly rather than silently match every document.
+    case FnTerm("near", args) if args.size == 4 =>
+      if (nearEnforced) lit(true)
+      else throw new IllegalArgumentException(
+        "f:near is not residual-evaluable (no positions in the event view); " +
+          "it requires the engine's index-enforced plan")
     case t: Term if unevaluated.contains(t.field) => lit(true)
     case Not(t: Term) if unevaluated.contains(t.field) => lit(true)
     case Not(c: FnCmp) if c.fn.args.headOption.exists(a => unevaluated.contains(a.toUpperCase)) =>
@@ -154,8 +159,8 @@ object Compiler {
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
       anyMatch(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
     case f: FnTerm   => fn(f)
-    case And(cs)     => cs.map(compile(_, unevaluated, norms)).reduce(_ && _)
-    case Or(cs)      => cs.map(compile(_, unevaluated, norms)).reduce(_ || _)
-    case Not(c)      => !compile(c, unevaluated, norms)
+    case And(cs)     => cs.map(compile(_, unevaluated, norms, nearEnforced)).reduce(_ && _)
+    case Or(cs)      => cs.map(compile(_, unevaluated, norms, nearEnforced)).reduce(_ || _)
+    case Not(c)      => !compile(c, unevaluated, norms, nearEnforced)
   }
 }

@@ -171,9 +171,15 @@ class WikiSearchEngine(
               auth = df => shardPrune(authFilter(df)),
               candidates = Some(candidateDf(cand)))
         }
+        // nearEnforced: any f:near leaf in this tree materialized as a
+        // NearLeaf intersection above — TRUE residual is sound HERE only
         finish(events.filter(
-          Compiler.compile(ast, config.unevaluatedFields, residualNorms)))
+          Compiler.compile(ast, config.unevaluatedFields, residualNorms,
+            nearEnforced = true)))
       case None => // full scan (AbstractQueryLogic.java:838-884)
+        // no index plan ⇒ nothing enforces a NearLeaf ⇒ nearEnforced
+        // stays false and a (theoretically unreachable) near term here
+        // fails loudly instead of matching everything
         finish(eventView(authFilter, None)
           .filter(Compiler.compile(ast, norms = residualNorms)))
     }
@@ -547,7 +553,9 @@ class WikiSearchEngine(
             s"candidates: DRIVER-LOCAL ${docs.size} docs + ${shards.size} lossy shards " +
               s"(one IN predicate on the event scan; residual re-verifies); est card=$card"
           case DistCand(_, card, parts) =>
-            s"candidates: DISTRIBUTED (lossy/range fallback); est card=$card; " +
+            val cardStr = // NearLeaf's sentinel must not print as an estimate
+              if (card == Long.MaxValue) "unknown (proximity join)" else card.toString
+            s"candidates: DISTRIBUTED; est card=$cardStr; " +
               s"static shard footprint=${parts.map(_.sorted.mkString("{", ",", "}")).getOrElse("unbounded")}"
         }
         sb.append(mat).append('\n').toString

@@ -65,6 +65,19 @@ class CompilerSpec extends SparkSuite {
     assert(ids("f:abs(N) >= 7") == Set(2L, 3L))
   }
 
+  test("f:near outside the engine's enforced plan fails loudly, never match-all") {
+    // the event view has no positions — a standalone evaluator (full
+    // scan, Soak-style ground truth) must throw, not return every doc
+    val e = intercept[IllegalArgumentException](
+      Compiler.compile(QueryParser.parse("f:near(TEXT, 'a', 'b', 2)")))
+    assert(e.getMessage.contains("index-enforced"))
+    // under the engine's flag (NearLeaf intersection applied) it is TRUE
+    val c = Compiler.compile(
+      QueryParser.parse("N >= 0 and f:near(TEXT, 'a', 'b', 2)"), nearEnforced = true)
+    val got = events.filter(c).select("docId").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("unevaluated field compiles to TRUE") {
     val c = Compiler.compile(QueryParser.parse("COLOR == 'nope' and N >= 0"), Set("COLOR"))
     val got = events.filter(c).select("docId").as[Long].collect().toSet
