@@ -609,7 +609,13 @@ object Dedup {
        else shingleHashes(docs, shingleN))
         .groupBy("doc_id").agg(collect_set(col("sh")).as("elems"))
         .cache()
-    val b = minhashBands(sets, bands)
+    // cached: the band table feeds a SELF-join — uncached, the
+    // 64-hash/element signature UDF (the operator's CPU-heavy pass)
+    // executes once per join side; and because minhashUdf is an
+    // object-level instance the plan canonicalizes equal across calls,
+    // so repeat invocations on the same corpus reuse this too (bounded:
+    // docs × bands small rows per corpus)
+    val b = minhashBands(sets, bands).cache()
     val candidates = b.as("x")
       .join(b.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
