@@ -32,7 +32,12 @@ object Bench {
   def shortName(name: String): String = name match {
     case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
     case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
-    case "ws_near_q"                   => "ws_nq" // line budget (README bench section)
+    // explicit line-budget abbreviations (README bench section)
+    case "ws_near_q"                   => "ws_nq"
+    case "ws_index_incremental"        => "ws_inc"
+    case "ws_index_termfreq"           => "ws_itf"
+    case "ws_content_fetch"            => "ws_cf"
+    case "dd_embedding_neardup"        => "dd_emb"
     case s => s
   }
 

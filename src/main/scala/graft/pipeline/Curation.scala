@@ -96,6 +96,57 @@ object Curation {
         when(col("n_contaminated") > 0, lit("contaminated")).otherwise(lit("clean")))
   }
 
+  /** Decontamination for eval sets too big to broadcast — same result
+    * as `contamination` (bit-identical, any fpp), different scale
+    * posture. `contamination` ships the DISTINCT eval shingle set to
+    * every executor; that caps the eval side at broadcast size (~say
+    * 1 GB). Decontaminating against a whole held-out CORPUS (the
+    * "test-set leakage at pretraining scale" setup) breaks that cap,
+    * and the naive fallback — a full shuffle semi-join — shuffles
+    * every corpus shingle (the 100 TB side).
+    *
+    * This variant restores the no-corpus-shuffle shape with a Bloom
+    * prefilter + exact verify:
+    *   1. build a Bloom filter over the eval shingle hashes with
+    *      `stat.bloomFilter` — a distributed aggregate; the driver
+    *      (and then every executor, via one broadcast) holds only the
+    *      fixed-size bit array (~1.2 GB per 1e9 distinct shingles at
+    *      fpp 1%, independent of eval TEXT size);
+    *   2. probe it inside the corpus-side shingling projection — the
+    *      ~(1-fpp) of shingles that miss are dropped with zero
+    *      shuffle, same as the broadcast semi-join dropped them;
+    *   3. exact-verify ONLY the survivors (true hits + fpp of the
+    *      rest) with a keyed semi-join against the eval set — this is
+    *      the only wide op touching corpus data, and its left side is
+    *      ~fpp of the corpus shingle volume.
+    * The verify step makes fpp a pure COST dial (join size), never a
+    * correctness one — the oracle for `cu_bloom` is the same exact
+    * SQL as `cu_contam`'s, which is the point.
+    *
+    * The two actions (count + filter build) run at plan-build time;
+    * both are aggregates over the already-distinct eval side. Callers
+    * decontaminating many corpora against one eval set should lift
+    * the filter out via the usual persisted-artifact route (the IVF
+    * pattern); here it stays inline so the operator is one call.
+    */
+  def contaminationBloom(
+      docs: DataFrame, evalDocs: DataFrame, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val evalSh = Dedup.shingleHashes(evalDocs, n).select("sh").distinct()
+    val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+    val bfB   = docs.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((sh: Long) => bfB.value.mightContainLong(sh))
+    val hits = Dedup.shingleHashes(docs, n)
+      .filter(might(col("sh")))           // narrow: inside the shingling stage
+      .join(evalSh, Seq("sh"), "left_semi") // exact verify, keyed on sh, NOT broadcast
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("verdict",
+        when(col("n_contaminated") > 0, lit("contaminated")).otherwise(lit("clean")))
+  }
+
   /** Graded decontamination — the overlap-FRACTION form (the GPT-3
     * appendix-C / PaLM shape): per document, the permille of its
     * distinct n-grams that occur anywhere in the eval set, with a drop

@@ -946,6 +946,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered decontamination (eval slice doc_id % 89 = 0,
+    // distinct from cu_contam's % 97 slice). The oracle is the same
+    // EXACT-semantics SQL as cu_contam's — the hash match IS the
+    // operator's contract: the Bloom prefilter plus exact verify must
+    // be result-identical to the broadcast semi-join at any fpp.
+    NamedQuery(
+      "cu_bloom",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+         | hits AS (SELECT doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |          WHERE doc_id % 89 <> 0 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+         |  CASE WHEN coalesce(h.n, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 89 <> 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Curation.contaminationBloom(
+          docs.filter(col("doc_id") % 89 =!= 0), docs.filter(col("doc_id") % 89 === 0))
+        .orderBy("doc_id")
+    },
+
     // Graded decontamination: the overlap-FRACTION form (integer
     // permille of a doc's distinct 3-grams found in the eval set; drop
     // at >= 200 permille). cu_contam is the membership form; this is

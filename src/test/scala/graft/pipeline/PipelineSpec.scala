@@ -393,6 +393,27 @@ class PipelineSpec extends SparkSuite {
     assert(c(2L) == ((0L, "clean")))
   }
 
+  test("contaminationBloom is result-identical to contamination at any fpp") {
+    val evals = Seq(
+      (100L, "secret eval question about spark joins"),
+      (101L, "another held out benchmark prompt entirely")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "this doc leaks the secret eval question about nothing"),
+      (2L, "entirely unrelated words here friend"),
+      (3L, "another held out benchmark prompt entirely copied"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val exact = Curation.contamination(corpus, evals)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // fpp 0.5 floods the prefilter with false positives; the exact
+    // verify must still make the result bit-identical — fpp is a cost
+    // dial, never a correctness one
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Curation.contaminationBloom(corpus, evals, fpp = fpp)
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(got.sameElements(exact), s"fpp=$fpp diverged")
+    }
+  }
+
   test("overlapFraction grades permille with an exact drop boundary; short docs keep") {
     val evals = Seq((100L, "secret eval question about spark joins")).toDF("doc_id", "text")
     val corpus = Seq(
