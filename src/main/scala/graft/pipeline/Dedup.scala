@@ -632,6 +632,54 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental MinHash LSH: near-dup pairs touching a FRESH shard —
+    * fresh×fresh (a < b) plus corpus×fresh (a = corpus doc, b = fresh
+    * doc) — with corpus×corpus pairs never FORMED, not formed-then-
+    * filtered. This is the shape batch ingestion actually needs at
+    * 100 TB: each arriving shard dedups against the accumulated corpus
+    * without re-pairing the corpus against itself (the full
+    * `minhashPairs` rerun is quadratic-ish in accumulated size; this is
+    * ~|fresh| band rows probing the corpus band table).
+    *
+    * The corpus-side band/set tables are recomputed here from `corpus`
+    * for self-containment; a deployment persists them once (they are
+    * plain DataFrames — the same persisted-artifact route the IVF/PQ
+    * index uses) and each shard run reads them back, bucketed by
+    * (band, band_hash), so only fresh-side signatures are computed and
+    * the candidate probe co-locates without shuffling the corpus side.
+    * Thresholds/banding and the exact-verify contract are identical to
+    * `minhashPairs` (same τ=0.6 certainty argument for the oracle).
+    */
+  def minhashPairsIncremental(corpus: DataFrame, fresh: DataFrame, tau: Double,
+      bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    def sets(d: DataFrame) =
+      shingleHashes(d, shingleN)
+        .groupBy("doc_id").agg(collect_set(col("sh")).as("elems")).cache()
+    val setsOld = sets(corpus)
+    val setsNew = sets(fresh)
+    val bOld = minhashBands(setsOld, bands).cache()
+    val bNew = minhashBands(setsNew, bands).cache()
+    val bandEq = col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+    val candidates =
+      bNew.as("x").join(bNew.as("y"), bandEq && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .union(
+          // a =!= b guards the degenerate overlap where a doc appears in
+          // both inputs (contract is disjoint ids; self-pairs stay out)
+          bOld.as("x").join(bNew.as("y"), bandEq && col("x.doc_id") =!= col("y.doc_id"))
+            .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+        .distinct()
+    val allSets = setsOld.union(setsNew)
+    candidates
+      .join(allSets.select(col("doc_id").as("a"), col("elems").as("ta")), "a")
+      .join(setsNew.select(col("doc_id").as("b"), col("elems").as("tb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))) * lit(1.0) /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset. */

@@ -320,6 +320,35 @@ object PipelineQueries {
         .select("a", "b").orderBy("a", "b")
     },
 
+    // Incremental LSH dedup: pairs touching the FRESH shard (doc_id %
+    // 7 = 0) only — corpus×fresh in (corpus, fresh) orientation plus
+    // fresh×fresh (a < b); corpus×corpus pairs are never formed. Same
+    // τ=0.6 recall-certainty argument as dd_minhash_lsh.
+    NamedQuery(
+      "dd_incr",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |       FROM sh x JOIN sh y ON x.s = y.s
+         |       WHERE y.doc_id % 7 = 0 AND x.doc_id <> y.doc_id
+         |         AND (x.doc_id % 7 <> 0 OR x.doc_id < y.doc_id)
+         |       GROUP BY 1, 2)
+         |SELECT a, b FROM (
+         |  SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j
+         |  FROM cand JOIN sz sa ON cand.a = sa.doc_id JOIN sz sb ON cand.b = sb.doc_id) q
+         |WHERE j >= 0.6 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashPairsIncremental(
+          docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+          tau = 0.6)
+        .select("a", "b").orderBy("a", "b")
+    },
+
     // SimHash fully oracled: fnv1a + bit-vote simhash re-derived in pure
     // SQL (HUGEINT mod-2⁶⁴ arithmetic), pairs = all (a<b) with Hamming
     // distance ≤ 7. The chunk-banding pigeonhole guarantee (maxDist <

@@ -124,6 +124,24 @@ class PipelineSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash: corpus-fresh and fresh-fresh pairs only, never corpus-corpus") {
+    // corpus: 1/4 are near-dups of each other; fresh: 11 dups 1, 12 dups 11
+    val corpus = docs // 1,2,3,4 — (1,2),(1,4),(2,4) are pairs at tau 0.5
+    val fresh = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // dups corpus 1/4 and fresh 12
+      (12L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "entirely novel fresh content nothing shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsIncremental(corpus, fresh, tau = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every pair touches the fresh shard; orientation (corpus, fresh)
+    assert(got.forall { case (_, b) => b >= 11L })
+    assert(got.contains((1L, 11L)) && got.contains((4L, 12L)) && got.contains((11L, 12L)))
+    // the corpus-corpus near-dup (1,4) is NOT re-derived
+    assert(!got.contains((1L, 4L)) && !got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
   test("minhash signature of identical sets is identical; fnv1a deterministic") {
     val s1 = Dedup.minhashSignature(Seq("a", "b", "c"))
     val s2 = Dedup.minhashSignature(Seq("c", "b", "a"))
