@@ -277,23 +277,34 @@ object Dedup {
       .select(col("doc_id"), explode(shingleUdf(col("text"))).as("shingle"))
   }
 
-  /** Per-position 64-bit fnv1a hashes of a token array's word n-grams —
-    * the one shared definition of "window hash": `shingleHashes` dedups
-    * its output, `crossDocSpans` consumes it positionally. One place to
+  /** Per-position 64-bit hashes of a token array's word n-grams — the
+    * one shared definition of "window hash": `shingleHashes` dedups its
+    * output, `crossDocSpans` consumes it positionally. One place to
     * change tokenization/seed so the operators cannot silently diverge.
+    *
+    * Each token is fnv1a-hashed ONCE, then each window combines its n
+    * token hashes as a degree-(n-1) polynomial (odd multiplier, mod
+    * 2⁶⁴). Equality semantics are unchanged — distinct n-grams collide
+    * with prob ~2⁻⁶⁴, same as the previous whole-string fnv1a — but the
+    * corpus-wide pass does O(chars + n·windows) work instead of
+    * O(n·chars·windows) and allocates no per-window strings (the
+    * StringBuilder round-trip was the dominant cost of every shingling
+    * pass). Tokens cannot contain the ' ' separator (split above), so
+    * per-token hashing loses no boundary information.
     */
   private[pipeline] def windowHashes(tk: Array[String], n: Int): Array[Long] =
     if (tk.length < n) Array.empty[Long]
     else {
-      val out = new Array[Long](tk.length - n + 1)
-      val sb  = new StringBuilder
+      val th = new Array[Long](tk.length)
       var i = 0
+      while (i < tk.length) { th(i) = fnv1a(tk(i), 0L); i += 1 }
+      val out = new Array[Long](tk.length - n + 1)
+      i = 0
       while (i <= tk.length - n) {
-        sb.setLength(0)
-        sb.append(tk(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(tk(i + j)); j += 1 }
-        out(i) = fnv1a(sb.toString, 0L)
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 0x100000001b3L + th(i + j); j += 1 }
+        out(i) = h
         i += 1
       }
       out
