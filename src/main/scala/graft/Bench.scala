@@ -34,6 +34,7 @@ object Bench {
     case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
     // explicit line-budget abbreviations (README bench section)
     case "ws_near_q"                   => "ws_nq"
+    case "ws_fuzzy_q"                  => "ws_fq"
     case "ws_index_incremental"        => "ws_inc"
     case "ws_index_termfreq"           => "ws_itf"
     case "ws_content_fetch"            => "ws_cf"

@@ -86,13 +86,24 @@ object Compiler {
     else
       anyMatch(vs, v => f(norm.colFn(v), lit(norm.litFn(literal))))
 
-  private def fn(t: FnTerm): Column = t.name match {
+  private def fn(t: FnTerm, norms: Map[String, FieldNorm]): Column = t.name match {
     // f:between(field, lo, hi) — QueryFunctions.java:26-46: numeric parse,
     // false on parse failure (try_cast null ⇒ condition null ⇒ filtered).
     case "between" if t.args.size == 3 =>
       val Seq(field, lo, hi) = t.args
       anyMatch(values(field.toUpperCase), v =>
         v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
+    // f:fuzzy(field, term) — typo-tolerant membership: some value within
+    // Levenshtein distance 1 of the term, both sides normalized the way
+    // the field's EQ comparison normalizes. Fully residual-evaluable
+    // (unlike f:near), so it composes anywhere — the engine's index
+    // expansion is purely an access-path optimization. The threshold
+    // form of `levenshtein` early-exits per value at distance 2.
+    case "fuzzy" if t.args.size == 2 =>
+      val Seq(field, term) = t.args
+      val norm = norms.getOrElse(field.toUpperCase, DefaultNorm)
+      anyMatch(values(field.toUpperCase), v =>
+        levenshtein(norm.colFn(v), lit(norm.litFn(term)), 1) >= 0)
     case other =>
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
   }
@@ -158,7 +169,7 @@ object Compiler {
     case c: FnCmp    => fnCmp(c)
     case b: BareTerm => // planner rewrites these; residual fallback = TEXT token match
       anyMatch(values("TEXT"), v => lower(v) === lit(b.literal.toLowerCase))
-    case f: FnTerm   => fn(f)
+    case f: FnTerm   => fn(f, norms)
     case And(cs)     => cs.map(compile(_, unevaluated, norms, nearEnforced)).reduce(_ && _)
     case Or(cs)      => cs.map(compile(_, unevaluated, norms, nearEnforced)).reduce(_ || _)
     case Not(c)      => !compile(c, unevaluated, norms, nearEnforced)

@@ -31,7 +31,13 @@ case class EngineConfig(
       * (≤ shards × MAX uids per term) — the same bound the reference
       * relies on when it collects ranges client-side.
       */
-    termCacheSize: Int = 8192)
+    termCacheSize: Int = 8192,
+    /** Expansion cap for `f:fuzzy` index planning: beyond this many
+      * vocabulary matches the term is so generic that a full scan +
+      * exact residual is the better plan anyway (and the plan-time
+      * collect stays bounded by construction).
+      */
+    fuzzyExpandMax: Int = 64)
 
 /** The query engine: parse → plan (access path, SURVEY.md §4.1) →
   * execute (index semi/anti-join DAG or full scan) → pivot + residual
@@ -355,27 +361,35 @@ class WikiSearchEngine(
     */
   def fuzzyTerms(term: String, auths: Seq[String] = Nil): DataFrame = {
     require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
-    def dels(t: String): Seq[String] = {
-      val cps = t.codePoints.toArray
-      (t +: cps.indices.map { i =>
-        val rest = cps.patch(i, Nil, 1)
-        new String(rest, 0, rest.length)
-      }).distinct
-    }
     val qvars = spark.createDataFrame(dels(term).map(Tuple1(_))).toDF("del")
-    val t = col("term")
-    val neighborhood = array_distinct(concat(array(t),
-      transform(sequence(lit(0), length(t) - 1),
-        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
     langAuth(auths)(index.termPostings)
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(length(t) > 0) // sequence(0,-1) would descend, not empty
-      .withColumn("del", explode(neighborhood))
+      .filter(length(col("term")) > 0) // sequence(0,-1) would descend, not empty
+      .withColumn("del", explode(delNeighborhood(col("term"))))
       .join(broadcast(qvars), Seq("del"))
       .select("term", "df").distinct()
-      .filter(levenshtein(t, lit(term)) <= 1)
+      .filter(levenshtein(col("term"), lit(term)) <= 1)
       .orderBy("term")
   }
+
+  /** 1-deletion neighborhood of `t` (including `t` itself), query-side:
+    * codepoint-based, so the SymSpell completeness claim holds beyond
+    * the BMP. Shared by `fuzzyTerms` and the `f:fuzzy` plan expansion.
+    */
+  private def dels(t: String): Seq[String] = {
+    val cps = t.codePoints.toArray
+    (t +: cps.indices.map { i =>
+      val rest = cps.patch(i, Nil, 1)
+      new String(rest, 0, rest.length)
+    }).distinct
+  }
+
+  /** Dictionary-side 1-deletion neighborhood as a codegen'd expression
+    * (`substr`/`length` count codepoints, matching `dels`). */
+  private def delNeighborhood(t: Column): Column =
+    array_distinct(concat(array(t),
+      transform(sequence(lit(0), length(t) - 1),
+        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
 
   /** Multi-term snippets — `highlights` over a query's full term set:
     * one row per (document, matched term), ±`window` tokens around that
@@ -642,6 +656,7 @@ class WikiSearchEngine(
     case t: Term if !Op.isNegative(t.op) => termNode(t, an)
     case _: Term                         => None // negations never drive the index
     case f: FnTerm if isNearFn(f)        => Some(nearNode(f, an))
+    case f: FnTerm if isFuzzyFn(f)       => fuzzyNode(f, an)
     case _: FnTerm                       => None
     case _: FnCmp                        => None // function results aren't indexed
     case _: BareTerm                     => None // rewritten earlier; unknown value
@@ -663,10 +678,10 @@ class WikiSearchEngine(
       val (rangeBounds, rest) = partitionRangeTerms(cs)
       val fused               = rangeBounds.flatMap { case (f, b) => rangeNode(f, b, an) }
       val positives           = rest.collect {
-        case t: Term if !Op.isNegative(t.op) => analyze(t, an)
-        case f: FnTerm if isNearFn(f)        => analyze(f, an)
-        case o: Or                           => analyze(o, an)
-        case a: And                          => analyze(a, an)
+        case t: Term if !Op.isNegative(t.op)           => analyze(t, an)
+        case f: FnTerm if isNearFn(f) || isFuzzyFn(f)  => analyze(f, an)
+        case o: Or                                     => analyze(o, an)
+        case a: And                                    => analyze(a, an)
       }.flatten
       val negatives = rest.collect {
         case t: Term if t.op == Op.NE && indexedFields.contains(t.field) =>
@@ -677,6 +692,46 @@ class WikiSearchEngine(
   }
 
   private def isNearFn(f: FnTerm): Boolean = f.name == "near"
+  private def isFuzzyFn(f: FnTerm): Boolean = f.name == "fuzzy"
+
+  /** `f:fuzzy(FIELD, term)` → the term's Lev≤1 vocabulary neighborhood
+    * as a multi-form EQ leaf. Unlike f:near this leaf is an access-path
+    * OPTIMIZATION, not an obligation: the residual re-verifies with the
+    * exact `levenshtein` predicate (Compiler's f:fuzzy case), so a None
+    * here (unindexed field, over-generic term) just falls back to the
+    * scan path, and OR/NOT placements need no special handling.
+    *
+    * Soundness of the expansion as a candidate superset: every indexed
+    * value v has each normalizer form fn(v) in this field's vocabulary,
+    * and the residual compares the SAME normalized forms — so any doc
+    * the residual accepts has a vocabulary term within distance 1 of
+    * one of the literal's `probeForms`, which the SymSpell join (a
+    * COMPLETE Lev≤1 candidate generator, see `fuzzyTerms`) finds. An
+    * empty expansion is therefore proof of emptiness (EmptyLeaf). The
+    * plan-time collect is capped at `config.fuzzyExpandMax`+1 rows.
+    */
+  private def fuzzyNode(f: FnTerm, an: Analysis): Option[PlanNode] = {
+    require(f.args.size == 2,
+      s"f:fuzzy takes (field, term): f:fuzzy(${f.args.mkString(", ")})")
+    val field = f.args.head.toUpperCase
+    require(f.args(1).nonEmpty, "f:fuzzy needs a non-empty term")
+    if (!indexedFields.contains(field)) return None
+    val qforms = probeForms(field, f.args(1))
+    val qvars  = spark.createDataFrame(
+      qforms.flatMap(q => dels(q).map((_, q))).distinct).toDF("del", "q")
+    val matched = index.globalIndex
+      .filter(col("fieldName") === field && length(col("fieldValue")) > 0)
+      .select(col("fieldValue").as("term")).distinct()
+      .withColumn("del", explode(delNeighborhood(col("term"))))
+      .join(broadcast(qvars), Seq("del"))
+      .filter(levenshtein(col("term"), col("q"), 1) >= 0)
+      .select("term").distinct()
+      .limit(config.fuzzyExpandMax + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (matched.size > config.fuzzyExpandMax) None
+    else if (matched.isEmpty) Some(EmptyLeaf)
+    else Some(an.eqLeaf(field, matched))
+  }
 
   /** `f:near(TEXT, a, b, k)` → proximity plan leaf. Terms normalize like
     * TEXT equality literals (same index, same normalizer); only TEXT is

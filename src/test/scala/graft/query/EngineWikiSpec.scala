@@ -289,6 +289,47 @@ class EngineWikiSpec extends SparkSuite {
     assert(m2 == Map("sort" -> 2L, "short" -> 1L, "sport" -> 1L))
   }
 
+  test("f:fuzzy composes into the query language with exact residual verification") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark sport sort short snark", "en", "s", 28L),
+      (2L, "sort spark", "en", "s", 10L),
+      (3L, "sparkle srot", "en", "t", 12L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val index = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)
+    val eng = new WikiSearchEngine(spark, index)
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // standalone: a token within Lev<=1 of 'sprk' — 'spark' only ('snark'
+    // is distance 2, 'sparkle' 3, and transposed 'srot' vs 'sort' is 2)
+    assert(ids(eng, "f:fuzzy(TEXT, 'sprk')") == Set("1", "2"))
+    assert(ids(eng, "f:fuzzy(TEXT, 'sort')") == Set("1", "2"))
+    // no placement restrictions (unlike f:near): AND, OR, NOT all compose
+    // because the residual re-verifies with the exact levenshtein predicate
+    assert(ids(eng, "SOURCE == 's' and f:fuzzy(TEXT, 'sprk')") == Set("1", "2"))
+    assert(ids(eng, "TEXT == 'sparkle' or f:fuzzy(TEXT, 'sprk')") == Set("1", "2", "3"))
+    assert(ids(eng, "TEXT == 'sparkle' and not f:fuzzy(TEXT, 'sprk')") == Set("3"))
+    // the plan is the expansion as a multi-form EQ leaf
+    val report = eng.explainAccess("f:fuzzy(TEXT, 'sort')")
+    assert(report.contains("INDEX PATH") && report.contains("EQ TEXT IN {"), report)
+    assert(Seq("sort", "sport", "short").forall(report.contains), report)
+    // empty expansion is proof of emptiness (vocabulary completeness)
+    assert(ids(eng, "f:fuzzy(TEXT, 'zzzzzz')").isEmpty)
+    assert(eng.explainAccess("f:fuzzy(TEXT, 'zzzzzz')").contains("EMPTY"))
+    // over-generic terms (expansion cap) fall back to scan + residual
+    // with IDENTICAL results — the leaf is an optimization, not an
+    // obligation
+    val scanEng = new WikiSearchEngine(spark, index, EngineConfig(fuzzyExpandMax = 0))
+    assert(scanEng.explainAccess("f:fuzzy(TEXT, 'sprk')").startsWith("FULL SCAN"))
+    for (q <- Seq("f:fuzzy(TEXT, 'sprk')", "f:fuzzy(TEXT, 'sort')",
+        "TEXT == 'sparkle' or f:fuzzy(TEXT, 'sprk')"))
+      assert(ids(scanEng, q) == ids(eng, q), q)
+    // malformed arg shapes are client errors
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:fuzzy(TEXT)")).getMessage.contains("f:fuzzy takes"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:fuzzy(TEXT, '')")).getMessage.contains("non-empty"))
+  }
+
   test("f:near composes into the query language, enforced from stored offsets") {
     import spark.implicits._
     val docs = Seq(
