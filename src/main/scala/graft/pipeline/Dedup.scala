@@ -663,13 +663,32 @@ object Dedup {
     */
   def minhashPairsIncremental(corpus: DataFrame, fresh: DataFrame, tau: Double,
       bands: Int = 32, shingleN: Int = 3): DataFrame = {
-    def sets(d: DataFrame) =
-      shingleHashes(d, shingleN)
-        .groupBy("doc_id").agg(collect_set(col("sh")).as("elems")).cache()
-    val setsOld = sets(corpus)
-    val setsNew = sets(fresh)
-    val bOld = minhashBands(setsOld, bands).cache()
-    val bNew = minhashBands(setsNew, bands).cache()
+    val setsOld = shingleSets(corpus, shingleN).cache()
+    val setsNew = shingleSets(fresh, shingleN).cache()
+    minhashPairsFromParts(
+      setsOld, minhashBands(setsOld, bands).cache(),
+      setsNew, minhashBands(setsNew, bands).cache(), tau)
+  }
+
+  /** Per-doc distinct shingle-hash sets — the verify-side artifact of
+    * the LSH family (`minhashBands` derives the candidate-side one).
+    * Public because incremental/streaming dedup persists BOTH across
+    * runs and merges per-shard deltas into them.
+    */
+  def shingleSets(docs: DataFrame, shingleN: Int): DataFrame =
+    shingleHashes(docs, shingleN)
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("elems"))
+
+  /** `minhashPairsIncremental` with the four artifacts PRECOMPUTED —
+    * the shape a deployment actually runs: the corpus set/band tables
+    * are persisted state (read back bucketed, never recomputed), the
+    * fresh-side tables are this shard's delta (computed once here,
+    * then merged into the state by the caller). Pair orientation and
+    * the exact-verify contract are identical to
+    * `minhashPairsIncremental`.
+    */
+  def minhashPairsFromParts(setsOld: DataFrame, bOld: DataFrame,
+      setsNew: DataFrame, bNew: DataFrame, tau: Double): DataFrame = {
     val bandEq = col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
     val candidates =
       bNew.as("x").join(bNew.as("y"), bandEq && col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.pipeline.Dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-duplicate dedup at ingest — the Structured Streaming
+  * face of `Dedup.minhashPairsIncremental`, completing §2.10's dedup
+  * story: `EventStreams.dedupStream` drops EXACT duplicates inside the
+  * watermark with bounded built-in state; this maintainer drops
+  * NEAR-duplicates against the whole accumulated corpus, holding its
+  * state not in the stream (unbounded keyed state is the shape a
+  * 100 TB pipeline must not hold) but as the persisted LSH artifacts
+  * the incremental batch operator already defines — the kept docs,
+  * their shingle-hash sets (verify side), and their minhash band table
+  * (candidate side), as immutable versioned snapshots.
+  *
+  * Per micro-batch: fresh-side sets/bands are computed ONCE (the only
+  * signature work — the corpus tables are read back, never recomputed),
+  * `Dedup.minhashPairsFromParts` yields the fresh×fresh + corpus×fresh
+  * pair list (corpus×corpus never formed), and verdicts follow the same
+  * component rule as batch `dedupClusters`: a fresh doc DROPS iff its
+  * LSH-τ connected component (over pairs touching this batch) contains
+  * a kept-corpus doc or a lower-id batch doc; otherwise it KEEPS and
+  * its artifacts merge into the next snapshot. Chains inside a batch
+  * collapse to one keeper (cluster keep-first, exactly `dd_cluster`'s
+  * rule); docs kept by an earlier batch are never revoked — the online
+  * contract batch ingestion needs.
+  *
+  * Snapshot/commit protocol is `LiveIndexMaintainer`'s: versioned dirs
+  * (`v{batchId}/{docs,sets,bands}`), `_SUCCESS` markers forced per
+  * write, recovery scans committed versions, and a replayed batch skips
+  * against its own committed output (idempotent under Structured
+  * Streaming's restart semantics).
+  */
+class LiveNearDupMaintainer(
+    spark: SparkSession,
+    dir: String,
+    tau: Double = 0.6,
+    bands: Int = 32,
+    shingleN: Int = 3) {
+
+  private val parts = Seq("docs", "sets", "bands")
+
+  // A version counts only when EVERY part committed (docs is written
+  // last, so a crash between part writes leaves no readable version).
+  private def committedVersions: Seq[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        parts.forall(p => new java.io.File(f, s"$p/_SUCCESS").exists()))
+        .map(_.getName.drop(1).toLong))
+      .getOrElse(Nil)
+  }
+
+  @volatile private var version: Long =
+    committedVersions.foldLeft(-1L)(math.max)
+
+  /** Latest committed KEPT corpus (deduped documents), if any. */
+  def latest: Option[DataFrame] =
+    if (version < 0) None else Some(spark.read.parquet(s"$dir/v$version/docs"))
+
+  def latestVersion: Long = version
+
+  /** Keep/drop verdicts for one committed batch (doc_id, verdict). */
+  def verdictsFor(batchId: Long): DataFrame =
+    spark.read.parquet(s"$dir/verdicts/v$batchId")
+
+  private def baseVersionFor(batchId: Long): Long =
+    committedVersions.filter(_ < batchId).foldLeft(-1L)(math.max)
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(path)
+
+  /** Attach to a streaming Dataset with the `documents` schema and
+    * start filtering. Caller owns the returned query's lifecycle; reuse
+    * the SAME `checkpoint` across restarts (LiveIndexMaintainer's
+    * restart contract).
+    */
+  def attach(docsStream: Dataset[Row], checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+          version = math.max(version, batchId) // committed replay: skip
+        else {
+          val b = batch.toDF.cache()
+          val baseV = baseVersionFor(batchId)
+          def basePart(p: String, empty: => DataFrame): DataFrame =
+            if (baseV < 0) empty else spark.read.parquet(s"$dir/v$baseV/$p")
+          val setsNew = Dedup.shingleSets(b, shingleN).cache()
+          val bandsNew = Dedup.minhashBands(setsNew, bands).cache()
+          val setsOld = basePart("sets", setsNew.limit(0))
+          val bandsOld = basePart("bands", bandsNew.limit(0))
+          val pairs = Dedup.minhashPairsFromParts(
+            setsOld, bandsOld, setsNew, bandsNew, tau)
+
+          val freshIds = b.select(col("doc_id"))
+          val comp = Dedup.connectedComponents(pairs.select("a", "b"))
+          // components with a member OUTSIDE this batch touch the kept
+          // corpus (pairs only ever reference corpus ∪ batch docs)
+          val corpusComps = comp.join(freshIds, Seq("doc_id"), "left_anti")
+            .select("component").distinct()
+          val freshComp = comp.join(freshIds, Seq("doc_id"))
+          val keepers = freshComp.join(corpusComps, Seq("component"), "left_anti")
+            .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id")
+          val dropIds = freshComp.join(keepers, Seq("doc_id"), "left_anti")
+            .select("doc_id").distinct().cache()
+
+          val verdicts = freshIds
+            .join(dropIds.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("dropped"), lit("drop")).otherwise(lit("keep")).as("verdict"))
+          write(verdicts, s"$dir/verdicts/v$batchId")
+
+          val keptIds = freshIds.join(dropIds, Seq("doc_id"), "left_anti")
+          write(setsOld.unionByName(setsNew.join(keptIds, Seq("doc_id"), "left_semi")),
+            s"$dir/v$batchId/sets")
+          write(bandsOld.unionByName(bandsNew.join(keptIds, Seq("doc_id"), "left_semi")),
+            s"$dir/v$batchId/bands")
+          write(basePart("docs", b.limit(0))
+            .unionByName(b.join(dropIds, Seq("doc_id"), "left_anti")),
+            s"$dir/v$batchId/docs")
+          Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
+          version = math.max(version, batchId)
+        }
+      }
+      .start()
+}

@@ -187,6 +187,46 @@ class StreamingSpec extends SparkSuite {
     assert(canon(recovered.latest.get) == canon(batchBuilt))
   }
 
+  test("LiveNearDupMaintainer: streaming near-dup filter against accumulated corpus state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir  = java.nio.file.Files.createTempDirectory("graft-live-dedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-live-dedup-ckpt").toString
+    val input = MemoryStream[(Long, String, String, String, Int)]
+    val docsStream = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
+    val q = m.attach(docsStream, ckpt)
+    // tail-variant texts: one changed final word alters exactly one of
+    // the 10-11 distinct trigram shingles → jaccard ~0.8-0.82, safely
+    // above tau=0.6 (where LSH banding recall is certain)
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    val o    = "orthogonal content concerning bloom filters and decontamination verify paths"
+    val d1 = (1L, s"$base again", "en", "s", 0)
+    val d2 = (2L, s"$base more", "en", "s", 0)  // near-dup of batch-mate 1
+    val d3 = (3L, "completely different text about spark structured streaming watermarks entirely", "en", "s", 0)
+    val d4 = (4L, s"$base also", "en", "s", 0)  // near-dup of KEPT corpus doc 1
+    val d5 = (5L, s"$o here", "en", "s", 0)
+    val d6 = (6L, s"$o there", "en", "s", 0)    // near-dup of batch-mate 5
+    try {
+      input.addData(d1, d2, d3); q.processAllAvailable()
+      assert(m.latestVersion == 0L)
+      input.addData(d4, d5, d6); q.processAllAvailable()
+      assert(m.latestVersion == 1L)
+    } finally q.stop()
+    def verd(b: Long) = m.verdictsFor(b).as[(Long, String)].collect().toMap
+    assert(verd(0) == Map(1L -> "keep", 2L -> "drop", 3L -> "keep"))
+    assert(verd(1) == Map(4L -> "drop", 5L -> "keep", 6L -> "drop"))
+    assert(m.latest.get.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // dropped docs leave NO state: doc 2 is absent from the corpus
+    // artifacts, so its later twin 4 dropped via kept doc 1, not via 2
+    assert(spark.read.parquet(s"$dir/v1/sets").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 3L, 5L))
+    // a restarted maintainer recovers the committed pointer from disk
+    val recovered = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
+    assert(recovered.latestVersion == 1L)
+    assert(recovered.latest.get.count() == 3)
+  }
+
   test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
     // Object-store deployments commonly set this conf false session-wide;
     // the maintainer's commit protocol keys on _SUCCESS, so it must force
