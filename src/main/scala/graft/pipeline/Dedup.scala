@@ -506,6 +506,49 @@ object Dedup {
         when(col("dup_window_permille") >= trimAt, lit("trim")).otherwise(lit("keep")))
   }
 
+  /** Exact-substring dedup REMEDIATION — the rewrite step completing
+    * `crossDocSpans`' detection (the "deduplicating training data"
+    * action): token streams are cut into non-overlapping k-token blocks
+    * (positions 0, k, 2k, …; the tail block may be shorter), every
+    * block occurrence except the corpus-wide FIRST (minimal
+    * (doc_id, pos)) is removed, and documents reassemble from their
+    * kept blocks in position order (docs scrubbed to nothing come back
+    * as '').
+    *
+    * Shuffle budget: one partial-aggregable groupBy on the block key
+    * (struct-min keeper — no per-block window sort, so a boilerplate
+    * block occurring a million times costs a map-side-combined
+    * aggregate, not a million-row sorted partition), one keyed
+    * flagging join, one per-doc reassembly aggregation — all linear in
+    * corpus token count, never pairwise. Blocks key on their TEXT here
+    * for oracle transparency; a deployment substitutes the 64-bit
+    * window hash (`windowHashes`) as the key, the same size-vs-rare-
+    * collision trade the LSH family documents.
+    */
+  def scrubDupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"block size must be >= 1: $k")
+    val blocks = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / lit(k)).cast("int")),
+          i => concat_ws(" ", slice(col("tk"), i * lit(k) + 1, lit(k)))))
+        .as(Seq("pos", "block")))
+    val keeper = blocks.groupBy("block")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    val kept = blocks.join(keeper, Seq("block"))
+      .filter(col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos"))
+    val clean = kept.groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          s => s.getField("block"))).as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Embedding-cosine near-dup verdicts: a vector is a duplicate iff some
     * EARLIER vector (smaller id) is cosine-similar above tau — the
     * standard keep-first dedup rule. Pairs come from the blocked

@@ -405,6 +405,30 @@ object PipelineQueries {
       Dedup.crossDocSpans(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Exact-substring dedup REMEDIATION — dd_dup_spans detects copied
+    // spans; this REWRITES: non-overlapping 4-token blocks, every
+    // occurrence but the corpus-wide first (min (doc_id, pos)) removed,
+    // docs reassembled from kept blocks in position order. The oracle
+    // states the rule independently via a row_number window; the
+    // engine's struct-min keeper must agree cell-exactly on every
+    // reassembled string.
+    NamedQuery(
+      "dd_scrub",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | b AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(tk)/4.0) AS INT))) AS pos, tk
+         |       FROM t),
+         | bl AS (SELECT doc_id, pos,
+         |     array_to_string(tk[(pos*4+1):(pos*4+4)], ' ') AS block FROM b),
+         | f AS (SELECT doc_id, pos, block,
+         |     row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn FROM bl)
+         |SELECT d.doc_id,
+         |  coalesce(string_agg(CASE WHEN f.rn = 1 THEN f.block END, ' ' ORDER BY f.pos), '')
+         |    AS text_clean
+         |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.scrubDupSpans(Tables.load(s, dir, "documents"), k = 4).orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup: keep-first verdicts off the blocked
     // exact all-pairs (scale path swaps in lshPairs as candidate source)
     NamedQuery(

@@ -503,6 +503,19 @@ class PipelineSpec extends SparkSuite {
     assert(r(4L) == ((0L, 0L, "keep")))
   }
 
+  test("scrubDupSpans keeps only each block's corpus-wide first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // all blocks first — untouched
+      (2L, "c d a b x y"),     // 'c d' and 'a b' first seen in doc 1
+      (3L, "a b a b"),         // scrubbed to nothing
+      (4L, "q r q r s")        // within-doc repeat: first kept, tail block kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDupSpans(docs, k = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "a b c d e f g h", 2L -> "x y", 3L -> "", 4L -> "q r s"))
+  }
+
   test("capped jaccard equals uncapped on random corpora, both cap regimes") {
     // Metamorphic pin on BOTH dfCap regimes: a cap high enough that no
     // shingle is hot (plan-time probe short-circuits to the plain join)
