@@ -41,7 +41,7 @@ class EngineEquivalenceSpec extends SparkSuite {
 
   private def word() = vocab(rnd.nextInt(vocab.size))
 
-  private def leaf(): String = rnd.nextInt(9) match {
+  private def leaf(): String = rnd.nextInt(10) match {
     case 0 => s"TEXT == '${word()}'"
     case 1 => s"TEXT != '${word()}'"
     case 2 => s"SOURCE == 'src${1 + rnd.nextInt(3)}'"
@@ -51,6 +51,16 @@ class EngineEquivalenceSpec extends SparkSuite {
     case 6 => s"TEXT =~ '.*${word().takeRight(3)}'"
     case 7 => s"f:between(NCHARS, ${10 + rnd.nextInt(30)}, ${50 + rnd.nextInt(60)})"
     case 8 => s"TEXT != '${300 + rnd.nextInt(100)}'" // numeric NE over words (3VL regression)
+    case 9 => // f:fuzzy over a 1-edit typo of a real word: the index
+      // expansion (SymSpell superset + EQ-leaf probes) must agree with
+      // the pure levenshtein residual under ANY boolean composition
+      val w = word()
+      val t = rnd.nextInt(3) match {
+        case 0 => w.drop(1)                             // deletion
+        case 1 => w.updated(rnd.nextInt(w.length), 'q') // substitution
+        case _ => w + "x"                               // insertion
+      }
+      s"f:fuzzy(TEXT, '$t')"
   }
 
   private def expr(depth: Int): String =
