@@ -33,6 +33,7 @@ object Curation {
     */
   val SplitSalt  = 0L
   val SampleSalt = 0x5ca1ab1eL
+  val ShuffleSalt = 0x0ddba11L
 
   /** Deterministic train/val/test assignment: bucket = splitmix64
     * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
@@ -49,6 +50,51 @@ object Curation {
         when(col("bucket") < trainPermille, lit("train"))
           .when(col("bucket") < trainPermille + valPermille, lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /** Deterministic corpus shuffle — the training-order permutation:
+    * `pos` ∈ [0, N) orders documents by (salted splitmix64(doc_id),
+    * doc_id), a reproducible pseudorandom shuffle derived from the
+    * stable id (the determinism contract above — never `rand()` or
+    * task placement). A training run writes shards in `pos` order;
+    * re-running the pipeline reproduces them byte-identically, and a
+    * SQL engine re-derives the permutation exactly (the cu_shuffle
+    * oracle).
+    *
+    * Scale posture: the global position is NOT a global-ORDER-BY
+    * window (the single-partition trap). The unsigned hash's top
+    * log2(buckets) bits give a FIXED monotone bucketing (no sampling
+    * pass — range partitioning's sampler is also why a plain orderBy
+    * could not be reproducible); per-bucket counts (≤ buckets rows,
+    * the one bounded collect) broadcast back as cumulative offsets;
+    * positions are per-bucket row_numbers plus the offset — P parallel
+    * sorted partitions, cu_pack's prefix-scan shape on a hash key.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long = ShuffleSalt,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    // hf: sign-bit-flipped hash, so SIGNED ordering = unsigned hash
+    // order; bkt: the hash's top bits — monotone in that same order,
+    // so bucket boundaries respect it
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val hUdf = udf { id: Long =>
+      val h = Dedup.mix64(id ^ seed)
+      ((if (buckets == 1) 0L else h >>> shift).toInt, h ^ Long.MinValue)
+    }
+    val withH = docs.select(col("doc_id"), hUdf(col("doc_id")).as("hb"))
+      .select(col("doc_id"), col("hb._1").as("bkt"), col("hb._2").as("hf"))
+    val counts = withH.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = (0 until buckets).map(b => (b, offsets(b))).toDF("bkt", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("hf"), col("doc_id"))
+    withH.withColumn("rk", row_number().over(w).cast("long") - 1)
+      .join(broadcast(offDf), Seq("bkt"))
+      .select(col("doc_id"), (col("off") + col("rk")).as("pos"))
   }
 
   /** Stratified downsampling: keep a document iff its (independent)

@@ -207,6 +207,20 @@ object PipelineQueries {
     s"CAST(((CAST($col AS HUGEINT) * $lo) + ((CAST($col AS HUGEINT) * $hi) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
   }
 
+  /** CTE chain re-deriving the FULL salted splitmix64 of doc_id as
+    * UBIGINT `h` (what `Curation.shuffleOrder` sorts on; `bucketCtes`
+    * below takes the same value mod 1000). Constants are generated
+    * from the same Scala values the engine uses, so they cannot drift.
+    */
+  private def hashCtes(salt: Long): String = {
+    val s = java.lang.Long.toUnsignedString(salt)
+    s"""h0 AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST($s AS UBIGINT)) AS h
+       |       FROM documents),
+       | h1 AS (SELECT doc_id, ${mulModSql("xor(h, h >> 30)", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
+       | h2 AS (SELECT doc_id, ${mulModSql("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
+       | hf AS (SELECT doc_id, xor(h, h >> 31) AS h FROM h2)""".stripMargin
+  }
+
   /** CTE chain re-deriving `Curation.bucketUdf` (salted splitmix64 mod
     * 1000 of doc_id) — constants are generated from the same Scala
     * values the engine uses, so they cannot drift.
@@ -960,6 +974,21 @@ object PipelineQueries {
          |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
          |FROM bk ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.assignSplit(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Deterministic training-order shuffle: pos = rank under (salted
+    // splitmix64(doc_id), doc_id). The oracle states the permutation as
+    // ONE global-sort window — exactly what the engine's bucketed
+    // prefix-scan must reproduce without ever forming a single-partition
+    // sort.
+    NamedQuery(
+      "cu_shuffle",
+      s"""WITH ${hashCtes(Curation.ShuffleSalt)}
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM hf ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.shuffleOrder(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
     },
 
     NamedQuery(

@@ -503,6 +503,25 @@ class PipelineSpec extends SparkSuite {
     assert(r(4L) == ((0L, 0L, "keep")))
   }
 
+  test("shuffleOrder equals the global-sort permutation at any bucket count") {
+    // negative AND positive ids: the sign-bit flip must make signed
+    // ordering agree with the unsigned hash order on both sides of zero
+    val docs = (0L until 500L).map(i => (i * 7 - 1000, s"d$i")).toDF("doc_id", "text")
+    val got = Curation.shuffleOrder(docs, seed = 42L, buckets = 8)
+      .as[(Long, Long)].collect().toMap
+    // a bijection onto [0, N)
+    assert(got.values.toSeq.sorted == (0L until 500L))
+    // equal to the single-sort definition the oracle states
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(id => id -> (Dedup.mix64(id ^ 42L) ^ Long.MinValue))
+      .sortBy { case (id, hf) => (hf, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // bucket count is an execution knob, never a semantics knob
+    assert(Curation.shuffleOrder(docs, seed = 42L, buckets = 1)
+      .as[(Long, Long)].collect().toMap == expected)
+  }
+
   test("scrubDupSpans keeps only each block's corpus-wide first occurrence") {
     val docs = Seq(
       (1L, "a b c d e f g h"), // all blocks first — untouched
