@@ -107,6 +107,21 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/explain")._1 == 400) // missing query param
   }
 
+  test("/query and /explain compose f:fuzzy and f:near through the HTTP edge") {
+    // 'abacas' is a substitution typo of the fixture's 'abacus' (Lev 1):
+    // the query-language leaf must expand and hit doc 655 end-to-end
+    val fq = "query=" + java.net.URLEncoder.encode("f:fuzzy(TEXT, 'abacas')", UTF_8)
+    val (status, _, body) = get(s"/query?$fq&auths=enwiki", accept = Some("*/*"))
+    assert(status == 200 && body.contains("""<document id="655""""), body.take(200))
+    assert(get(s"/explain?$fq")._3.contains("EQ TEXT IN {"))
+    // 'abacus' and 'an' are adjacent in the fixture: the proximity leaf
+    // serves through the same routes
+    val nq = "query=" + java.net.URLEncoder.encode("f:near(TEXT, 'abacus', 'an', 5)", UTF_8)
+    val (ns, _, nbody) = get(s"/query?$nq&auths=enwiki", accept = Some("*/*"))
+    assert(ns == 200 && nbody.contains("""<document id="655""""), nbody.take(200))
+    assert(get(s"/explain?$nq")._3.contains("NEAR("))
+  }
+
   test("limit caps the result set") {
     val all = "query=" + java.net.URLEncoder.encode(
       "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'", UTF_8)
