@@ -29,7 +29,17 @@ object Soak {
       case 6     => s"TEXT =~ '${word().take(3)}.*'"
       case 7     => s"TEXT =~ '.*${word().takeRight(3)}'"
       case 8     => s"f:between(NCHARS, ${rnd.nextInt(200)}, ${200 + rnd.nextInt(400)})"
-      case 9     => s"TEXT != '${100 + rnd.nextInt(900)}'"
+      case 9 => rnd.nextInt(2) match {
+        case 0 => s"TEXT != '${100 + rnd.nextInt(900)}'"
+        case _ => // random 1-edit typo through the f:fuzzy plan expansion
+          val w = word()
+          val t = rnd.nextInt(3) match {
+            case 0 => w.drop(1)
+            case 1 => w.updated(rnd.nextInt(w.length), 'q')
+            case _ => w + "x"
+          }
+          s"f:fuzzy(TEXT, '$t')"
+      }
     }
     def expr(d: Int): String =
       if (d == 0) leaf()
