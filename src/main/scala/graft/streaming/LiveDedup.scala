@@ -29,11 +29,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rule); docs kept by an earlier batch are never revoked — the online
   * contract batch ingestion needs.
   *
-  * Snapshot/commit protocol is `LiveIndexMaintainer`'s: versioned dirs
-  * (`v{batchId}/{docs,sets,bands}`), `_SUCCESS` markers forced per
-  * write, recovery scans committed versions, and a replayed batch skips
-  * against its own committed output (idempotent under Structured
-  * Streaming's restart semantics).
+  * Commit protocol is `LiveIndexMaintainer`'s (`_SUCCESS` markers
+  * forced per write, recovery scans committed versions, a replayed
+  * batch skips against its own committed output) — but where the lossy
+  * index MERGES into each snapshot (combiners fold, so v_n must
+  * rewrite), dedup artifacts are purely ADDITIVE: kept docs are only
+  * ever appended. So each version dir holds ONLY its batch's kept
+  * delta, the corpus state is the union of committed versions, and a
+  * micro-batch writes O(|batch|) — never O(corpus) — at any
+  * accumulated size. (Deployments periodically compact version ranges
+  * into one dir, the standard LSM posture; reads here just union.)
   */
 class LiveNearDupMaintainer(
     spark: SparkSession,
@@ -58,9 +63,17 @@ class LiveNearDupMaintainer(
   @volatile private var version: Long =
     committedVersions.foldLeft(-1L)(math.max)
 
-  /** Latest committed KEPT corpus (deduped documents), if any. */
-  def latest: Option[DataFrame] =
-    if (version < 0) None else Some(spark.read.parquet(s"$dir/v$version/docs"))
+  /** Committed delta dirs for one part, up to and including `upTo`. */
+  private def partPaths(part: String, upTo: Long): Seq[String] =
+    committedVersions.filter(_ <= upTo).sorted.map(v => s"$dir/v$v/$part")
+
+  private def readUnion(part: String, upTo: Long): Option[DataFrame] = {
+    val ps = partPaths(part, upTo)
+    if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
+  }
+
+  /** The KEPT corpus (deduped documents): union of committed deltas. */
+  def latest: Option[DataFrame] = readUnion("docs", version)
 
   def latestVersion: Long = version
 
@@ -91,12 +104,10 @@ class LiveNearDupMaintainer(
         else {
           val b = batch.toDF.cache()
           val baseV = baseVersionFor(batchId)
-          def basePart(p: String, empty: => DataFrame): DataFrame =
-            if (baseV < 0) empty else spark.read.parquet(s"$dir/v$baseV/$p")
           val setsNew = Dedup.shingleSets(b, shingleN).cache()
           val bandsNew = Dedup.minhashBands(setsNew, bands).cache()
-          val setsOld = basePart("sets", setsNew.limit(0))
-          val bandsOld = basePart("bands", bandsNew.limit(0))
+          val setsOld = readUnion("sets", baseV).getOrElse(setsNew.limit(0))
+          val bandsOld = readUnion("bands", baseV).getOrElse(bandsNew.limit(0))
           val pairs = Dedup.minhashPairsFromParts(
             setsOld, bandsOld, setsNew, bandsNew, tau)
 
@@ -119,13 +130,13 @@ class LiveNearDupMaintainer(
               when(col("dropped"), lit("drop")).otherwise(lit("keep")).as("verdict"))
           write(verdicts, s"$dir/verdicts/v$batchId")
 
+          // delta-only writes: this batch's keepers, O(|batch|) bytes
           val keptIds = freshIds.join(dropIds, Seq("doc_id"), "left_anti")
-          write(setsOld.unionByName(setsNew.join(keptIds, Seq("doc_id"), "left_semi")),
+          write(setsNew.join(keptIds, Seq("doc_id"), "left_semi"),
             s"$dir/v$batchId/sets")
-          write(bandsOld.unionByName(bandsNew.join(keptIds, Seq("doc_id"), "left_semi")),
+          write(bandsNew.join(keptIds, Seq("doc_id"), "left_semi"),
             s"$dir/v$batchId/bands")
-          write(basePart("docs", b.limit(0))
-            .unionByName(b.join(dropIds, Seq("doc_id"), "left_anti")),
+          write(b.join(dropIds, Seq("doc_id"), "left_anti"),
             s"$dir/v$batchId/docs")
           Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
           version = math.max(version, batchId)

@@ -217,10 +217,14 @@ class StreamingSpec extends SparkSuite {
     assert(verd(0) == Map(1L -> "keep", 2L -> "drop", 3L -> "keep"))
     assert(verd(1) == Map(4L -> "drop", 5L -> "keep", 6L -> "drop"))
     assert(m.latest.get.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
-    // dropped docs leave NO state: doc 2 is absent from the corpus
-    // artifacts, so its later twin 4 dropped via kept doc 1, not via 2
+    // versions are APPEND-ONLY deltas (O(|batch|) writes, never
+    // O(corpus)): v1 holds only batch 1's keeper, and dropped docs
+    // leave NO state anywhere — doc 2 is absent from every delta, so
+    // its later twin 4 dropped via kept doc 1, not via 2
     assert(spark.read.parquet(s"$dir/v1/sets").select("doc_id").as[Long]
-      .collect().toSet == Set(1L, 3L, 5L))
+      .collect().toSet == Set(5L))
+    assert(spark.read.parquet(s"$dir/v0/sets", s"$dir/v1/sets")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
     // a restarted maintainer recovers the committed pointer from disk
     val recovered = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
     assert(recovered.latestVersion == 1L)
