@@ -717,21 +717,48 @@ class WikiSearchEngine(
     require(f.args(1).nonEmpty, "f:fuzzy needs a non-empty term")
     if (!indexedFields.contains(field)) return None
     val qforms = probeForms(field, f.args(1))
-    val qvars  = spark.createDataFrame(
-      qforms.flatMap(q => dels(q).map((_, q))).distinct).toDF("del", "q")
-    val matched = index.globalIndex
-      .filter(col("fieldName") === field && length(col("fieldValue")) > 0)
-      .select(col("fieldValue").as("term")).distinct()
-      .withColumn("del", explode(delNeighborhood(col("term"))))
-      .join(broadcast(qvars), Seq("del"))
-      .filter(levenshtein(col("term"), col("q"), 1) >= 0)
-      .select("term").distinct()
-      .limit(config.fuzzyExpandMax + 1)
-      .collect().map(_.getString(0)).toSeq
+    // get/put, not computeIfAbsent: the synchronizedMap mutex must not be
+    // held across the Spark job below, or one cold fuzzy query would
+    // serialize every concurrent fuzzy planner behind its collect. A
+    // racing duplicate compute is idempotent (immutable snapshot).
+    val matched = Option(fuzzyCache.get((field, qforms))).getOrElse {
+      fuzzyVocabRuns.incrementAndGet()
+      val qvars = spark.createDataFrame(
+        qforms.flatMap(q => dels(q).map((_, q))).distinct).toDF("del", "q")
+      val terms = index.globalIndex
+        .filter(col("fieldName") === field && length(col("fieldValue")) > 0)
+        .select(col("fieldValue").as("term")).distinct()
+        .withColumn("del", explode(delNeighborhood(col("term"))))
+        .join(broadcast(qvars), Seq("del"))
+        .filter(levenshtein(col("term"), col("q"), 1) >= 0)
+        .select("term").distinct()
+        .limit(config.fuzzyExpandMax + 1)
+        .collect().map(_.getString(0)).toSeq
+      fuzzyCache.put((field, qforms), terms)
+      terms
+    }
     if (matched.size > config.fuzzyExpandMax) None
     else if (matched.isEmpty) Some(EmptyLeaf)
     else Some(an.eqLeaf(field, matched))
   }
+
+  /** Driver-side LRU of (field, probe forms) → fuzzy vocabulary
+    * expansion, so a HOT fuzzy query plans with zero Spark jobs (the
+    * termCache analogue for the one other plan-time job). Entries are
+    * ≤ fuzzyExpandMax+1 terms; safe to share — one immutable snapshot.
+    */
+  private val fuzzyCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Seq[String]), Seq[String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[String]), Seq[String]]): Boolean =
+          size() > 1024
+      })
+
+  /** Count of cold fuzzy vocabulary jobs actually run — a cache-miss
+    * metric for serving dashboards (and the spec's observability hook).
+    */
+  private[query] val fuzzyVocabRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `f:near(TEXT, a, b, k)` → proximity plan leaf. Terms normalize like
     * TEXT equality literals (same index, same normalizer); only TEXT is

@@ -330,6 +330,25 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("f:fuzzy(TEXT, '')")).getMessage.contains("non-empty"))
   }
 
+  test("hot f:fuzzy queries plan from the expansion cache, not a fresh vocabulary job") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark sport sort short snark", "en", "s", 28L),
+      (2L, "sort spark", "en", "s", 10L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(q: String) = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    val first = ids("f:fuzzy(TEXT, 'sprk')")
+    assert(eng.fuzzyVocabRuns.get() == 1)
+    // same term, same plan — zero additional vocabulary jobs, same rows
+    assert(ids("f:fuzzy(TEXT, 'sprk')") == first)
+    assert(ids("SOURCE == 's' and f:fuzzy(TEXT, 'sprk')") == first)
+    assert(eng.fuzzyVocabRuns.get() == 1)
+    // a different term is a genuine miss
+    ids("f:fuzzy(TEXT, 'sort')")
+    assert(eng.fuzzyVocabRuns.get() == 2)
+  }
+
   test("f:near composes into the query language, enforced from stored offsets") {
     import spark.implicits._
     val docs = Seq(
