@@ -35,6 +35,7 @@ object Bench {
     // explicit line-budget abbreviations (README bench section)
     case "ws_near_q"                   => "ws_nq"
     case "ws_fuzzy_q"                  => "ws_fq"
+    case "ws_phrase_q"                 => "ws_pq"
     case "ws_index_incremental"        => "ws_inc"
     case "ws_index_termfreq"           => "ws_itf"
     case "ws_content_fetch"            => "ws_cf"

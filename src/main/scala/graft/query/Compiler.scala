@@ -159,6 +159,13 @@ object Compiler {
       else throw new IllegalArgumentException(
         "f:near is not residual-evaluable (no positions in the event view); " +
           "it requires the engine's index-enforced plan")
+    // f:phrase(TEXT, 'a b ...'): same contract — ordered adjacency needs
+    // positions, which the event view does not hold.
+    case FnTerm("phrase", args) if args.size == 2 =>
+      if (nearEnforced) lit(true)
+      else throw new IllegalArgumentException(
+        "f:phrase is not residual-evaluable (no positions in the event view); " +
+          "it requires the engine's index-enforced plan")
     case t: Term if unevaluated.contains(t.field) => lit(true)
     case Not(t: Term) if unevaluated.contains(t.field) => lit(true)
     case Not(c: FnCmp) if c.fn.args.headOption.exists(a => unevaluated.contains(a.toUpperCase)) =>

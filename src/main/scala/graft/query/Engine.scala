@@ -434,16 +434,7 @@ class WikiSearchEngine(
       auths: Seq[String] = Nil): DataFrame = {
     require(phrase.size >= 2, "phraseSnippets() needs at least two tokens")
     val keys = Seq("partition", "language", "docId")
-    val shifted = phrase.zipWithIndex.map { case (t, i) =>
-      langAuth(auths)(index.termPostings).filter(col("term") === t)
-        .select(keys.map(col) :+
-          transform(col("offsets"), x => x - i).as(s"o$i"): _*)
-    }
-    val joined = shifted.reduce(_.join(_, keys))
-    val starts = phrase.indices.map(i => col(s"o$i")).reduce(array_intersect)
-    joined
-      .select(keys.map(col) :+ starts.as("starts"): _*)
-      .where(size(col("starts")) > 0)
+    phraseStarts(phrase, langAuth(auths))
       .select(keys.map(col) :+ array_min(col("starts")).as("pos"): _*)
       .join(index.documents, keys)
       .select(col("docId"), col("language"),
@@ -454,6 +445,35 @@ class WikiSearchEngine(
           .as("snippet"))
       .orderBy("docId")
   }
+
+  /** Per-document phrase START positions (adjacent, in order), from set
+    * algebra over the stored TermWeight offsets: each term's offsets
+    * shifted by its phrase index, then intersected — the text is never
+    * re-searched. Shared by `phraseSnippets` (display) and the
+    * `f:phrase` plan leaf (selection), so the two cannot diverge.
+    * Postings co-partition on the document key; docs missing any term
+    * drop out of the inner joins before any content is touched.
+    */
+  private def phraseStarts(
+      phrase: Seq[String], auth: DataFrame => DataFrame): DataFrame = {
+    val keys = Seq("partition", "language", "docId")
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      auth(index.termPostings).filter(col("term") === t)
+        .select(keys.map(col) :+
+          transform(col("offsets"), x => x - i).as(s"o$i"): _*)
+    }
+    val joined = shifted.reduce(_.join(_, keys))
+    val starts = phrase.indices.map(i => col(s"o$i")).reduce(array_intersect)
+    joined
+      .select(keys.map(col) :+ starts.as("starts"): _*)
+      .where(size(col("starts")) > 0)
+  }
+
+  /** The phrase document-key set (full key, for plan composition). */
+  private def phraseDocKeys(
+      phrase: Seq[String], auth: DataFrame => DataFrame): DataFrame =
+    phraseStarts(phrase, auth)
+      .select(col("partition"), col("language"), col("docId"))
 
   /** NEAR/k proximity: documents where `a` and `b` occur within `k`
     * tokens of each other, either order — the classic proximity
@@ -548,6 +568,9 @@ class WikiSearchEngine(
           case NearLeaf(_, a, b, k) =>
             sb.append(s"${indent}NEAR($a, $b, $k) — stored-offset postings join " +
               "(exact, index-enforced)\n")
+          case PhraseLeaf(_, ts) =>
+            sb.append(s"${indent}PHRASE(${ts.mkString(" ")}) — stored-offset " +
+              "adjacency join (exact, index-enforced)\n")
           case EmptyLeaf => sb.append(s"${indent}EMPTY (term absent from index)\n")
           case OrNode(cs) =>
             sb.append(s"${indent}OR\n"); cs.foreach(render(_, indent + "  "))
@@ -623,6 +646,12 @@ class WikiSearchEngine(
     * (`validateNearPlacement`).
     */
   private case class NearLeaf(tag: Int, a: String, b: String, k: Int) extends PlanNode
+  /** `f:phrase(TEXT, 'a b ...')` — ordered adjacency from the same
+    * stored offsets (the `phraseStarts` set algebra). Index-ENFORCED
+    * like NearLeaf, for the same reason: the pivoted event view holds
+    * distinct terms, not positions, so no residual can re-verify order.
+    */
+  private case class PhraseLeaf(tag: Int, terms: Seq[String]) extends PlanNode
   /** Distributed index-scan leaf (prefix/suffix/range — can match
     * unboundedly many terms). `fiVerify` carries the exact fi-analogue
     * lookup of the SAME predicate when the field is unevaluated, so
@@ -646,6 +675,9 @@ class WikiSearchEngine(
     def nearLeaf(a: String, b: String, k: Int): NearLeaf = {
       val l = NearLeaf(nextTag, a, b, k); nextTag += 1; leaves += l; l
     }
+    def phraseLeaf(terms: Seq[String]): PhraseLeaf = {
+      val l = PhraseLeaf(nextTag, terms); nextTag += 1; leaves += l; l
+    }
   }
 
   /** Symbolic plan for the expression, or None when it is not
@@ -656,6 +688,7 @@ class WikiSearchEngine(
     case t: Term if !Op.isNegative(t.op) => termNode(t, an)
     case _: Term                         => None // negations never drive the index
     case f: FnTerm if isNearFn(f)        => Some(nearNode(f, an))
+    case f: FnTerm if isPhraseFn(f)      => Some(phraseNode(f, an))
     case f: FnTerm if isFuzzyFn(f)       => fuzzyNode(f, an)
     case _: FnTerm                       => None
     case _: FnCmp                        => None // function results aren't indexed
@@ -679,7 +712,7 @@ class WikiSearchEngine(
       val fused               = rangeBounds.flatMap { case (f, b) => rangeNode(f, b, an) }
       val positives           = rest.collect {
         case t: Term if !Op.isNegative(t.op)           => analyze(t, an)
-        case f: FnTerm if isNearFn(f) || isFuzzyFn(f)  => analyze(f, an)
+        case f: FnTerm if isNearFn(f) || isPhraseFn(f) || isFuzzyFn(f) => analyze(f, an)
         case o: Or                                     => analyze(o, an)
         case a: And                                    => analyze(a, an)
       }.flatten
@@ -692,6 +725,7 @@ class WikiSearchEngine(
   }
 
   private def isNearFn(f: FnTerm): Boolean = f.name == "near"
+  private def isPhraseFn(f: FnTerm): Boolean = f.name == "phrase"
   private def isFuzzyFn(f: FnTerm): Boolean = f.name == "fuzzy"
 
   /** `f:fuzzy(FIELD, term)` → the term's Lev≤1 vocabulary neighborhood
@@ -781,21 +815,41 @@ class WikiSearchEngine(
     an.nearLeaf(normalizeLit("TEXT", a), normalizeLit("TEXT", b), k)
   }
 
-  /** f:near is index-ENFORCED (its residual compiles to TRUE because the
-    * event view has no positions), which is only sound where the plan
-    * intersection applies it unconditionally: positive conjunctive
-    * position. Under OR a lossy sibling's shard fallback would leak
-    * through the TRUE residual; under NOT there is no enforcement at
-    * all — both are rejected loudly rather than answered wrongly.
+  /** `f:phrase(TEXT, 'a b ...')` → ordered-adjacency plan leaf. The
+    * phrase splits on whitespace and each token normalizes like a TEXT
+    * equality literal (same index, same normalizer); only TEXT is
+    * accepted, as for f:near — it is the one field with stored offsets.
+    */
+  private def phraseNode(f: FnTerm, an: Analysis): PlanNode = {
+    require(f.args.size == 2,
+      s"f:phrase takes (field, phrase): f:phrase(${f.args.mkString(", ")})")
+    val Seq(field0, phrase) = f.args
+    if (field0.toUpperCase != "TEXT")
+      throw new IllegalArgumentException(
+        s"f:phrase is answered from stored TEXT offsets; field '$field0' has none")
+    val terms = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      .map(normalizeLit("TEXT", _))
+    require(terms.size >= 2,
+      s"f:phrase needs at least two tokens (use TEXT == '...' for one): '$phrase'")
+    an.phraseLeaf(terms)
+  }
+
+  /** f:near and f:phrase are index-ENFORCED (their residuals compile to
+    * TRUE because the event view has no positions), which is only sound
+    * where the plan intersection applies them unconditionally: positive
+    * conjunctive position. Under OR a lossy sibling's shard fallback
+    * would leak through the TRUE residual; under NOT there is no
+    * enforcement at all — both are rejected loudly rather than answered
+    * wrongly.
     */
   private def validateNearPlacement(e: QExpr, conjunctive: Boolean): Unit = e match {
-    case f: FnTerm if isNearFn(f) =>
+    case f: FnTerm if isNearFn(f) || isPhraseFn(f) =>
       if (!conjunctive) throw new IllegalArgumentException(
-        "f:near composes conjunctively only (top level or under AND); " +
+        s"f:${f.name} composes conjunctively only (top level or under AND); " +
           "OR/NOT placement cannot be residual-verified")
-    case FnCmp(f, _, _) if isNearFn(f) =>
+    case FnCmp(f, _, _) if isNearFn(f) || isPhraseFn(f) =>
       throw new IllegalArgumentException(
-        "f:near selects documents; comparing its result to a literal is unsupported")
+        s"f:${f.name} selects documents; comparing its result to a literal is unsupported")
     case And(cs) => cs.foreach(validateNearPlacement(_, conjunctive))
     case Or(cs)  => cs.foreach(validateNearPlacement(_, conjunctive = false))
     case Not(c)  => validateNearPlacement(c, conjunctive = false)
@@ -955,6 +1009,7 @@ class WikiSearchEngine(
     case l: EqLeaf         => Seq(l)
     case l: ScanLeaf       => Seq(l)
     case l: NearLeaf       => Seq(l)
+    case l: PhraseLeaf     => Seq(l)
     case EmptyLeaf         => Nil
     case OrNode(cs)        => cs.flatMap(treeLeaves)
     case AndNode(ps, negs) => ps.flatMap(treeLeaves) ++ negs
@@ -1043,8 +1098,12 @@ class WikiSearchEngine(
   private case class DistCand(df: DataFrame, card: Long, parts: Option[Seq[Int]] = None)
       extends MCand
 
+  /** Any index-ENFORCED leaf (near/phrase) below this node — such leaves
+    * must never be dropped by the min-cardinality superset rule.
+    */
   private def hasNear(n: PlanNode): Boolean = n match {
     case _: NearLeaf       => true
+    case _: PhraseLeaf     => true
     case OrNode(cs)        => cs.exists(hasNear)
     case AndNode(ps, _)    => ps.exists(hasNear)
     case _                 => false
@@ -1143,6 +1202,9 @@ class WikiSearchEngine(
       // AND path below never applies the min-card superset rule to a
       // near-bearing conjunction anyway.
       DistCand(nearDocKeys(a, b, k, auth), Long.MaxValue)
+
+    case PhraseLeaf(_, ts) => // same contract as NearLeaf
+      DistCand(phraseDocKeys(ts, auth), Long.MaxValue)
 
     case OrNode(cs) =>
       val ms   = cs.map(materialize(_, stats, auth, auths))

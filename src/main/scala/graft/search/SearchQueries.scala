@@ -403,6 +403,26 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
     },
 
+    // Ordered adjacency composed INSIDE the query language — f:phrase,
+    // the third stored-offset leaf (near = either order within k,
+    // phrase = adjacent in order). The plan shares `phraseStarts` with
+    // ws_psnip's display surface; like f:near the leaf is
+    // index-enforced (positions aren't in the event view), so it
+    // composes conjunctively and always intersects exactly. The oracle
+    // re-finds adjacency in the raw text. Bench key: ws_pq.
+    NamedQuery(
+      "ws_phrase_q",
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE source IN ('src3', 'src7')
+         |  AND len(list_filter(generate_series(1, len(tk) - 1),
+         |        i -> tk[i] = 'spark' AND tk[i+1] = 'join')) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .run("(SOURCE == 'src3' or SOURCE == 'src7') and f:phrase(TEXT, 'spark join')")
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // S12 — document content store round-trip (base64 in, decoded out)
     NamedQuery(
       "ws_content_fetch",

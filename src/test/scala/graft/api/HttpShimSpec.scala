@@ -107,7 +107,7 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/explain")._1 == 400) // missing query param
   }
 
-  test("/query and /explain compose f:fuzzy and f:near through the HTTP edge") {
+  test("/query and /explain compose f:fuzzy, f:near and f:phrase through the HTTP edge") {
     // 'abacas' is a substitution typo of the fixture's 'abacus' (Lev 1):
     // the query-language leaf must expand and hit doc 655 end-to-end
     val fq = "query=" + java.net.URLEncoder.encode("f:fuzzy(TEXT, 'abacas')", UTF_8)
@@ -120,6 +120,12 @@ class HttpShimSpec extends SparkSuite {
     val (ns, _, nbody) = get(s"/query?$nq&auths=enwiki", accept = Some("*/*"))
     assert(ns == 200 && nbody.contains("""<document id="655""""), nbody.take(200))
     assert(get(s"/explain?$nq")._3.contains("NEAR("))
+    // 'An abacus' opens the fixture: the adjacency leaf serves through
+    // the same routes, case-normalized by the wiki tokenizer
+    val pq = "query=" + java.net.URLEncoder.encode("f:phrase(TEXT, 'an abacus')", UTF_8)
+    val (ps, _, pbody) = get(s"/query?$pq&auths=enwiki", accept = Some("*/*"))
+    assert(ps == 200 && pbody.contains("""<document id="655""""), pbody.take(200))
+    assert(get(s"/explain?$pq")._3.contains("PHRASE(an abacus)"))
   }
 
   test("limit caps the result set") {

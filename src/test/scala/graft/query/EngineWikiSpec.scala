@@ -388,6 +388,47 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("f:near(TEXT, 'a', 'b', 'x')")).getMessage.contains("integer"))
   }
 
+  test("f:phrase composes into the query language, enforced from stored offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join now", "en", "s", 14L),    // adjacent, in order
+      (2L, "join spark", "en", "s", 10L),        // reversed — NOT a phrase hit
+      (3L, "spark x join", "en", "t", 12L),      // gap — NOT a phrase hit
+      (4L, "a spark join b", "en", "t", 14L),    // adjacent mid-document
+      (5L, "c spark join", "en", "t", 12L)       // adjacent at document end
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(q: String) = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // standalone: ordered adjacency only (near would also take 2 and 3)
+    assert(ids("f:phrase(TEXT, 'spark join')") == Set("1", "4", "5"))
+    // equals the phraseSnippets doc set (shared phraseStarts machinery)
+    assert(eng.phraseSnippets(Seq("spark", "join"),
+        tokenizer = graft.functions.TextFunctions.tokenizeWs)
+      .select("docId").collect().map(_.getString(0)).toSet == Set("1", "4", "5"))
+    // conjunctive composition: a sibling drives candidates, the phrase
+    // leaf intersects exactly (never dropped by the min-card rule)
+    assert(ids("SOURCE == 't' and f:phrase(TEXT, 'spark join')") == Set("4", "5"))
+    // explain shows the stored-offset adjacency leaf, no execution
+    val report = eng.explainAccess("SOURCE == 't' and f:phrase(TEXT, 'spark join')")
+    assert(report.contains("PHRASE(spark join)"), report)
+    // unsound placements are rejected loudly
+    for (bad <- Seq(
+        "TEXT == 'spark' or f:phrase(TEXT, 'spark join')",
+        "TEXT == 'spark' and not f:phrase(TEXT, 'spark join')"))
+      assert(intercept[IllegalArgumentException](eng.run(bad)).getMessage
+        .contains("conjunctively"), bad)
+    assert(eng.explainAccess("TEXT == 'spark' or f:phrase(TEXT, 'a b')")
+      .startsWith("REJECTED"))
+    // non-TEXT fields carry no offsets; one-token phrases are client errors
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:phrase(SOURCE, 'a b')")).getMessage.contains("offsets"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:phrase(TEXT, 'spark')")).getMessage.contains("two tokens"))
+    // a term absent from the corpus yields an empty result, not an error
+    assert(ids("f:phrase(TEXT, 'spark zzzz')").isEmpty)
+  }
+
   test("rankTopK: equals the full ranking's prefix; plans as bounded top-k, no window") {
     import spark.implicits._
     val docs = Seq(
