@@ -189,6 +189,66 @@ class EngineEquivalenceSpec extends SparkSuite {
     assert(checked == 25)
   }
 
+  test("proximity leaves: f:near / f:phrase ≡ a positional oracle over the raw text") {
+    // near and phrase are the two index-ENFORCED leaves — the residual
+    // compiles them to TRUE, so the metamorphic residual oracle above
+    // cannot check them. This oracle is computed driver-side from the
+    // raw document text with the same tokenizer (tokenizeWs ≡ split on
+    // single spaces), fully independent of postings, offsets, and the
+    // planner: any divergence is a stored-offset or plan-composition
+    // bug. Seeded — failures reproduce.
+    val meta = docsDf.collect().map { r =>
+      r.getLong(0).toString -> (r.getString(1).split(" "), r.getString(3))
+    }.toMap
+    def nearOracle(a: String, b: String, k: Int): Set[String] =
+      meta.collect { case (id, (tk, _)) if {
+        val pa = tk.zipWithIndex.collect { case (`a`, i) => i }
+        val pb = tk.zipWithIndex.collect { case (`b`, i) => i }
+        pa.exists(i => pb.exists(j => math.abs(i - j) <= k))
+      } => id }.toSet
+    def phraseOracle(ts: Seq[String]): Set[String] =
+      meta.collect { case (id, (tk, _)) if tk.indices
+        .exists(i => tk.slice(i, i + ts.size).sameElements(ts)) => id }.toSet
+    def bySource(s: String): Set[String] =
+      meta.collect { case (id, (_, src)) if src == s => id }.toSet
+
+    var checked = 0
+    (1 to 30).foreach { i =>
+      val (a, b, k) = (word(), word(), rnd.nextInt(5))
+      val want = nearOracle(a, b, k)
+      assert(engineIds(s"f:near(TEXT, '$a', '$b', $k)", Nil) == want,
+        s"near divergence #$i: f:near(TEXT,'$a','$b',$k)")
+      // order-free by definition: swapped terms must agree too
+      assert(engineIds(s"f:near(TEXT, '$b', '$a', $k)", Nil) == want,
+        s"near asymmetry #$i: f:near(TEXT,'$b','$a',$k)")
+      // conjunctive composition intersects exactly
+      val src = s"src${1 + rnd.nextInt(3)}"
+      assert(engineIds(s"SOURCE == '$src' and f:near(TEXT, '$a', '$b', $k)", Nil)
+        == (want intersect bySource(src)),
+        s"near composition divergence #$i: $src + f:near('$a','$b',$k)")
+      checked += 1
+    }
+    (1 to 30).foreach { i =>
+      // half the draws take a REAL adjacent n-gram from a random doc
+      // (guaranteed hits); half are random vocab pairs (mostly misses)
+      val ts: Seq[String] =
+        if (rnd.nextInt(2) == 0) {
+          val tk = meta(rnd.nextInt(150).toString)._1
+          val n  = 2 + rnd.nextInt(math.min(2, tk.length - 1))
+          val at = rnd.nextInt(tk.length - n + 1)
+          tk.slice(at, at + n).toSeq
+        } else Seq(word(), word())
+      val q    = s"f:phrase(TEXT, '${ts.mkString(" ")}')"
+      val want = phraseOracle(ts)
+      assert(engineIds(q, Nil) == want, s"phrase divergence #$i: $q")
+      val src = s"src${1 + rnd.nextInt(3)}"
+      assert(engineIds(s"SOURCE == '$src' and $q", Nil) == (want intersect bySource(src)),
+        s"phrase composition divergence #$i: $src + $q")
+      checked += 1
+    }
+    assert(checked == 60)
+  }
+
   test("60 random queries: index-assisted path ≡ full-scan residual (incl. auths)") {
     var checked = 0
     (1 to 60).foreach { i =>
