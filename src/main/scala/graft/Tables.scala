@@ -55,18 +55,38 @@ object Tables {
     else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads nanos as LongType
-    * under this flag (set in Sessions.configure). Exposed as both the raw
-    * nanos and a derived micros timestamp column `ts`.
+  /** `events.ts` arrives in one of two physical encodings depending on the
+    * generator: parquet TIMESTAMP(NANOS) (read as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in Sessions.builder) or
+    * plain TIMESTAMP(MICROS) (read as a timestamp type). Both are exposed
+    * under the SAME logical schema so every events query is
+    * encoding-agnostic: `ts_nanos` (BIGINT epoch nanoseconds — the exact
+    * integer arithmetic column q14/q20/q24/q25 session/range math uses)
+    * plus a session-TZ timestamp `ts`. The DuckDB oracles read the file
+    * directly via `epoch_ns(ts)`, which is likewise exact under either
+    * encoding, so Spark and oracle agree bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_nanos")
-      // integer `div`, not `/`: double division of ~1.7e18 ns loses the
-      // low bits (ULP 256 ns) and can shift a timestamp by 1 µs
-      .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_nanos")
+          // integer `div`, not `/`: double division of ~1.7e18 ns loses the
+          // low bits (ULP 256 ns) and can shift a timestamp by 1 µs
+          .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
+      case _ =>
+        // TIMESTAMP or TIMESTAMP_NTZ at micros precision. Sessions pin the
+        // session TZ to UTC, so the NTZ→TZ cast is value-preserving and
+        // unix_micros is exact integer micros; ×1000 lifts to the nanos
+        // domain the downstream arithmetic expects.
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+    }
   }
 }
 
