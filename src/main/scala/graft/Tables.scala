@@ -68,25 +68,37 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case LongType =>
         raw
           .withColumnRenamed("ts", "ts_nanos")
           // integer `div`, not `/`: double division of ~1.7e18 ns loses the
           // low bits (ULP 256 ns) and can shift a timestamp by 1 µs
           .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
-      case _ =>
-        // TIMESTAMP or TIMESTAMP_NTZ at micros precision. Sessions pin the
-        // session TZ to UTC, so the NTZ→TZ cast is value-preserving and
-        // unix_micros is exact integer micros; ×1000 lifts to the nanos
-        // domain the downstream arithmetic expects.
+      case TimestampType | TimestampNTZType =>
+        // micros precision. Sessions pin the session TZ to UTC, so the
+        // NTZ→TZ cast is value-preserving and unix_micros is exact integer
+        // micros; ×1000 lifts to the nanos domain the downstream
+        // arithmetic expects.
         raw
           .withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+      case other =>
+        // Fail fast at load: a silent cast of an unforeseen encoding (a
+        // future generator writing STRING/DOUBLE ts) would null out every
+        // timestamp and corrupt all events queries downstream.
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected INT64 nanos or TIMESTAMP[_NTZ] micros")
     }
+    // Both branches append their derived column last in different orders;
+    // pin one column order so positional consumers (union-by-position,
+    // rewritten-parquet comparisons) see an identical schema either way.
+    val cols = Seq("ts", "ts_nanos") ++
+      normalized.columns.filterNot(Set("ts", "ts_nanos"))
+    normalized.select(cols.map(col): _*)
   }
 }
 

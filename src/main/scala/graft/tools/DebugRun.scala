@@ -10,7 +10,9 @@ object DebugRun {
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(s"OK $name rows=$n")
       } catch { case e: Throwable =>
-        println(s"FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage.take(500)}")
+        // String.valueOf: NPE and friends often carry a null message, and
+        // a null-deref here would mask the original failure in this tool
+        println(s"FAIL $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
       }
     }
     spark.stop()
