@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Major compaction for the versioned streaming state both maintainers
+  * accumulate (`VersionedState` layout) — the Spark shape of Accumulo's
+  * major compaction (`README.md:50-56`: combiners fold at compact scope;
+  * minor flushes pile up files, a major folds them into one).
+  *
+  * Without it, read amplification grows linearly with committed batches:
+  * the index reader folds N delta dirs per query and the dedup reader
+  * unions N part dirs. Compacting `v_0..v_k` (plus any older base) into
+  * one `c<k>/` base restores O(1) read cost; deltas after `k` keep
+  * arriving — the maintainers never pause.
+  *
+  * Correctness: the index fold is `IncrementalIndex.mergeAll`, exact at
+  * any granularity by the lossy-UidList merge contract (A1); dedup state
+  * is additive, so its compaction is a pure concatenation. Both are
+  * read-equivalent by construction and StreamingSpec pins it
+  * (components/index identical pre/post).
+  *
+  * Protocol: write `c<k>` with forced `_SUCCESS` (same commit rule as
+  * the maintainers — readers never see a partial base), THEN delete the
+  * subsumed dirs. A reader that resolved its read set before the delete
+  * may still hold paths into subsumed dirs; production deployments
+  * delay the delete by a grace period (the standard object-store
+  * compaction posture) — pass `deleteSubsumed = false` and sweep later.
+  */
+object Compaction {
+
+  /** Compact the global-index maintainer's state at `dir` through the
+    * newest committed version. Returns the compacted-through version,
+    * or -1 if there is nothing to compact.
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      deleteSubsumed: Boolean = true): Long = {
+    val through = VersionedState.maxVersion(dir, Nil)
+    if (through < 0) return -1L
+    val paths = VersionedState.readPaths(dir, Nil, None, through)
+    IncrementalIndex.mergeAll(spark.read.parquet(paths: _*))
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/c$through")
+    if (deleteSubsumed) sweep(dir, Nil, through)
+    through
+  }
+
+  /** Compact the near-dup maintainer's additive parts at `dir` through
+    * the newest committed version (per-batch `verdicts/` history is
+    * per-batch output, not corpus state — untouched).
+    */
+  def compactDedup(spark: SparkSession, dir: String,
+      deleteSubsumed: Boolean = true): Long = {
+    val parts = LiveNearDupMaintainer.Parts
+    val through = VersionedState.maxVersion(dir, parts)
+    if (through < 0) return -1L
+    // Stage under a temp name, then commit parts into place: c<through>
+    // must never be listable as committed while half-written, and
+    // `committed` requires EVERY part's marker — writing parts directly
+    // is safe, but reading subsumed dirs while also writing the base
+    // from them is not a conflict either (parquet reads are immutable
+    // snapshots of the file listing at plan time).
+    for (p <- parts)
+      spark.read.parquet(VersionedState.readPaths(dir, parts, Some(p), through): _*)
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$dir/c$through/$p")
+    if (deleteSubsumed) sweep(dir, parts, through)
+    through
+  }
+
+  /** Delete dirs subsumed by the committed base `c<through>`: every
+    * delta `v ≤ through` and every older base.
+    */
+  private def sweep(dir: String, parts: Seq[String], through: Long): Unit = {
+    val doomed =
+      VersionedState.committed(dir, 'v', parts).filter(_ <= through).map(v => s"v$v") ++
+        VersionedState.committed(dir, 'c', parts).filter(_ < through).map(k => s"c$k")
+    doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
+  }
+
+  /** CLI: `runMain graft.streaming.Compaction <index|dedup> <dir>` */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 && Set("index", "dedup")(args(0)),
+      "usage: Compaction <index|dedup> <stateDir>")
+    val spark = graft.Sessions.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val through =
+      if (args(0) == "index") compactIndex(spark, args(1))
+      else compactDedup(spark, args(1))
+    println(s"compacted ${args(1)} through v$through")
+    spark.stop()
+  }
+}

@@ -20,17 +20,27 @@ object IncrementalIndex {
 
   private val uidMergeAgg = udaf(new UidListMergeAggregator())
 
-  /** Merge two global_index DataFrames (same schema:
+  /** Re-aggregate any union of global_index fragments (same schema:
     * fieldValue/fieldName/partition/language/count/uids/ignore) with the
     * reference's lossy UidList semantics — exactly correct under
-    * re-aggregation (the naive `sum + collect_set` is not: a set that
+    * re-aggregation at ANY granularity because the merge is associative
+    * and commutative (the naive `sum + collect_set` is not: a set that
     * already overflowed cannot be recovered; see SURVEY.md §2.4 A1).
+    * This is the merge-on-read half of the delta-based maintainer: a
+    * reader unions committed delta dirs and folds them through this one
+    * co-keyed aggregation, the same contract Accumulo exploits by
+    * attaching `GlobalIndexUidCombiner` at scan scope
+    * (`WikipediaIngester.java:98,116,126,135`).
     */
-  def merge(base: DataFrame, delta: DataFrame): DataFrame =
-    base.unionByName(delta)
+  def mergeAll(fragments: DataFrame): DataFrame =
+    fragments
       .groupBy("fieldValue", "fieldName", "partition", "language")
       .agg(uidMergeAgg(col("count"), col("uids"), col("ignore")).as("u"))
       .select(
         col("fieldValue"), col("fieldName"), col("partition"), col("language"),
         col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
+
+  /** Two-fragment convenience form of `mergeAll`. */
+  def merge(base: DataFrame, delta: DataFrame): DataFrame =
+    mergeAll(base.unionByName(delta))
 }

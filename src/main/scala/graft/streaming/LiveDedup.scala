@@ -29,16 +29,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rule); docs kept by an earlier batch are never revoked — the online
   * contract batch ingestion needs.
   *
-  * Commit protocol is `LiveIndexMaintainer`'s (`_SUCCESS` markers
-  * forced per write, recovery scans committed versions, a replayed
-  * batch skips against its own committed output) — but where the lossy
-  * index MERGES into each snapshot (combiners fold, so v_n must
-  * rewrite), dedup artifacts are purely ADDITIVE: kept docs are only
-  * ever appended. So each version dir holds ONLY its batch's kept
-  * delta, the corpus state is the union of committed versions, and a
-  * micro-batch writes O(|batch|) — never O(corpus) — at any
-  * accumulated size. (Deployments periodically compact version ranges
-  * into one dir, the standard LSM posture; reads here just union.)
+  * Commit protocol and layout are `LiveIndexMaintainer`'s
+  * (`VersionedState`: `_SUCCESS` markers forced per write, recovery
+  * scans committed versions, a replayed batch skips against its own
+  * committed output). Dedup artifacts are purely ADDITIVE — kept docs
+  * are only ever appended — so each version dir holds ONLY its batch's
+  * kept delta, reads just union base + deltas (no fold needed, unlike
+  * the index's lossy-UidList merge-on-read), and a micro-batch writes
+  * O(|batch|) — never O(corpus) — at any accumulated size.
+  * `Compaction.compactDedup` periodically folds version ranges into
+  * one base dir, the standard LSM posture.
   */
 class LiveNearDupMaintainer(
     spark: SparkSession,
@@ -47,28 +47,17 @@ class LiveNearDupMaintainer(
     bands: Int = 32,
     shingleN: Int = 3) {
 
-  private val parts = Seq("docs", "sets", "bands")
+  private val parts = LiveNearDupMaintainer.Parts
 
   // A version counts only when EVERY part committed (docs is written
   // last, so a crash between part writes leaves no readable version).
-  private def committedVersions: Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        parts.forall(p => new java.io.File(f, s"$p/_SUCCESS").exists()))
-        .map(_.getName.drop(1).toLong))
-      .getOrElse(Nil)
-  }
-
-  @volatile private var version: Long =
-    committedVersions.foldLeft(-1L)(math.max)
-
-  /** Committed delta dirs for one part, up to and including `upTo`. */
-  private def partPaths(part: String, upTo: Long): Seq[String] =
-    committedVersions.filter(_ <= upTo).sorted.map(v => s"$dir/v$v/$part")
+  // Read sets come from the shared LSM layout (`VersionedState`): the
+  // newest compacted base plus later deltas — dedup state is purely
+  // additive, so readers just union, no fold needed.
+  @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
 
   private def readUnion(part: String, upTo: Long): Option[DataFrame] = {
-    val ps = partPaths(part, upTo)
+    val ps = VersionedState.readPaths(dir, parts, Some(part), upTo)
     if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
   }
 
@@ -81,8 +70,14 @@ class LiveNearDupMaintainer(
   def verdictsFor(batchId: Long): DataFrame =
     spark.read.parquet(s"$dir/verdicts/v$batchId")
 
+  // Corpus state visible to a (re)played batch: everything committed
+  // strictly below its id (merging a replayed delta against its own
+  // output would double-count; basing on the predecessor makes the
+  // write idempotent).
   private def baseVersionFor(batchId: Long): Long =
-    committedVersions.filter(_ < batchId).foldLeft(-1L)(math.max)
+    (VersionedState.committed(dir, 'v', parts) ++
+      VersionedState.committed(dir, 'c', parts))
+      .filter(_ < batchId).foldLeft(-1L)(math.max)
 
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
@@ -99,48 +94,64 @@ class LiveNearDupMaintainer(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
-          version = math.max(version, batchId) // committed replay: skip
-        else {
-          val b = batch.toDF.cache()
-          val baseV = baseVersionFor(batchId)
-          val setsNew = Dedup.shingleSets(b, shingleN).cache()
-          val bandsNew = Dedup.minhashBands(setsNew, bands).cache()
-          val setsOld = readUnion("sets", baseV).getOrElse(setsNew.limit(0))
-          val bandsOld = readUnion("bands", baseV).getOrElse(bandsNew.limit(0))
-          val pairs = Dedup.minhashPairsFromParts(
-            setsOld, bandsOld, setsNew, bandsNew, tau)
-
-          val freshIds = b.select(col("doc_id"))
-          val comp = Dedup.connectedComponents(pairs.select("a", "b"))
-          // components with a member OUTSIDE this batch touch the kept
-          // corpus (pairs only ever reference corpus ∪ batch docs)
-          val corpusComps = comp.join(freshIds, Seq("doc_id"), "left_anti")
-            .select("component").distinct()
-          val freshComp = comp.join(freshIds, Seq("doc_id"))
-          val keepers = freshComp.join(corpusComps, Seq("component"), "left_anti")
-            .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
-            .select("doc_id")
-          val dropIds = freshComp.join(keepers, Seq("doc_id"), "left_anti")
-            .select("doc_id").distinct().cache()
-
-          val verdicts = freshIds
-            .join(dropIds.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              when(col("dropped"), lit("drop")).otherwise(lit("keep")).as("verdict"))
-          write(verdicts, s"$dir/verdicts/v$batchId")
-
-          // delta-only writes: this batch's keepers, O(|batch|) bytes
-          val keptIds = freshIds.join(dropIds, Seq("doc_id"), "left_anti")
-          write(setsNew.join(keptIds, Seq("doc_id"), "left_semi"),
-            s"$dir/v$batchId/sets")
-          write(bandsNew.join(keptIds, Seq("doc_id"), "left_semi"),
-            s"$dir/v$batchId/bands")
-          write(b.join(dropIds, Seq("doc_id"), "left_anti"),
-            s"$dir/v$batchId/docs")
-          Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
-          version = math.max(version, batchId)
-        }
+        processBatch(batch.toDF, batchId)
       }
       .start()
+
+  /** One micro-batch of the filtering loop (the `foreachBatch` body,
+    * callable directly for tests and backfills).
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= version ||
+        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+      version = math.max(version, batchId) // committed replay: skip
+    else {
+      val b = batch.cache()
+      val baseV = baseVersionFor(batchId)
+      val setsNew = Dedup.shingleSets(b, shingleN).cache()
+      val bandsNew = Dedup.minhashBands(setsNew, bands).cache()
+      val setsOld = readUnion("sets", baseV).getOrElse(setsNew.limit(0))
+      val bandsOld = readUnion("bands", baseV).getOrElse(bandsNew.limit(0))
+      val pairs = Dedup.minhashPairsFromParts(
+        setsOld, bandsOld, setsNew, bandsNew, tau)
+
+      val freshIds = b.select(col("doc_id"))
+      val comp = Dedup.connectedComponents(pairs.select("a", "b"))
+      // components with a member OUTSIDE this batch touch the kept
+      // corpus (pairs only ever reference corpus ∪ batch docs)
+      val corpusComps = comp.join(freshIds, Seq("doc_id"), "left_anti")
+        .select("component").distinct()
+      val freshComp = comp.join(freshIds, Seq("doc_id"))
+      val keepers = freshComp.join(corpusComps, Seq("component"), "left_anti")
+        .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val dropIds = freshComp.join(keepers, Seq("doc_id"), "left_anti")
+        .select("doc_id").distinct().cache()
+
+      val verdicts = freshIds
+        .join(dropIds.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("dropped"), lit("drop")).otherwise(lit("keep")).as("verdict"))
+      write(verdicts, s"$dir/verdicts/v$batchId")
+
+      // delta-only writes: this batch's keepers, O(|batch|) bytes
+      val keptIds = freshIds.join(dropIds, Seq("doc_id"), "left_anti")
+      write(setsNew.join(keptIds, Seq("doc_id"), "left_semi"),
+        s"$dir/v$batchId/sets")
+      write(bandsNew.join(keptIds, Seq("doc_id"), "left_semi"),
+        s"$dir/v$batchId/bands")
+      write(b.join(dropIds, Seq("doc_id"), "left_anti"),
+        s"$dir/v$batchId/docs")
+      Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
+      version = math.max(version, batchId)
+    }
+  }
+}
+
+object LiveNearDupMaintainer {
+  /** The three additive state parts of a committed version: kept docs,
+    * their shingle-hash sets (verify side), their minhash band table
+    * (candidate side). Shared with `Compaction`.
+    */
+  val Parts: Seq[String] = Seq("docs", "sets", "bands")
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+/** The shared LSM-style versioned-parquet state layout behind both
+  * streaming maintainers (`LiveIndexMaintainer`, `LiveNearDupMaintainer`):
+  *
+  *   - `v<batchId>/` — a DELTA holding only that micro-batch's output
+  *     (O(|batch|) bytes at any accumulated corpus size);
+  *   - `c<k>/`       — a COMPACTED BASE subsuming every version ≤ k
+  *     (written by `Compaction`, never by a maintainer).
+  *
+  * The read set at version `upTo` is the newest committed base `c_k`
+  * (k ≤ upTo) plus the committed deltas k < v ≤ upTo — readers union
+  * them and (for folded state like the lossy UidList index) re-aggregate.
+  * This is the Spark shape of the reference's lazy-merge design: Accumulo
+  * never rewrites a table per flush either — `GlobalIndexUidCombiner` is
+  * attached at scan scope too (`WikipediaIngester.java:98,116,126,135`)
+  * and minor/major compactions bound read amplification, exactly the
+  * base/delta split here.
+  *
+  * Commit protocol: a version counts only once its `_SUCCESS` marker(s)
+  * exist — for multi-part state (`parts` non-empty) EVERY part must have
+  * committed. Maintainers force the marker per write (object-store
+  * deployments commonly disable it globally).
+  */
+private[streaming] object VersionedState {
+
+  /** Committed versions under `dir` with the given name prefix
+    * ('v' = delta, 'c' = compacted base). `parts` empty ⇒ the version
+    * dir itself is the parquet dataset; non-empty ⇒ each named subdir is.
+    */
+  def committed(dir: String, prefix: Char, parts: Seq[String]): Seq[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq.filter { f =>
+        f.isDirectory && f.getName.matches(prefix + "\\d+") && {
+          val marks =
+            if (parts.isEmpty) Seq(new java.io.File(f, "_SUCCESS"))
+            else parts.map(p => new java.io.File(f, s"$p/_SUCCESS"))
+          marks.forall(_.exists())
+        }
+      }.map(_.getName.drop(1).toLong))
+      .getOrElse(Nil)
+  }
+
+  /** Largest committed version of any kind — the recovery pointer. */
+  def maxVersion(dir: String, parts: Seq[String]): Long =
+    (committed(dir, 'v', parts) ++ committed(dir, 'c', parts))
+      .foldLeft(-1L)(math.max)
+
+  /** (newest base ≤ upTo, deltas above it and ≤ upTo, sorted). */
+  def readSet(dir: String, parts: Seq[String], upTo: Long): (Option[Long], Seq[Long]) = {
+    val bases = committed(dir, 'c', parts).filter(_ <= upTo)
+    val base  = bases.sorted.lastOption
+    val floor = base.getOrElse(-1L)
+    (base, committed(dir, 'v', parts).filter(v => v > floor && v <= upTo).sorted)
+  }
+
+  /** Parquet paths for one part of the read set at `upTo`. */
+  def readPaths(dir: String, parts: Seq[String], part: Option[String], upTo: Long): Seq[String] = {
+    val (base, deltas) = readSet(dir, parts, upTo)
+    val sub = part.map("/" + _).getOrElse("")
+    base.map(k => s"$dir/c$k$sub").toSeq ++ deltas.map(v => s"$dir/v$v$sub")
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

@@ -147,7 +147,7 @@ class StreamingSpec extends SparkSuite {
     assert(canon(base.get) == canon(full))
   }
 
-  test("LiveIndexMaintainer: streamed snapshots equal a from-scratch batch build") {
+  test("LiveIndexMaintainer: delta-only writes, merge-on-read equals a from-scratch batch build") {
     implicit val sqlCtx = spark.sqlContext
     val dir  = java.nio.file.Files.createTempDirectory("graft-live-index").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-live-ckpt").toString
@@ -159,32 +159,54 @@ class StreamingSpec extends SparkSuite {
     val d1 = (1L, "alpha beta gamma", "en", "s1", 16)
     val d2 = (2L, "alpha delta", "en", "s1", 11)
     val d3 = (3L, "beta beta epsilon", "de", "s2", 17)
+    val d4 = (4L, "alpha epsilon", "en", "s1", 13)
     try {
       input.addData(d1, d2)
       q.processAllAvailable()
       assert(maintainer.latestVersion == 0L)
       input.addData(d3)
       q.processAllAvailable()
-      assert(maintainer.latestVersion == 1L)
+      input.addData(d4)
+      q.processAllAvailable()
+      assert(maintainer.latestVersion == 2L)
     } finally q.stop()
 
-    val allDocs = Seq(d1, d2, d3).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val allDocs = Seq(d1, d2, d3, d4).toDF("doc_id", "text", "lang", "source", "n_chars")
     val batchBuilt = graft.ingest.IndexBuilder.buildGlobalIndex(
       graft.ingest.IndexBuilder.documentIndexRows(allDocs, 2))
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"),
         col("count"), array_sort(col("uids")).as("uids"), col("ignore"))
       .collect().map(_.toString).sorted.toSeq
+    // the read over 3 delta dirs equals the from-scratch build — the
+    // merge-on-read contract (A1: fold exact at any granularity)
     assert(canon(maintainer.latest.get) == canon(batchBuilt))
 
-    // snapshots are immutable + versioned: v0 still readable after v1 commits
-    assert(spark.read.parquet(s"$dir/v0").count() > 0)
+    // a version dir is a DELTA: it holds ONLY its own batch's postings,
+    // never accumulated state — O(|batch|) write amplification
+    def termsIn(v: String) = spark.read.parquet(s"$dir/$v")
+      .filter(col("fieldName") === "TEXT")
+      .select("fieldValue").collect().map(_.getString(0)).toSet
+    assert(termsIn("v0") == Set("alpha", "beta", "gamma", "delta"))
+    assert(termsIn("v1") == Set("beta", "epsilon"))
+    assert(termsIn("v2") == Set("alpha", "epsilon"))
 
     // a restarted maintainer recovers the committed pointer from disk —
     // a fresh instance must NOT restart the index from scratch
     val recovered = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
-    assert(recovered.latestVersion == 1L)
+    assert(recovered.latestVersion == 2L)
     assert(canon(recovered.latest.get) == canon(batchBuilt))
+
+    // major compaction folds base+deltas into one c<k> dir: the read
+    // view is IDENTICAL pre/post, subsumed deltas are swept, and a
+    // restarted maintainer reads the base alone
+    val through = Compaction.compactIndex(spark, dir)
+    assert(through == 2L)
+    assert(new java.io.File(s"$dir/c2/_SUCCESS").exists())
+    assert(!new java.io.File(s"$dir/v0").exists() && !new java.io.File(s"$dir/v2").exists())
+    val afterCompact = new LiveIndexMaintainer(spark, dir, numPartitions = 2)
+    assert(afterCompact.latestVersion == 2L)
+    assert(canon(afterCompact.latest.get) == canon(batchBuilt))
   }
 
   test("LiveNearDupMaintainer: streaming near-dup filter against accumulated corpus state") {
@@ -229,6 +251,30 @@ class StreamingSpec extends SparkSuite {
     val recovered = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
     assert(recovered.latestVersion == 1L)
     assert(recovered.latest.get.count() == 3)
+
+    // major compaction: additive parts concatenate into one c<k> base,
+    // kept corpus identical pre/post, subsumed deltas swept
+    val through = Compaction.compactDedup(spark, dir)
+    assert(through == 1L)
+    assert(LiveNearDupMaintainer.Parts.forall(p =>
+      new java.io.File(s"$dir/c1/$p/_SUCCESS").exists()))
+    assert(!new java.io.File(s"$dir/v0").exists() && !new java.io.File(s"$dir/v1").exists())
+    val compacted = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
+    assert(compacted.latestVersion == 1L)
+    assert(compacted.latest.get.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+
+    // the stream continues AFTER compaction: with the production
+    // same-checkpoint contract batch ids continue past c<k>, so the
+    // next batch (id 2 > compacted-through 1) probes the compacted base
+    // — a twin of kept doc 1 still drops, and the new delta lands as a
+    // visible v2 above the base
+    compacted.processBatch(
+      Seq((7L, s"$base anew", "en", "s", 0), (8L, "unseen payload about columnar execution engines today", "en", "s", 0))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), 2L)
+    assert(compacted.verdictsFor(2).as[(Long, String)].collect().toMap ==
+      Map(7L -> "drop", 8L -> "keep"))
+    assert(compacted.latest.get.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 8L))
   }
 
   test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
