@@ -29,17 +29,72 @@ object Bench {
     * its own truncation warning). Registry/CORRECTNESS names are
     * UNCHANGED; the mapping is documented in README.md's bench section.
     */
+  /** Explicit line-budget abbreviations (README bench section): family
+    * prefix keeps 1-2 chars, tag keeps 2-4. Registry/CORRECTNESS names
+    * are UNCHANGED; the collision `require` below guards edits here.
+    */
+  private val shortMap = Map(
+    "ws_near_q"            -> "ws_nq",
+    "ws_fuzzy_q"           -> "ws_fq",
+    "ws_phrase_q"          -> "ws_pq",
+    "ws_knear_q"           -> "ws_kq",
+    "ws_index_incremental" -> "ws_inc",
+    "ws_index_termfreq"    -> "ws_itf",
+    "ws_content_fetch"     -> "ws_cf",
+    "ws_postings"          -> "ws_po",
+    "ws_facets"            -> "ws_fa",
+    "ws_bm25"              -> "ws_bm",
+    "ws_msnip"             -> "ws_ms",
+    "ws_psnip"             -> "ws_ps",
+    "ws_snip"              -> "ws_sn",
+    "ws_near"              -> "ws_nr",
+    "ws_fuzzy"             -> "ws_fz",
+    "ws_phrase"            -> "ws_ph",
+    "dd_embedding_neardup" -> "dd_emb",
+    "dd_ngram_jaccard"     -> "dd_nj",
+    "dd_minhash_lsh"       -> "dd_mh",
+    "dd_keep_best"         -> "dd_kb",
+    "dd_dup_spans"         -> "dd_ds",
+    "dd_semdedup"          -> "dd_sd",
+    "dd_simhash"           -> "dd_sh",
+    "dd_cluster"           -> "dd_cl",
+    "dd_exact"             -> "dd_ex",
+    "dd_scrub"             -> "dd_sc",
+    "sim_pairs_brute"      -> "s_pb",
+    "sim_topk"             -> "s_tk",
+    "sim_lsh_pairs"        -> "s_lp",
+    "sim_lsh_multi"        -> "s_lm",
+    "sim_ivf_topk"         -> "s_ivf",
+    "sim_ivf_full_probe"   -> "s_ivff",
+    "sim_pq_topk"          -> "s_pq",
+    "sim_ivfpq_topk"       -> "s_ivfpq",
+    "sim_recall"           -> "s_rec",
+    "ta_stats"             -> "t_st",
+    "ta_quality"           -> "t_q",
+    "ta_langid"            -> "t_l",
+    "ta_token_counts"      -> "t_tc",
+    "ta_fingerprint"       -> "t_fp",
+    "ta_repetition"        -> "t_rep",
+    "ta_top_ngrams"        -> "t_ng",
+    "ta_lm_score"          -> "t_lm",
+    "cu_split"             -> "c_sp",
+    "cu_sample"            -> "c_sa",
+    "cu_contam"            -> "c_ct",
+    "cu_overlap"           -> "c_ov",
+    "cu_mix"               -> "c_mx",
+    "cu_redact"            -> "c_rd",
+    "cu_pack"              -> "c_pk",
+    "cu_quality_gate"      -> "c_qg",
+    "cu_bloom"             -> "c_bl",
+    "cu_shuffle"           -> "c_sh",
+    "mm_binary_meta"       -> "m_bm",
+    "mm_feature_stub"      -> "m_fs",
+    "mm_frame_sample"      -> "m_fr")
+
   def shortName(name: String): String = name match {
+    case s if shortMap.contains(s)     => shortMap(s)
     case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
     case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
-    // explicit line-budget abbreviations (README bench section)
-    case "ws_near_q"                   => "ws_nq"
-    case "ws_fuzzy_q"                  => "ws_fq"
-    case "ws_phrase_q"                 => "ws_pq"
-    case "ws_index_incremental"        => "ws_inc"
-    case "ws_index_termfreq"           => "ws_itf"
-    case "ws_content_fetch"            => "ws_cf"
-    case "dd_embedding_neardup"        => "dd_emb"
     case s => s
   }
 
