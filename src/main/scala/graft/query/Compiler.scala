@@ -148,13 +148,14 @@ object Compiler {
       unevaluated: Set[String] = Set.empty,
       norms: Map[String, FieldNorm] = Map.empty,
       nearEnforced: Boolean = false): Column = e match {
-    // f:near(TEXT, a, b, k): the pivoted event view holds the DISTINCT
-    // term set, not positions, so this compiler CANNOT evaluate
-    // proximity. The engine's NearLeaf enforces it from stored offsets
-    // and passes nearEnforced = true for its residual; every other
-    // caller (full-scan fallback, standalone evaluators like Soak)
-    // must fail loudly rather than silently match every document.
-    case FnTerm("near", args) if args.size == 4 =>
+    // f:near (pair form `TEXT, a, b, k` or k-term form `TEXT, k, t...`):
+    // the pivoted event view holds the DISTINCT term set, not positions,
+    // so this compiler CANNOT evaluate proximity. The engine's NearLeaf
+    // enforces it from stored offsets and passes nearEnforced = true for
+    // its residual; every other caller (full-scan fallback, standalone
+    // evaluators like Soak) must fail loudly rather than silently match
+    // every document.
+    case FnTerm("near", args) if args.size >= 3 =>
       if (nearEnforced) lit(true)
       else throw new IllegalArgumentException(
         "f:near is not residual-evaluable (no positions in the event view); " +

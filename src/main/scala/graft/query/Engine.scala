@@ -487,25 +487,48 @@ class WikiSearchEngine(
     * practice by tf.
     */
   def near(a: String, b: String, k: Int, auths: Seq[String] = Nil): DataFrame =
-    nearDocKeys(a, b, k, langAuth(auths))
+    near(Seq(a, b), k, auths)
+
+  /** k-term window form: documents where ALL `terms` occur inside some
+    * window of span ≤ `k` tokens (2-term case: |i−j| ≤ k, the classic
+    * NEAR/k — identical semantics through the same code path).
+    */
+  def near(terms: Seq[String], k: Int, auths: Seq[String]): DataFrame =
+    nearDocKeys(terms, k, langAuth(auths))
       .select(col("docId"), col("language"))
       .orderBy("docId")
 
   /** The NEAR document-key set (full key, for plan composition): shared
     * by the public `near` surface and the `f:near` query-language leaf,
     * so the two cannot diverge.
+    *
+    * n-way shape: postings filtered per term (tiny), co-partitioned
+    * n-way join on the document key, one codegen'd predicate over the n
+    * offset arrays. Window check: a qualifying window's MINIMUM position
+    * belongs to some term's array, so
+    * `∃m ∃p∈o_m: ∀i ∃q∈o_i: p ≤ q ≤ p+k` is exact — for i = m the
+    * start itself witnesses, so the inner ∀ runs over all arrays
+    * uniformly. Uses only position differences ⇒ invariant to the
+    * offset base. Per-doc cost is Σ_m |o_m| · Σ_i |o_i| on occurrence
+    * counts, bounded in practice by tf; no content fetch, no corpus
+    * scan at any n.
     */
   private def nearDocKeys(
-      a: String, b: String, k: Int, auth: DataFrame => DataFrame): DataFrame = {
+      terms: Seq[String], k: Int, auth: DataFrame => DataFrame): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
+    require(terms.size >= 2, s"near needs at least two terms: $terms")
     val keys = Seq("partition", "language", "docId")
-    val pa = auth(index.termPostings).filter(col("term") === a)
-      .select(keys.map(col) :+ col("offsets").as("oa"): _*)
-    val pb = auth(index.termPostings).filter(col("term") === b)
-      .select(keys.map(col) :+ col("offsets").as("ob"): _*)
-    pa.join(pb, keys)
-      .filter(exists(col("oa"), i => exists(col("ob"), j => abs(i - j) <= k)))
-      .select(keys.map(col): _*)
+    val posts = terms.zipWithIndex.map { case (t, i) =>
+      auth(index.termPostings).filter(col("term") === t)
+        .select(keys.map(col) :+ col("offsets").as(s"o$i"): _*)
+    }
+    val joined = posts.reduce(_.join(_, keys))
+    val os = terms.indices.map(i => col(s"o$i"))
+    val windowed = os.map(om =>
+      exists(om, p => os.map(oi =>
+        exists(oi, q => q >= p && q <= p + k)).reduce(_ && _)))
+      .reduce(_ || _)
+    joined.filter(windowed).select(keys.map(col): _*)
   }
 
   /** Facet counts over a query's result set — the results-sidebar
@@ -565,9 +588,9 @@ class WikiSearchEngine(
           case ScanLeaf(tag, _, fi) =>
             sb.append(s"${indent}RANGE/WILDCARD index scan card=${stats.get(tag).map(_.card).getOrElse(0L)}")
               .append(if (fi.isDefined) " (fi-verified)" else "").append('\n')
-          case NearLeaf(_, a, b, k) =>
-            sb.append(s"${indent}NEAR($a, $b, $k) — stored-offset postings join " +
-              "(exact, index-enforced)\n")
+          case NearLeaf(_, ts, k) =>
+            sb.append(s"${indent}NEAR(${ts.mkString(" ")}, k=$k) — stored-offset " +
+              "postings join (exact, index-enforced)\n")
           case PhraseLeaf(_, ts) =>
             sb.append(s"${indent}PHRASE(${ts.mkString(" ")}) — stored-offset " +
               "adjacency join (exact, index-enforced)\n")
@@ -638,14 +661,15 @@ class WikiSearchEngine(
 
   private sealed trait PlanNode
   private case class EqLeaf(tag: Int, field: String, forms: Seq[String]) extends PlanNode
-  /** `f:near(TEXT, a, b, k)` — a proximity leaf answered from stored
-    * TermWeight offsets (the `near()` plan, J-series composition). The
-    * residual CANNOT re-verify it (the pivoted event view holds distinct
-    * terms, not positions), so this leaf is index-ENFORCED: it always
-    * participates in the AND intersection and is rejected under OR/NOT
-    * (`validateNearPlacement`).
+  /** `f:near(TEXT, a, b, k)` / `f:near(TEXT, k, t1..tn)` — a proximity
+    * leaf answered from stored TermWeight offsets (the `near()` plan,
+    * J-series composition): all `terms` occur inside some window of
+    * span ≤ k tokens. The residual CANNOT re-verify it (the pivoted
+    * event view holds distinct terms, not positions), so this leaf is
+    * index-ENFORCED: it always participates in the AND intersection and
+    * is rejected under OR/NOT (`validateNearPlacement`).
     */
-  private case class NearLeaf(tag: Int, a: String, b: String, k: Int) extends PlanNode
+  private case class NearLeaf(tag: Int, terms: Seq[String], k: Int) extends PlanNode
   /** `f:phrase(TEXT, 'a b ...')` — ordered adjacency from the same
     * stored offsets (the `phraseStarts` set algebra). Index-ENFORCED
     * like NearLeaf, for the same reason: the pivoted event view holds
@@ -672,8 +696,8 @@ class WikiSearchEngine(
     def scanLeaf(ix: DataFrame, fiVerify: Option[DataFrame]): ScanLeaf = {
       val l = ScanLeaf(nextTag, ix, fiVerify); nextTag += 1; leaves += l; l
     }
-    def nearLeaf(a: String, b: String, k: Int): NearLeaf = {
-      val l = NearLeaf(nextTag, a, b, k); nextTag += 1; leaves += l; l
+    def nearLeaf(terms: Seq[String], k: Int): NearLeaf = {
+      val l = NearLeaf(nextTag, terms, k); nextTag += 1; leaves += l; l
     }
     def phraseLeaf(terms: Seq[String]): PhraseLeaf = {
       val l = PhraseLeaf(nextTag, terms); nextTag += 1; leaves += l; l
@@ -800,19 +824,41 @@ class WikiSearchEngine(
     * reference likewise stores TermWeight offsets for article text only,
     * `WikipediaMapper.java:243-260`).
     */
+  /** `f:near` argument forms — both become the same window leaf:
+    *   - k-term: `f:near(TEXT, k, t1, ..., tn)` (n ≥ 2) — all terms in
+    *     some window of span ≤ k; detected by the SECOND arg parsing as
+    *     an integer.
+    *   - legacy pair: `f:near(TEXT, a, b, k)` — |pos(a)−pos(b)| ≤ k,
+    *     i.e. the 2-term window. Kept for the original surface; if `a`
+    *     itself is numeric the call parses as the k-term form instead
+    *     (searching FOR numeric tokens by proximity requires the k-first
+    *     form, where term positions are unambiguous).
+    */
   private def nearNode(f: FnTerm, an: Analysis): PlanNode = {
-    require(f.args.size == 4,
-      s"f:near takes (field, term, term, k): f:near(${f.args.mkString(", ")})")
-    val Seq(field0, a, b, kStr) = f.args
+    def toK(s: String): Int = {
+      val k =
+        try s.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"f:near distance must be an integer: '$s'") }
+      require(k >= 0, s"f:near distance must be >= 0: $k")
+      k
+    }
+    require(f.args.size >= 3,
+      s"f:near takes (field, k, term...) or (field, term, term, k): f:near(${f.args.mkString(", ")})")
+    val field0 = f.args.head
     if (field0.toUpperCase != "TEXT")
       throw new IllegalArgumentException(
         s"f:near is answered from stored TEXT offsets; field '$field0' has none")
-    val k =
-      try kStr.toInt
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"f:near distance must be an integer: '$kStr'") }
-    require(k >= 0, s"f:near distance must be >= 0: $k")
-    an.nearLeaf(normalizeLit("TEXT", a), normalizeLit("TEXT", b), k)
+    val (k, terms) =
+      if (f.args(1).forall(c => c.isDigit || c == '-') && f.args(1).nonEmpty)
+        (toK(f.args(1)), f.args.drop(2))
+      else {
+        require(f.args.size == 4,
+          s"f:near legacy form takes (field, term, term, k): f:near(${f.args.mkString(", ")})")
+        (toK(f.args.last), f.args.slice(1, 3))
+      }
+    require(terms.size >= 2, s"f:near needs at least two terms: f:near(${f.args.mkString(", ")})")
+    an.nearLeaf(terms.map(normalizeLit("TEXT", _)), k)
   }
 
   /** `f:phrase(TEXT, 'a b ...')` → ordered-adjacency plan leaf. The
@@ -1195,13 +1241,13 @@ class WikiSearchEngine(
       DistCand(toCandidates(ix, auth, fiVerify.getOrElse(allDocs)),
         stats.get(tag).map(_.card).getOrElse(0L))
 
-    case NearLeaf(_, a, b, k) =>
+    case NearLeaf(_, ts, k) =>
       // Exact by construction (stored offsets, no lossy form exists for
       // postings). Card is unknown without running the join — MaxValue
       // keeps the min()-folds in intersectAll indifferent to it, and the
       // AND path below never applies the min-card superset rule to a
       // near-bearing conjunction anyway.
-      DistCand(nearDocKeys(a, b, k, auth), Long.MaxValue)
+      DistCand(nearDocKeys(ts, k, auth), Long.MaxValue)
 
     case PhraseLeaf(_, ts) => // same contract as NearLeaf
       DistCand(phraseDocKeys(ts, auth), Long.MaxValue)

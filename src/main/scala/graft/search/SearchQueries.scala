@@ -383,6 +383,44 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
     },
 
+    // k-term windowed proximity composed INSIDE the query language —
+    // round 8's generalization of f:near from a pair to n terms
+    // (`f:near(TEXT, k, t1..tn)`): all terms inside some window of span
+    // ≤ k. The oracle states the same window predicate the engine's
+    // n-way offsets join enforces (∃ start s in SOME term's positions
+    // with every term present in [s, s+k] — exact because a qualifying
+    // window's minimum is one of the terms' positions). Bench: ws_kq.
+    NamedQuery(
+      "ws_knear_q",
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, source,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'sort' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'merge' THEN i END),
+         |    v -> v IS NOT NULL) AS pb,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pc
+         | FROM t)
+         |SELECT doc_id FROM p
+         |WHERE source IN ('src3', 'src7')
+         |  AND (len(list_filter(pa, s ->
+         |         len(list_filter(pa, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pb, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pc, q -> q >= s AND q <= s + 8)) > 0)) > 0
+         |    OR len(list_filter(pb, s ->
+         |         len(list_filter(pa, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pb, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pc, q -> q >= s AND q <= s + 8)) > 0)) > 0
+         |    OR len(list_filter(pc, s ->
+         |         len(list_filter(pa, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pb, q -> q >= s AND q <= s + 8)) > 0 AND
+         |         len(list_filter(pc, q -> q >= s AND q <= s + 8)) > 0)) > 0)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .run("(SOURCE == 'src3' or SOURCE == 'src7') and f:near(TEXT, 8, 'sort', 'merge', 'join')")
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // Typo tolerance composed INSIDE the query language — round 7's
     // f:fuzzy, completing the f: namespace trio (near above, fuzzy
     // here; VERDICT r6 "what's missing" #1). Plan side: SymSpell Lev≤1

@@ -228,6 +228,27 @@ class EngineEquivalenceSpec extends SparkSuite {
         s"near composition divergence #$i: $src + f:near('$a','$b',$k)")
       checked += 1
     }
+    // k-term window form: same positional oracle, n-way (window = max
+    // position − min position ≤ k over one choice of occurrence each)
+    def knearOracle(ts: Seq[String], k: Int): Set[String] =
+      meta.collect { case (id, (tk, _)) if {
+        val pos = ts.map(t => tk.zipWithIndex.collect { case (`t`, i) => i })
+        pos.forall(_.nonEmpty) && pos.exists(_.exists(s =>
+          pos.forall(_.exists(q => q >= s && q <= s + k))))
+      } => id }.toSet
+    (1 to 30).foreach { i =>
+      val n  = 2 + rnd.nextInt(2) // 2- or 3-term windows
+      val ts = Seq.fill(n)(word())
+      val k  = rnd.nextInt(8)
+      val q  = s"f:near(TEXT, $k, ${ts.map(t => s"'$t'").mkString(", ")})"
+      val want = knearOracle(ts, k)
+      assert(engineIds(q, Nil) == want, s"k-near divergence #$i: $q")
+      // the 2-term window form must agree with the legacy pair form
+      if (n == 2)
+        assert(engineIds(s"f:near(TEXT, '${ts(0)}', '${ts(1)}', $k)", Nil) == want,
+          s"k-near/legacy divergence #$i: $q")
+      checked += 1
+    }
     (1 to 30).foreach { i =>
       // half the draws take a REAL adjacent n-gram from a random doc
       // (guaranteed hits); half are random vocab pairs (mostly misses)
@@ -246,7 +267,7 @@ class EngineEquivalenceSpec extends SparkSuite {
         s"phrase composition divergence #$i: $src + $q")
       checked += 1
     }
-    assert(checked == 60)
+    assert(checked == 90)
   }
 
   test("60 random queries: index-assisted path ≡ full-scan residual (incl. auths)") {

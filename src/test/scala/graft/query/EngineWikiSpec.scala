@@ -369,7 +369,7 @@ class EngineWikiSpec extends SparkSuite {
     assert(ids("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 4)") == Set("3", "4"))
     // explain shows the stored-offset leaf, no execution
     val report = eng.explainAccess("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 3)")
-    assert(report.contains("NEAR(spark, join, 3)"), report)
+    assert(report.contains("NEAR(spark join, k=3)"), report)
     // unsound placements are rejected loudly, run AND explain
     for (bad <- Seq(
         "TEXT == 'spark' or f:near(TEXT, 'spark', 'join', 3)",
@@ -386,6 +386,40 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("f:near(SOURCE, 'a', 'b', 1)")).getMessage.contains("offsets"))
     assert(intercept[IllegalArgumentException](
       eng.run("f:near(TEXT, 'a', 'b', 'x')")).getMessage.contains("integer"))
+  }
+
+  test("f:near k-term form: all terms within a window of span k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sort merge join x", "en", "s", 17L),   // span 2 (positions 0-2)
+      (2L, "sort a merge b join", "en", "s", 19L), // span 4
+      (3L, "sort merge x", "en", "s", 12L),        // 'join' absent
+      (4L, "join sort q merge", "en", "t", 17L),   // span 3, order-free
+      // far-apart singles plus ONE tight window later in the doc: the
+      // window is positional, not per-doc min/max distance
+      (5L, "sort u u u u u u u merge u u u u u u join u sort merge join", "en", "t", 59L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(q: String) = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    assert(ids("f:near(TEXT, 2, 'sort', 'merge', 'join')") == Set("1", "5"))
+    assert(ids("f:near(TEXT, 3, 'sort', 'merge', 'join')") == Set("1", "4", "5"))
+    assert(ids("f:near(TEXT, 4, 'sort', 'merge', 'join')") == Set("1", "2", "4", "5"))
+    // the k-first PAIR form is the same leaf as the legacy pair form
+    assert(ids("f:near(TEXT, 3, 'sort', 'join')") ==
+      ids("f:near(TEXT, 'sort', 'join', 3)"))
+    // conjunctive composition + placement rules apply unchanged
+    assert(ids("SOURCE == 't' and f:near(TEXT, 3, 'sort', 'merge', 'join')") ==
+      Set("4", "5"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("TEXT == 'x' or f:near(TEXT, 3, 'sort', 'merge', 'join')"))
+      .getMessage.contains("conjunctively"))
+    // explain renders the n-way leaf
+    assert(eng.explainAccess("f:near(TEXT, 3, 'sort', 'merge', 'join')")
+      .contains("NEAR(sort merge join, k=3)"))
+    // fewer than two terms is a client error
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:near(TEXT, 3, 'sort')")).getMessage.contains("two terms"))
   }
 
   test("f:phrase composes into the query language, enforced from stored offsets") {
