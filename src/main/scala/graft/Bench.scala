@@ -36,6 +36,7 @@ object Bench {
   private val shortMap = Map(
     "ws_near_q"            -> "ws_nq",
     "ws_fuzzy_q"           -> "ws_fq",
+    "ws_fuzzy2_q"          -> "ws_f2",
     "ws_phrase_q"          -> "ws_pq",
     "ws_knear_q"           -> "ws_kq",
     "ws_index_incremental" -> "ws_inc",

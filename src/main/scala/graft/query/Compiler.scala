@@ -86,6 +86,25 @@ object Compiler {
     else
       anyMatch(vs, v => f(norm.colFn(v), lit(norm.litFn(literal))))
 
+  /** `f:fuzzy`'s optional third arg (max edit distance): default 1,
+    * bounded at 2 — the SymSpell neighborhood depth the engine's
+    * expansion supports. ONE definition shared by the planner's
+    * candidate generation and this compiler's exact verify, so the
+    * two sides can never disagree on the distance.
+    */
+  private[query] def fuzzyDistOf(t: FnTerm): Int = {
+    if (t.args.size < 3) 1
+    else {
+      val d =
+        try t.args(2).toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"f:fuzzy maxDist must be an integer: '${t.args(2)}'") }
+      require(d == 1 || d == 2, s"f:fuzzy maxDist must be 1 or 2: $d")
+      d
+    }
+  }
+
   private def fn(t: FnTerm, norms: Map[String, FieldNorm]): Column = t.name match {
     // f:between(field, lo, hi) — QueryFunctions.java:26-46: numeric parse,
     // false on parse failure (try_cast null ⇒ condition null ⇒ filtered).
@@ -93,17 +112,19 @@ object Compiler {
       val Seq(field, lo, hi) = t.args
       anyMatch(values(field.toUpperCase), v =>
         v.try_cast("double").between(lit(lo.toDouble), lit(hi.toDouble)))
-    // f:fuzzy(field, term) — typo-tolerant membership: some value within
-    // Levenshtein distance 1 of the term, both sides normalized the way
-    // the field's EQ comparison normalizes. Fully residual-evaluable
-    // (unlike f:near), so it composes anywhere — the engine's index
-    // expansion is purely an access-path optimization. The threshold
-    // form of `levenshtein` early-exits per value at distance 2.
-    case "fuzzy" if t.args.size == 2 =>
-      val Seq(field, term) = t.args
-      val norm = norms.getOrElse(field.toUpperCase, DefaultNorm)
+    // f:fuzzy(field, term[, maxDist]) — typo-tolerant membership: some
+    // value within Levenshtein distance maxDist (default 1, max 2) of
+    // the term, both sides normalized the way the field's EQ comparison
+    // normalizes. Fully residual-evaluable (unlike f:near), so it
+    // composes anywhere — the engine's index expansion is purely an
+    // access-path optimization. The threshold form of `levenshtein`
+    // early-exits per value at maxDist+1.
+    case "fuzzy" if t.args.size == 2 || t.args.size == 3 =>
+      val field = t.args.head
+      val term  = t.args(1)
+      val norm  = norms.getOrElse(field.toUpperCase, DefaultNorm)
       anyMatch(values(field.toUpperCase), v =>
-        levenshtein(norm.colFn(v), lit(norm.litFn(term)), 1) >= 0)
+        levenshtein(norm.colFn(v), lit(norm.litFn(term)), fuzzyDistOf(t)) >= 0)
     case other =>
       throw new IllegalArgumentException(s"unsupported function f:$other/${t.args.size}")
   }

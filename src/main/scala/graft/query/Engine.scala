@@ -359,37 +359,53 @@ class WikiSearchEngine(
     * authorized languages: term existence is itself information about
     * unauthorized content (same visibility model as `run`).
     */
-  def fuzzyTerms(term: String, auths: Seq[String] = Nil): DataFrame = {
+  def fuzzyTerms(term: String, auths: Seq[String] = Nil, maxDist: Int = 1): DataFrame = {
     require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
-    val qvars = spark.createDataFrame(dels(term).map(Tuple1(_))).toDF("del")
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2: $maxDist")
+    val qvars = spark.createDataFrame(dels(term, maxDist).map(Tuple1(_))).toDF("del")
     langAuth(auths)(index.termPostings)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(length(col("term")) > 0) // sequence(0,-1) would descend, not empty
-      .withColumn("del", explode(delNeighborhood(col("term"))))
+      .withColumn("del", explode(delNeighborhood(col("term"), maxDist)))
       .join(broadcast(qvars), Seq("del"))
       .select("term", "df").distinct()
-      .filter(levenshtein(col("term"), lit(term)) <= 1)
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
       .orderBy("term")
   }
 
-  /** 1-deletion neighborhood of `t` (including `t` itself), query-side:
-    * codepoint-based, so the SymSpell completeness claim holds beyond
-    * the BMP. Shared by `fuzzyTerms` and the `f:fuzzy` plan expansion.
+  /** Up-to-`d`-deletion neighborhood of `t` (including `t` itself),
+    * query-side: codepoint-based, so the SymSpell completeness claim
+    * holds beyond the BMP. Shared by `fuzzyTerms` and the `f:fuzzy`
+    * plan expansion. Depth composes: dels≤2 = dels≤1 of every member
+    * of dels≤1 (deleting two positions in either order meets in the
+    * same string), which is how both this and the dictionary-side
+    * expression build depth 2.
     */
-  private def dels(t: String): Seq[String] = {
-    val cps = t.codePoints.toArray
-    (t +: cps.indices.map { i =>
-      val rest = cps.patch(i, Nil, 1)
-      new String(rest, 0, rest.length)
-    }).distinct
+  private def dels(t: String, d: Int = 1): Seq[String] = {
+    def one(s: String): Seq[String] = {
+      val cps = s.codePoints.toArray
+      (s +: cps.indices.map { i =>
+        val rest = cps.patch(i, Nil, 1)
+        new String(rest, 0, rest.length)
+      }).distinct
+    }
+    (1 until d).foldLeft(one(t))((acc, _) => acc.flatMap(one).distinct)
   }
 
-  /** Dictionary-side 1-deletion neighborhood as a codegen'd expression
-    * (`substr`/`length` count codepoints, matching `dels`). */
-  private def delNeighborhood(t: Column): Column =
-    array_distinct(concat(array(t),
-      transform(sequence(lit(0), length(t) - 1),
-        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
+  /** Dictionary-side up-to-`d`-deletion neighborhood as a codegen'd
+    * expression (`substr`/`length` count codepoints, matching `dels`).
+    * Depth 2 nests the depth-1 expression: ~len²/2 rows per vocabulary
+    * term instead of ~len — the standard SymSpell space/latency trade,
+    * paid once per (field, term-forms, d) thanks to the plan cache.
+    */
+  private def delNeighborhood(t: Column, d: Int = 1): Column = {
+    def one(c: Column): Column =
+      array_distinct(concat(array(c),
+        transform(sequence(lit(0), length(c) - 1),
+          i => concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c))))))
+    (1 until d).foldLeft(one(t))((acc, _) =>
+      array_distinct(flatten(transform(acc, one(_)))))
+  }
 
   /** Multi-term snippets — `highlights` over a query's full term set:
     * one row per (document, matched term), ±`window` tokens around that
@@ -769,30 +785,31 @@ class WikiSearchEngine(
     * plan-time collect is capped at `config.fuzzyExpandMax`+1 rows.
     */
   private def fuzzyNode(f: FnTerm, an: Analysis): Option[PlanNode] = {
-    require(f.args.size == 2,
-      s"f:fuzzy takes (field, term): f:fuzzy(${f.args.mkString(", ")})")
+    require(f.args.size == 2 || f.args.size == 3,
+      s"f:fuzzy takes (field, term[, maxDist]): f:fuzzy(${f.args.mkString(", ")})")
     val field = f.args.head.toUpperCase
     require(f.args(1).nonEmpty, "f:fuzzy needs a non-empty term")
+    val d = fuzzyDist(f)
     if (!indexedFields.contains(field)) return None
     val qforms = probeForms(field, f.args(1))
     // get/put, not computeIfAbsent: the synchronizedMap mutex must not be
     // held across the Spark job below, or one cold fuzzy query would
     // serialize every concurrent fuzzy planner behind its collect. A
     // racing duplicate compute is idempotent (immutable snapshot).
-    val matched = Option(fuzzyCache.get((field, qforms))).getOrElse {
+    val matched = Option(fuzzyCache.get((field, qforms, d))).getOrElse {
       fuzzyVocabRuns.incrementAndGet()
       val qvars = spark.createDataFrame(
-        qforms.flatMap(q => dels(q).map((_, q))).distinct).toDF("del", "q")
+        qforms.flatMap(q => dels(q, d).map((_, q))).distinct).toDF("del", "q")
       val terms = index.globalIndex
         .filter(col("fieldName") === field && length(col("fieldValue")) > 0)
         .select(col("fieldValue").as("term")).distinct()
-        .withColumn("del", explode(delNeighborhood(col("term"))))
+        .withColumn("del", explode(delNeighborhood(col("term"), d)))
         .join(broadcast(qvars), Seq("del"))
-        .filter(levenshtein(col("term"), col("q"), 1) >= 0)
+        .filter(levenshtein(col("term"), col("q"), d) >= 0)
         .select("term").distinct()
         .limit(config.fuzzyExpandMax + 1)
         .collect().map(_.getString(0)).toSeq
-      fuzzyCache.put((field, qforms), terms)
+      fuzzyCache.put((field, qforms, d), terms)
       terms
     }
     if (matched.size > config.fuzzyExpandMax) None
@@ -800,16 +817,24 @@ class WikiSearchEngine(
     else Some(an.eqLeaf(field, matched))
   }
 
-  /** Driver-side LRU of (field, probe forms) → fuzzy vocabulary
-    * expansion, so a HOT fuzzy query plans with zero Spark jobs (the
-    * termCache analogue for the one other plan-time job). Entries are
-    * ≤ fuzzyExpandMax+1 terms; safe to share — one immutable snapshot.
+  /** The optional maxDist arg of `f:fuzzy` (default 1; 2 = SymSpell
+    * 2-deletion neighborhoods on both sides). Shared by the planner and
+    * the residual compiler via `Compiler.fuzzyDistOf` so the expansion
+    * and the verify predicate cannot disagree on the distance.
+    */
+  private def fuzzyDist(f: FnTerm): Int = Compiler.fuzzyDistOf(f)
+
+  /** Driver-side LRU of (field, probe forms, maxDist) → fuzzy
+    * vocabulary expansion, so a HOT fuzzy query plans with zero Spark
+    * jobs (the termCache analogue for the one other plan-time job).
+    * Entries are ≤ fuzzyExpandMax+1 terms; safe to share — one
+    * immutable snapshot.
     */
   private val fuzzyCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Seq[String]), Seq[String]](16, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Seq[String], Int), Seq[String]](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Seq[String]), Seq[String]]): Boolean =
+            e: java.util.Map.Entry[(String, Seq[String], Int), Seq[String]]): Boolean =
           size() > 1024
       })
 

@@ -441,6 +441,23 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
     },
 
+    // Distance-2 option of f:fuzzy (round 8 stretch): SymSpell
+    // 2-deletion neighborhoods on both sides, exact levenshtein<=2
+    // verify on plan candidates AND in the residual — the oracle states
+    // the same declarative predicate, same term as ws_fuzzy_q so the
+    // d=1 vs d=2 boundary is pinned on identical data. Bench: ws_f2.
+    NamedQuery(
+      "ws_fuzzy2_q",
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE source IN ('src3', 'src7')
+         |  AND len(list_filter(tk, x -> levenshtein(x, 'sow') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .run("(SOURCE == 'src3' or SOURCE == 'src7') and f:fuzzy(TEXT, 'sow', 2)")
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // Ordered adjacency composed INSIDE the query language — f:phrase,
     // the third stored-offset leaf (near = either order within k,
     // phrase = adjacent in order). The plan shares `phraseStarts` with

@@ -330,6 +330,45 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("f:fuzzy(TEXT, '')")).getMessage.contains("non-empty"))
   }
 
+  test("f:fuzzy maxDist=2: SymSpell 2-deletion expansion with exact distance-2 verify") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark sport sort short snark", "en", "s", 28L),
+      (2L, "sort spark", "en", "s", 10L),
+      (3L, "sparkle srot", "en", "t", 12L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val index = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)
+    val eng = new WikiSearchEngine(spark, index)
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // the transposition 'srot' (lev 2 from 'sort') is OUT at the default
+    // distance and IN at 2 — the exact boundary the d=1 test pins from
+    // the other side
+    assert(ids(eng, "f:fuzzy(TEXT, 'sort')") == Set("1", "2"))
+    assert(ids(eng, "f:fuzzy(TEXT, 'sort', 2)") == Set("1", "2", "3"))
+    // 'sprk' at d=2 reaches sport/sort/snark but not sparkle (lev 3)
+    assert(ids(eng, "f:fuzzy(TEXT, 'sprk', 2)") == Set("1", "2"))
+    // the library surface agrees, with dfs
+    assert(eng.fuzzyTerms("sort", maxDist = 2).as[(String, Long)].collect().toMap ==
+      Map("sort" -> 2L, "short" -> 1L, "sport" -> 1L, "srot" -> 1L))
+    // full composition (fuzzy is residual-verified, no placement rules)
+    assert(ids(eng, "SOURCE == 't' and f:fuzzy(TEXT, 'sort', 2)") == Set("3"))
+    assert(ids(eng, "TEXT == 'snark' or f:fuzzy(TEXT, 'sort', 2)") == Set("1", "2", "3"))
+    // expansion-capped fallback (scan + residual) is identical at d=2
+    val scanEng = new WikiSearchEngine(spark, index, EngineConfig(fuzzyExpandMax = 0))
+    assert(scanEng.explainAccess("f:fuzzy(TEXT, 'sort', 2)").startsWith("FULL SCAN"))
+    assert(ids(scanEng, "f:fuzzy(TEXT, 'sort', 2)") == Set("1", "2", "3"))
+    // the plan cache keys on distance: (sort,1), (sort,2), (sprk,2)
+    // were three distinct expansions; repeats at either distance hit
+    assert(eng.fuzzyVocabRuns.get() == 3)
+    ids(eng, "f:fuzzy(TEXT, 'sort', 2)"); ids(eng, "f:fuzzy(TEXT, 'sort')")
+    assert(eng.fuzzyVocabRuns.get() == 3)
+    // distance bounds and malformed args are client errors
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:fuzzy(TEXT, 'sort', 3)")).getMessage.contains("1 or 2"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:fuzzy(TEXT, 'sort', 'x')")).getMessage.contains("integer"))
+  }
+
   test("hot f:fuzzy queries plan from the expansion cache, not a fresh vocabulary job") {
     import spark.implicits._
     val docs = Seq(
