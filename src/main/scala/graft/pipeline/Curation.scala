@@ -193,6 +193,48 @@ object Curation {
         when(col("n_contaminated") > 0, lit("contaminated")).otherwise(lit("clean")))
   }
 
+  /** Near-duplicate (fuzzy) decontamination — the PARAPHRASE-leakage
+    * form the shingle-overlap operators above cannot see: a corpus doc
+    * is contaminated if some eval doc is its NEAR-duplicate (Jaccard ≥
+    * `tau` over word n-gram shingles) rather than merely sharing an
+    * exact n-gram: `contamination` answers "does any eval n-gram appear
+    * verbatim?", this answers "is the document substantially an eval
+    * document?" — the dedup-grade similarity the eval-leakage
+    * literature targets for paraphrased splits. Candidates come
+    * from the SAME minhash band machinery as `Dedup.minhashPairs` —
+    * corpus bands join eval bands on (band, band_hash), so corpus ×
+    * corpus pairs are never formed and the corpus side's only wide ops
+    * are the band shuffle and the candidate join (both keyed, both
+    * bounded; the 32×2 band geometry is the same recall dial, certain
+    * at τ = 0.6). Exact Jaccard verification on candidates only — like
+    * `cu_bloom`, the prefilter is a cost dial, never a correctness one.
+    * Output matches `contamination`'s shape: one row per corpus doc,
+    * (doc_id, n_eval_neardups, verdict).
+    */
+  def fuzzyContamination(docs: DataFrame, evalDocs: DataFrame, tau: Double = 0.6,
+      bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    val setsC = Dedup.shingleSets(docs, shingleN)
+    val setsE = Dedup.shingleSets(evalDocs, shingleN)
+    val bandEq =
+      col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+    val cand = Dedup.minhashBands(setsC, bands).as("x")
+      .join(Dedup.minhashBands(setsE, bands).as("y"), bandEq)
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
+      .distinct()
+    val hits = cand
+      .join(setsC.select(col("doc_id"), col("elems").as("tc")), "doc_id")
+      .join(setsE.select(col("doc_id").as("eval_id"), col("elems").as("te")), "eval_id")
+      .filter(size(array_intersect(col("tc"), col("te"))) * lit(1.0) /
+        size(array_union(col("tc"), col("te"))) >= tau)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_neardups"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_neardups"), lit(0L)).as("n_eval_neardups"))
+      .withColumn("verdict",
+        when(col("n_eval_neardups") > 0, lit("contaminated")).otherwise(lit("clean")))
+  }
+
   /** Graded decontamination — the overlap-FRACTION form (the GPT-3
     * appendix-C / PaLM shape): per document, the permille of its
     * distinct n-grams that occur anywhere in the eval set, with a drop

@@ -1060,6 +1060,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Near-duplicate (fuzzy) decontamination (eval slice doc_id % 83 =
+    // 0, distinct from cu_contam's 97 and cu_bloom's 89): a corpus doc
+    // is contaminated iff some eval doc is its jaccard>=0.6 near-dup.
+    // The oracle states the EXACT declarative semantics (all corpus x
+    // eval pairs through exact set jaccard); the Spark side goes
+    // through minhash band candidates + exact verify — same tau=0.6
+    // recall-certainty argument as dd_minhash_lsh, and the hash match
+    // proves prefilter+verify equals the declarative form.
+    NamedQuery(
+      "cu_fuzzy_contam",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, s FROM (
+         |   SELECT doc_id, unnest(list_transform(tk, (x,i) ->
+         |     CASE WHEN i + 2 <= len(tk)
+         |          THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s FROM t)
+         |   WHERE s IS NOT NULL),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | cand AS (SELECT c.doc_id AS a, e.doc_id AS b, count(*) AS i
+         |          FROM sh c JOIN sh e USING (s)
+         |          WHERE c.doc_id % 83 <> 0 AND e.doc_id % 83 = 0 GROUP BY 1, 2),
+         | hits AS (SELECT a, count(*) AS n FROM (
+         |   SELECT a, b, i*1.0/(sa.n + sb.n - i) AS j FROM cand
+         |   JOIN sz sa ON cand.a = sa.doc_id JOIN sz sb ON cand.b = sb.doc_id) q
+         |   WHERE j >= 0.6 GROUP BY a)
+         |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_neardups,
+         |  CASE WHEN coalesce(h.n, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.a
+         |WHERE d.doc_id % 83 <> 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Curation.fuzzyContamination(
+          docs.filter(col("doc_id") % 83 =!= 0), docs.filter(col("doc_id") % 83 === 0))
+        .orderBy("doc_id")
+    },
+
     // Bloom-prefiltered decontamination (eval slice doc_id % 89 = 0,
     // distinct from cu_contam's % 97 slice). The oracle is the same
     // EXACT-semantics SQL as cu_contam's — the hash match IS the

@@ -411,6 +411,30 @@ class PipelineSpec extends SparkSuite {
     assert(c(2L) == ((0L, "clean")))
   }
 
+  test("fuzzyContamination flags near-dup eval leakage that exact overlap under-grades") {
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    val evals = Seq((100L, s"$base again")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // tail variant of the eval doc: one changed final word alters one
+      // of ~11 distinct trigrams -> jaccard ~0.8 >= 0.6: NEAR-DUP
+      (1L, s"$base more"),
+      // shares two verbatim trigrams but is mostly other text: exact
+      // contamination flags it, near-dup contamination does NOT
+      // (jaccard ~2/20 = 0.1 < 0.6) — the operators answer different
+      // questions and the fixtures pin the difference
+      (2L, "unrelated padding sentence mentioning the quick brown fox once amid many other diverse tokens spread widely"),
+      (3L, "entirely different text about columnar execution engines")
+    ).toDF("doc_id", "text")
+    val fuzzy = Curation.fuzzyContamination(corpus, evals)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fuzzy(1L) == ((1L, "contaminated")))
+    assert(fuzzy(2L) == ((0L, "clean")))
+    assert(fuzzy(3L) == ((0L, "clean")))
+    val exact = Curation.contamination(corpus, evals)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(exact(2L) == "contaminated") // the complementary verdict
+  }
+
   test("contaminationBloom is result-identical to contamination at any fpp") {
     val evals = Seq(
       (100L, "secret eval question about spark joins"),
