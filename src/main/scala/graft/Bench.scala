@@ -82,6 +82,7 @@ object Bench {
     "cu_sample"            -> "c_sa",
     "cu_contam"            -> "c_ct",
     "cu_fuzzy_contam"      -> "c_fc",
+    "cu_source_cap"        -> "c_cap",
     "cu_overlap"           -> "c_ov",
     "cu_mix"               -> "c_mx",
     "cu_redact"            -> "c_rd",

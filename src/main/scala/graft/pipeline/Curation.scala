@@ -34,6 +34,7 @@ object Curation {
   val SplitSalt  = 0L
   val SampleSalt = 0x5ca1ab1eL
   val ShuffleSalt = 0x0ddba11L
+  val SourceCapSalt = 0xd00dfeedL
 
   /** Deterministic train/val/test assignment: bucket = splitmix64
     * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
@@ -95,6 +96,64 @@ object Curation {
     withH.withColumn("rk", row_number().over(w).cast("long") - 1)
       .join(broadcast(offDf), Seq("bkt"))
       .select(col("doc_id"), (col("off") + col("rk")).as("pos"))
+  }
+
+  /** Per-source document cap — domain balancing: keep at most `cap`
+    * documents per source, chosen deterministically as the cap
+    * smallest by (salted splitmix64(doc_id), doc_id) within the source
+    * (the determinism contract above — stable under re-ingestion, a
+    * SQL engine re-derives the survivors exactly). The crawl-pipeline
+    * op that stops a handful of mega-domains from dominating the
+    * mixture where `stratifiedSample`'s RATE form cannot promise a
+    * count.
+    *
+    * Scale posture: selecting the cap smallest per source is NOT a
+    * per-source global sort (a mega-domain would sort in one task) and
+    * NOT a driver histogram (domains at web scale are unbounded, so
+    * per-source state must stay distributed — unlike `shuffleOrder`'s
+    * single global offset table). Same monotone-bucket trick, kept
+    * distributed end to end: the hash's top log2(buckets) bits bucket
+    * each source's docs in hash order; per-(source, bucket) counts are
+    * one keyed aggregation; the running count below each bucket is a
+    * per-source window over ≤ `buckets` ROWS (bounded per source, any
+    * number of sources). Buckets entirely under the cap keep all rows
+    * sort-free; only the one boundary bucket per source ranks its
+    * ~1/buckets share of the source's rows.
+    */
+  def sourceCap(docs: DataFrame, cap: Int, seed: Long = SourceCapSalt,
+      buckets: Int = 1024): DataFrame = {
+    require(cap >= 0, s"cap must be >= 0: $cap")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    // hf: sign-bit-flipped hash (signed order = unsigned hash order);
+    // bkt: the hash's top bits — monotone in that order (shuffleOrder's
+    // construction), so (bkt, hf) sorts exactly as hf
+    val hUdf = udf { id: Long =>
+      val h = Dedup.mix64(id ^ seed)
+      ((if (buckets == 1) 0L else h >>> shift).toInt, h ^ Long.MinValue)
+    }
+    val withH = docs.select(col("doc_id"), col("source"), hUdf(col("doc_id")).as("hb"))
+      .select(col("doc_id"), col("source"), col("hb._1").as("bkt"), col("hb._2").as("hf"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = withH.groupBy("source", "bkt").agg(count(lit(1)).as("n"))
+      .withColumn("below", coalesce(sum(col("n")).over(wCum), lit(0L)))
+    val tagged = withH.join(cum, Seq("source", "bkt"))
+    val keepWhole = tagged.filter(col("below") + col("n") <= cap).select("doc_id")
+    val wRk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bkt").orderBy(col("hf"), col("doc_id"))
+    val boundary = tagged
+      .filter(col("below") < cap && col("below") + col("n") > cap)
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .filter(col("rk") <= lit(cap.toLong) - col("below"))
+      .select("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(keepWhole.unionByName(boundary).withColumn("kept", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("kept"), lit("keep")).otherwise(lit("drop")).as("verdict"))
   }
 
   /** Stratified downsampling: keep a document iff its (independent)

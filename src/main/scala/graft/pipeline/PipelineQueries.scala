@@ -241,13 +241,13 @@ object PipelineQueries {
     * below takes the same value mod 1000). Constants are generated
     * from the same Scala values the engine uses, so they cannot drift.
     */
-  private def hashCtes(salt: Long): String = {
+  private def hashCtes(salt: Long, extraCols: String = ""): String = {
     val s = java.lang.Long.toUnsignedString(salt)
-    s"""h0 AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST($s AS UBIGINT)) AS h
+    s"""h0 AS (SELECT doc_id$extraCols, xor(CAST(doc_id AS UBIGINT), CAST($s AS UBIGINT)) AS h
        |       FROM documents),
-       | h1 AS (SELECT doc_id, ${mulModSql("xor(h, h >> 30)", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
-       | h2 AS (SELECT doc_id, ${mulModSql("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
-       | hf AS (SELECT doc_id, xor(h, h >> 31) AS h FROM h2)""".stripMargin
+       | h1 AS (SELECT doc_id$extraCols, ${mulModSql("xor(h, h >> 30)", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
+       | h2 AS (SELECT doc_id$extraCols, ${mulModSql("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
+       | hf AS (SELECT doc_id$extraCols, xor(h, h >> 31) AS h FROM h2)""".stripMargin
   }
 
   /** CTE chain re-deriving `Curation.bucketUdf` (salted splitmix64 mod
@@ -1020,6 +1020,23 @@ object PipelineQueries {
          |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM hf ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.shuffleOrder(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source cap (domain balancing): keep the 30 hash-smallest docs
+    // per source. The oracle is the fully declarative per-source
+    // row_number over the SAME salted splitmix64 (UBIGINT order ==
+    // the engine's sign-flipped signed order); the engine's
+    // bucket-boundary selection must reproduce it exactly.
+    NamedQuery(
+      "cu_source_cap",
+      s"""WITH ${hashCtes(Curation.SourceCapSalt, ", source")},
+         | r AS (SELECT doc_id, source,
+         |   row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM hf)
+         |SELECT doc_id, source,
+         |  CASE WHEN rk <= 30 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.sourceCap(Tables.load(s, dir, "documents"), cap = 30)
         .orderBy("doc_id")
     },
 

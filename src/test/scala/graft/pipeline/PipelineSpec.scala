@@ -398,6 +398,38 @@ class PipelineSpec extends SparkSuite {
     assert(kept.forall(_._2 == "en") && kept.length == 200) // rate 1000 keeps all, 0 drops all
   }
 
+  test("sourceCap keeps exactly the cap hash-smallest docs per source, any bucket count") {
+    val docs = (1L to 40L).map(i => (i, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    // naive reference: full per-source sort by the same (flipped) hash
+    val hUdf = udf { id: Long =>
+      Dedup.mix64(id ^ Curation.SourceCapSalt) ^ Long.MinValue
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hf"), col("doc_id"))
+    val naive = docs.select(col("doc_id"), col("source"), hUdf(col("doc_id")).as("hf"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("rk") <= 5, lit("keep")).otherwise(lit("drop")).as("verdict"))
+      .as[(Long, String)].collect().toMap
+    // buckets=1 (everything is the boundary bucket) through 1024 (the
+    // boundary bucket is usually empty or tiny) must all agree with it
+    for (buckets <- Seq(1, 2, 1024)) {
+      val got = Curation.sourceCap(docs, cap = 5, buckets = buckets)
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(got == naive, s"buckets=$buckets diverged")
+    }
+    // per-source kept counts are exactly min(cap, |source|)
+    val kept = Curation.sourceCap(docs, cap = 5)
+      .filter(col("verdict") === "keep")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.values.toSet == Set(5L))
+    // a cap above every source size keeps everything
+    assert(Curation.sourceCap(docs, cap = 100)
+      .filter(col("verdict") === "drop").isEmpty)
+  }
+
   test("contamination counts planted eval-set trigram overlaps exactly") {
     val evals  = Seq((100L, "secret eval question about spark joins")).toDF("doc_id", "text")
     val corpus = Seq(
