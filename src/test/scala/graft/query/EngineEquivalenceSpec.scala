@@ -51,16 +51,18 @@ class EngineEquivalenceSpec extends SparkSuite {
     case 6 => s"TEXT =~ '.*${word().takeRight(3)}'"
     case 7 => s"f:between(NCHARS, ${10 + rnd.nextInt(30)}, ${50 + rnd.nextInt(60)})"
     case 8 => s"TEXT != '${300 + rnd.nextInt(100)}'" // numeric NE over words (3VL regression)
-    case 9 => // f:fuzzy over a 1-edit typo of a real word: the index
-      // expansion (SymSpell superset + EQ-leaf probes) must agree with
-      // the pure levenshtein residual under ANY boolean composition
-      val w = word()
-      val t = rnd.nextInt(3) match {
-        case 0 => w.drop(1)                             // deletion
-        case 1 => w.updated(rnd.nextInt(w.length), 'q') // substitution
-        case _ => w + "x"                               // insertion
+    case 9 => // f:fuzzy over a 1- or 2-edit typo of a real word: the
+      // index expansion (SymSpell superset + EQ-leaf probes, depth
+      // matching the queried distance) must agree with the pure
+      // levenshtein residual under ANY boolean composition
+      def edit(s: String): String = rnd.nextInt(3) match {
+        case 0 if s.length > 1 => s.drop(1)                  // deletion
+        case 1 if s.nonEmpty   => s.updated(rnd.nextInt(s.length), 'q') // substitution
+        case _                 => s + "x"                    // insertion
       }
-      s"f:fuzzy(TEXT, '$t')"
+      val w = word()
+      if (rnd.nextInt(2) == 0) s"f:fuzzy(TEXT, '${edit(w)}')"
+      else s"f:fuzzy(TEXT, '${edit(edit(w))}', 2)"
   }
 
   private def expr(depth: Int): String =
