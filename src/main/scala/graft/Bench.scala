@@ -39,6 +39,7 @@ object Bench {
     "ws_fuzzy2_q"          -> "ws_f2",
     "ws_phrase_q"          -> "ws_pq",
     "ws_knear_q"           -> "ws_kq",
+    "ws_onear_q"           -> "ws_oq",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",

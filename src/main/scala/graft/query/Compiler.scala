@@ -176,10 +176,10 @@ object Compiler {
     // its residual; every other caller (full-scan fallback, standalone
     // evaluators like Soak) must fail loudly rather than silently match
     // every document.
-    case FnTerm("near", args) if args.size >= 3 =>
+    case FnTerm(name @ ("near" | "onear"), args) if args.size >= 3 =>
       if (nearEnforced) lit(true)
       else throw new IllegalArgumentException(
-        "f:near is not residual-evaluable (no positions in the event view); " +
+        s"f:$name is not residual-evaluable (no positions in the event view); " +
           "it requires the engine's index-enforced plan")
     // f:phrase(TEXT, 'a b ...'): same contract — ordered adjacency needs
     // positions, which the event view does not hold.

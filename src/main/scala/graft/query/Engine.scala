@@ -514,6 +514,17 @@ class WikiSearchEngine(
       .select(col("docId"), col("language"))
       .orderBy("docId")
 
+  /** Ordered window form (the Lucene SpanNear-in-order shape, between
+    * `near` (any order) and `phraseSnippets`' adjacency): occurrence
+    * positions strictly increasing in `terms` order with total span ≤
+    * `k`. Same n-way stored-offset join; the predicate chains the
+    * order constraint.
+    */
+  def orderedNear(terms: Seq[String], k: Int, auths: Seq[String] = Nil): DataFrame =
+    nearDocKeys(terms, k, langAuth(auths), ordered = true)
+      .select(col("docId"), col("language"))
+      .orderBy("docId")
+
   /** The NEAR document-key set (full key, for plan composition): shared
     * by the public `near` surface and the `f:near` query-language leaf,
     * so the two cannot diverge.
@@ -530,7 +541,8 @@ class WikiSearchEngine(
     * scan at any n.
     */
   private def nearDocKeys(
-      terms: Seq[String], k: Int, auth: DataFrame => DataFrame): DataFrame = {
+      terms: Seq[String], k: Int, auth: DataFrame => DataFrame,
+      ordered: Boolean = false): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
     require(terms.size >= 2, s"near needs at least two terms: $terms")
     val keys = Seq("partition", "language", "docId")
@@ -540,11 +552,24 @@ class WikiSearchEngine(
     }
     val joined = posts.reduce(_.join(_, keys))
     val os = terms.indices.map(i => col(s"o$i"))
-    val windowed = os.map(om =>
-      exists(om, p => os.map(oi =>
-        exists(oi, q => q >= p && q <= p + k)).reduce(_ && _)))
-      .reduce(_ || _)
-    joined.filter(windowed).select(keys.map(col): _*)
+    val predicate =
+      if (ordered) {
+        // chained strictly-increasing positions in term order, total
+        // span ≤ k: ∃p1∈o1 ∃p2∈o2 … p1 < p2 < … ≤ p1+k. The chain
+        // nests right-to-left so each level closes over its
+        // predecessor and the window start.
+        def chain(i: Int, prev: Column, start: Column): Column =
+          if (i == os.size) lit(true)
+          else exists(os(i), q => q > prev && q <= start + k && chain(i + 1, q, start))
+        exists(os.head, p => chain(1, p, p))
+      } else
+        // unordered window: a qualifying window's minimum position
+        // belongs to some term's array (see scaladoc above)
+        os.map(om =>
+          exists(om, p => os.map(oi =>
+            exists(oi, q => q >= p && q <= p + k)).reduce(_ && _)))
+          .reduce(_ || _)
+    joined.filter(predicate).select(keys.map(col): _*)
   }
 
   /** Facet counts over a query's result set — the results-sidebar
@@ -604,8 +629,9 @@ class WikiSearchEngine(
           case ScanLeaf(tag, _, fi) =>
             sb.append(s"${indent}RANGE/WILDCARD index scan card=${stats.get(tag).map(_.card).getOrElse(0L)}")
               .append(if (fi.isDefined) " (fi-verified)" else "").append('\n')
-          case NearLeaf(_, ts, k) =>
-            sb.append(s"${indent}NEAR(${ts.mkString(" ")}, k=$k) — stored-offset " +
+          case NearLeaf(_, ts, k, ordered) =>
+            sb.append(s"${indent}${if (ordered) "ONEAR" else "NEAR"}" +
+              s"(${ts.mkString(" ")}, k=$k) — stored-offset " +
               "postings join (exact, index-enforced)\n")
           case PhraseLeaf(_, ts) =>
             sb.append(s"${indent}PHRASE(${ts.mkString(" ")}) — stored-offset " +
@@ -685,7 +711,8 @@ class WikiSearchEngine(
     * index-ENFORCED: it always participates in the AND intersection and
     * is rejected under OR/NOT (`validateNearPlacement`).
     */
-  private case class NearLeaf(tag: Int, terms: Seq[String], k: Int) extends PlanNode
+  private case class NearLeaf(
+      tag: Int, terms: Seq[String], k: Int, ordered: Boolean) extends PlanNode
   /** `f:phrase(TEXT, 'a b ...')` — ordered adjacency from the same
     * stored offsets (the `phraseStarts` set algebra). Index-ENFORCED
     * like NearLeaf, for the same reason: the pivoted event view holds
@@ -712,8 +739,8 @@ class WikiSearchEngine(
     def scanLeaf(ix: DataFrame, fiVerify: Option[DataFrame]): ScanLeaf = {
       val l = ScanLeaf(nextTag, ix, fiVerify); nextTag += 1; leaves += l; l
     }
-    def nearLeaf(terms: Seq[String], k: Int): NearLeaf = {
-      val l = NearLeaf(nextTag, terms, k); nextTag += 1; leaves += l; l
+    def nearLeaf(terms: Seq[String], k: Int, ordered: Boolean): NearLeaf = {
+      val l = NearLeaf(nextTag, terms, k, ordered); nextTag += 1; leaves += l; l
     }
     def phraseLeaf(terms: Seq[String]): PhraseLeaf = {
       val l = PhraseLeaf(nextTag, terms); nextTag += 1; leaves += l; l
@@ -764,7 +791,7 @@ class WikiSearchEngine(
       if (all.isEmpty) None else Some(AndNode(all, negatives))
   }
 
-  private def isNearFn(f: FnTerm): Boolean = f.name == "near"
+  private def isNearFn(f: FnTerm): Boolean = f.name == "near" || f.name == "onear"
   private def isPhraseFn(f: FnTerm): Boolean = f.name == "phrase"
   private def isFuzzyFn(f: FnTerm): Boolean = f.name == "fuzzy"
 
@@ -849,10 +876,14 @@ class WikiSearchEngine(
     * reference likewise stores TermWeight offsets for article text only,
     * `WikipediaMapper.java:243-260`).
     */
-  /** `f:near` argument forms — both become the same window leaf:
+  /** `f:near` / `f:onear` argument forms — all become the same window
+    * leaf (onear sets the ordered flag):
     *   - k-term: `f:near(TEXT, k, t1, ..., tn)` (n ≥ 2) — all terms in
     *     some window of span ≤ k; detected by the SECOND arg parsing as
-    *     an integer.
+    *     an integer. `f:onear(TEXT, k, t1..tn)` additionally requires
+    *     the occurrence positions strictly increasing in argument
+    *     order (the Lucene SpanNear-in-order shape); onear accepts
+    *     ONLY this form.
     *   - legacy pair: `f:near(TEXT, a, b, k)` — |pos(a)−pos(b)| ≤ k,
     *     i.e. the 2-term window. Kept for the original surface; if `a`
     *     itself is numeric the call parses as the k-term form instead
@@ -860,30 +891,34 @@ class WikiSearchEngine(
     *     form, where term positions are unambiguous).
     */
   private def nearNode(f: FnTerm, an: Analysis): PlanNode = {
+    val fn = s"f:${f.name}"
     def toK(s: String): Int = {
       val k =
         try s.toInt
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"f:near distance must be an integer: '$s'") }
-      require(k >= 0, s"f:near distance must be >= 0: $k")
+          throw new IllegalArgumentException(s"$fn distance must be an integer: '$s'") }
+      require(k >= 0, s"$fn distance must be >= 0: $k")
       k
     }
+    val ordered = f.name == "onear"
     require(f.args.size >= 3,
-      s"f:near takes (field, k, term...) or (field, term, term, k): f:near(${f.args.mkString(", ")})")
+      s"$fn takes (field, k, term...)" +
+        (if (ordered) "" else " or (field, term, term, k)") +
+        s": $fn(${f.args.mkString(", ")})")
     val field0 = f.args.head
     if (field0.toUpperCase != "TEXT")
       throw new IllegalArgumentException(
-        s"f:near is answered from stored TEXT offsets; field '$field0' has none")
+        s"$fn is answered from stored TEXT offsets; field '$field0' has none")
     val (k, terms) =
       if (f.args(1).forall(c => c.isDigit || c == '-') && f.args(1).nonEmpty)
         (toK(f.args(1)), f.args.drop(2))
       else {
-        require(f.args.size == 4,
-          s"f:near legacy form takes (field, term, term, k): f:near(${f.args.mkString(", ")})")
+        require(!ordered && f.args.size == 4,
+          s"$fn takes (field, k, term...): $fn(${f.args.mkString(", ")})")
         (toK(f.args.last), f.args.slice(1, 3))
       }
-    require(terms.size >= 2, s"f:near needs at least two terms: f:near(${f.args.mkString(", ")})")
-    an.nearLeaf(terms.map(normalizeLit("TEXT", _)), k)
+    require(terms.size >= 2, s"$fn needs at least two terms: $fn(${f.args.mkString(", ")})")
+    an.nearLeaf(terms.map(normalizeLit("TEXT", _)), k, ordered)
   }
 
   /** `f:phrase(TEXT, 'a b ...')` → ordered-adjacency plan leaf. The
@@ -1266,13 +1301,13 @@ class WikiSearchEngine(
       DistCand(toCandidates(ix, auth, fiVerify.getOrElse(allDocs)),
         stats.get(tag).map(_.card).getOrElse(0L))
 
-    case NearLeaf(_, ts, k) =>
+    case NearLeaf(_, ts, k, ordered) =>
       // Exact by construction (stored offsets, no lossy form exists for
       // postings). Card is unknown without running the join — MaxValue
       // keeps the min()-folds in intersectAll indifferent to it, and the
       // AND path below never applies the min-card superset rule to a
       // near-bearing conjunction anyway.
-      DistCand(nearDocKeys(ts, k, auth), Long.MaxValue)
+      DistCand(nearDocKeys(ts, k, auth, ordered), Long.MaxValue)
 
     case PhraseLeaf(_, ts) => // same contract as NearLeaf
       DistCand(phraseDocKeys(ts, auth), Long.MaxValue)

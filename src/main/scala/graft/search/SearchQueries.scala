@@ -441,6 +441,34 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
     },
 
+    // Ordered windowed proximity (round 8): f:onear(TEXT, k, t1..tn)
+    // completes the proximity algebra — near = any order within a
+    // window, onear = strictly increasing positions in argument order
+    // within the window (Lucene SpanNear-in-order), phrase = adjacent.
+    // The oracle chains the same strictly-increasing window predicate
+    // declaratively. Bench: ws_oq.
+    NamedQuery(
+      "ws_onear_q",
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, source,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'sort' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'merge' THEN i END),
+         |    v -> v IS NOT NULL) AS pb,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pc
+         | FROM t)
+         |SELECT doc_id FROM p
+         |WHERE source IN ('src4', 'src5')
+         |  AND len(list_filter(pa, s ->
+         |        len(list_filter(pb, q -> q > s AND q <= s + 8 AND
+         |          len(list_filter(pc, r -> r > q AND r <= s + 8)) > 0)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .run("(SOURCE == 'src4' or SOURCE == 'src5') and f:onear(TEXT, 8, 'sort', 'merge', 'join')")
+        .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
     // Distance-2 option of f:fuzzy (round 8 stretch): SymSpell
     // 2-deletion neighborhoods on both sides, exact levenshtein<=2
     // verify on plan candidates AND in the residual — the oracle states

@@ -251,6 +251,24 @@ class EngineEquivalenceSpec extends SparkSuite {
           s"k-near/legacy divergence #$i: $q")
       checked += 1
     }
+    // ordered variant: strictly increasing positions in term order,
+    // span ≤ k — the chain oracle mirrors Engine's nested-exists
+    def onearOracle(ts: Seq[String], k: Int): Set[String] =
+      meta.collect { case (id, (tk, _)) if {
+        val pos = ts.map(t => tk.zipWithIndex.collect { case (`t`, i) => i })
+        def chain(i: Int, prev: Int, start: Int): Boolean =
+          i == pos.size ||
+            pos(i).exists(q => q > prev && q <= start + k && chain(i + 1, q, start))
+        pos.forall(_.nonEmpty) && pos.head.exists(p => chain(1, p, p))
+      } => id }.toSet
+    (1 to 20).foreach { i =>
+      val n  = 2 + rnd.nextInt(2)
+      val ts = Seq.fill(n)(word())
+      val k  = rnd.nextInt(8)
+      val q  = s"f:onear(TEXT, $k, ${ts.map(t => s"'$t'").mkString(", ")})"
+      assert(engineIds(q, Nil) == onearOracle(ts, k), s"onear divergence #$i: $q")
+      checked += 1
+    }
     (1 to 30).foreach { i =>
       // half the draws take a REAL adjacent n-gram from a random doc
       // (guaranteed hits); half are random vocab pairs (mostly misses)
@@ -269,7 +287,7 @@ class EngineEquivalenceSpec extends SparkSuite {
         s"phrase composition divergence #$i: $src + $q")
       checked += 1
     }
-    assert(checked == 90)
+    assert(checked == 110)
   }
 
   test("60 random queries: index-assisted path ≡ full-scan residual (incl. auths)") {

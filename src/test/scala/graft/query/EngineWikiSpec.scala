@@ -427,6 +427,38 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("f:near(TEXT, 'a', 'b', 'x')")).getMessage.contains("integer"))
   }
 
+  test("f:onear: strictly increasing positions in term order within the window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sort merge join x", "en", "s", 17L),  // in order, span 2
+      (2L, "join merge sort", "en", "s", 15L),    // reverse order: near-in, onear-OUT
+      (3L, "sort x join merge", "en", "s", 17L),  // join precedes merge: onear-OUT
+      (4L, "sort merge sort join", "en", "t", 20L), // in order via sort@0, span 3
+      // best-occurrence choice: the chain must pick merge@2, not merge@0
+      (5L, "merge sort merge join", "en", "t", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    def ids(q: String) = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    assert(ids("f:onear(TEXT, 3, 'sort', 'merge', 'join')") == Set("1", "4", "5"))
+    assert(ids("f:onear(TEXT, 2, 'sort', 'merge', 'join')") == Set("1", "5"))
+    // unordered near accepts what onear rejects — the algebra's point
+    assert(ids("f:near(TEXT, 3, 'sort', 'merge', 'join')") ==
+      Set("1", "2", "3", "4", "5"))
+    // composition + placement rules are NearLeaf's
+    assert(ids("SOURCE == 't' and f:onear(TEXT, 3, 'sort', 'merge', 'join')") ==
+      Set("4", "5"))
+    assert(intercept[IllegalArgumentException](
+      eng.run("TEXT == 'x' or f:onear(TEXT, 3, 'sort', 'merge', 'join')"))
+      .getMessage.contains("conjunctively"))
+    assert(eng.explainAccess("f:onear(TEXT, 3, 'sort', 'merge', 'join')")
+      .contains("ONEAR(sort merge join, k=3)"))
+    // onear has no legacy pair form — k must come second
+    assert(intercept[IllegalArgumentException](
+      eng.run("f:onear(TEXT, 'sort', 'merge', 3)")).getMessage
+      .contains("takes (field, k, term...)"))
+  }
+
   test("f:near k-term form: all terms within a window of span k") {
     import spark.implicits._
     val docs = Seq(
