@@ -69,6 +69,34 @@ object Compaction {
     through
   }
 
+  /** Compact the full-engine maintainer's store at `dir`: additive
+    * parts concatenate, the lossy `global` part folds through
+    * `IncrementalIndex.mergeAll`, and the `metadata` catalog dedups —
+    * each part's fold is exactly the read path's, so the compacted base
+    * is read-equivalent by construction (StreamingSpec asserts it via
+    * engine-result equality).
+    */
+  def compactEngine(spark: SparkSession, dir: String,
+      deleteSubsumed: Boolean = true): Long = {
+    val parts = LiveEngineMaintainer.Parts
+    val through = VersionedState.maxVersion(dir, parts)
+    if (through < 0) return -1L
+    for (p <- parts) {
+      val unioned = spark.read.parquet(
+        VersionedState.readPaths(dir, parts, Some(p), through): _*)
+      val folded = p match {
+        case "global"   => IncrementalIndex.mergeAll(unioned)
+        case "metadata" => unioned.distinct()
+        case _          => unioned
+      }
+      folded.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$dir/c$through/$p")
+    }
+    if (deleteSubsumed) sweep(dir, parts, through)
+    through
+  }
+
   /** Delete dirs subsumed by the committed base `c<through>`: every
     * delta `v ≤ through` and every older base.
     */
@@ -79,15 +107,17 @@ object Compaction {
     doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
   }
 
-  /** CLI: `runMain graft.streaming.Compaction <index|dedup> <dir>` */
+  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine> <dir>` */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 && Set("index", "dedup")(args(0)),
-      "usage: Compaction <index|dedup> <stateDir>")
+    require(args.length == 2 && Set("index", "dedup", "engine")(args(0)),
+      "usage: Compaction <index|dedup|engine> <stateDir>")
     val spark = graft.Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val through =
-      if (args(0) == "index") compactIndex(spark, args(1))
-      else compactDedup(spark, args(1))
+    val through = args(0) match {
+      case "index"  => compactIndex(spark, args(1))
+      case "dedup"  => compactDedup(spark, args(1))
+      case "engine" => compactEngine(spark, args(1))
+    }
     println(s"compacted ${args(1)} through v$through")
     spark.stop()
   }

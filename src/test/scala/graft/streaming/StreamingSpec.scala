@@ -277,6 +277,59 @@ class StreamingSpec extends SparkSuite {
       Set(1L, 3L, 5L, 8L))
   }
 
+  test("LiveEngineMaintainer: the streamed store serves the full query language like a batch build") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-engine").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", "en", "s1", 16),
+          (2L, "alpha delta", "en", "s1", 11)),
+      Seq((3L, "beta beta epsilon", "de", "s2", 17),
+          (4L, "gamma alpha beta", "en", "s2", 16)),
+      Seq((5L, "delta epsilon alpha", "en", "s1", 19)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      m.processBatch(b.toDF("doc_id", "text", "lang", "source", "n_chars"), i.toLong)
+    }
+    assert(m.latestVersion == 2L)
+
+    val allDocs = batches.flatten.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ref  = new WikiSearchEngine(spark,
+      graft.ingest.IndexBuilder.fromDocumentsTable(spark, allDocs, 2))
+    def ids(e: WikiSearchEngine, q: String, auths: Seq[String] = Nil) =
+      e.run(q, auths).select("docId").collect().map(_.getString(0)).toSet
+    // every access path: EQ conjunction, suffix (derived reverse
+    // index), proximity (postings offsets), fuzzy (vocabulary
+    // expansion), auths (language visibility)
+    val queries = Seq(
+      "TEXT == 'alpha' and TEXT == 'beta'",
+      "TEXT =~ '.*lta'",
+      "f:near(TEXT, 2, 'alpha', 'beta')",
+      "f:onear(TEXT, 2, 'alpha', 'beta')",
+      "f:fuzzy(TEXT, 'alpa')")
+    def check(live: WikiSearchEngine): Unit = {
+      for (q <- queries) assert(ids(live, q) == ids(ref, q), q)
+      assert(ids(live, "TEXT == 'beta'", Seq("de")) == ids(ref, "TEXT == 'beta'", Seq("de")))
+    }
+    check(new WikiSearchEngine(spark, m.latestIndex.get))
+
+    // major compaction folds every part with its read-path fold; the
+    // compacted store serves identically, and the store keeps ingesting
+    assert(Compaction.compactEngine(spark, dir) == 2L)
+    assert(!new java.io.File(s"$dir/v0").exists())
+    val recovered = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    check(new WikiSearchEngine(spark, recovered.latestIndex.get))
+    recovered.processBatch(
+      Seq((6L, "zeta alpha beta", "fr", "s3", 15))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), 3L)
+    val allDocs2 = (batches.flatten :+ ((6L, "zeta alpha beta", "fr", "s3", 15)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ref2 = new WikiSearchEngine(spark,
+      graft.ingest.IndexBuilder.fromDocumentsTable(spark, allDocs2, 2))
+    val live2 = new WikiSearchEngine(spark, recovered.latestIndex.get)
+    for (q <- queries :+ "TEXT == 'zeta'")
+      assert(ids(live2, q) == ids(ref2, q), s"post-compaction ingest: $q")
+  }
+
   test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
     // Object-store deployments commonly set this conf false session-wide;
     // the maintainer's commit protocol keys on _SUCCESS, so it must force
