@@ -46,6 +46,7 @@ object Plans {
       "ws_fuzzy_q" -> "f:fuzzy composed in the query language: SymSpell vocabulary expansion becomes a multi-form EQ leaf driving candidates; the residual re-verifies with the exact levenshtein predicate",
       "ws_phrase_q" -> "f:phrase composed in the query language: ordered adjacency from intersected shifted stored-offset arrays (shared with ws_psnip), intersected exactly with the EQ-driven candidates",
       "ws_knear_q" -> "k-term f:near: n-way co-partitioned stored-offset postings join, one codegen'd window predicate (exists-start covering every term), intersected exactly with EQ-driven candidates",
+      "ws_onear_q" -> "ordered f:onear: the same n-way postings join with a chained strictly-increasing window predicate (SpanNear-in-order)",
       "ws_fuzzy2_q" -> "distance-2 f:fuzzy: nested SymSpell deletion neighborhoods expand the vocabulary candidates; residual re-verifies with threshold levenshtein at d=2",
       "ws_index_incremental" -> "incremental index maintenance: base+delta fragments folded through ONE co-keyed UidList merge aggregation (merge-on-read — the delta-based maintainer's read path)")
 
