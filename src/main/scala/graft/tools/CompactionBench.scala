@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{Sessions, Tables}
-import graft.streaming.{Compaction, LiveIndexMaintainer, LiveNearDupMaintainer}
+import graft.streaming.{Compaction, LiveEngineMaintainer, LiveIndexMaintainer, LiveNearDupMaintainer}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -78,6 +78,28 @@ object CompactionBench {
     println(f"dedup: n=$n ingest=$ddIngestWall%.2fs deltas=${ddDeltaBytes / 1024}%dKiB " +
       f"read_pre=$ddPreWall%.2fs compact=$ddCompactWall%.2fs base=${ddBaseBytes / 1024}%dKiB " +
       f"read_post=$ddPostWall%.2fs kept=$ddPreRows")
+
+    // ---- full-engine maintainer: n batches → serve → compact → serve --
+    val enDir = java.nio.file.Files.createTempDirectory("graft-cbench-en").toString
+    val en = new LiveEngineMaintainer(spark, enDir, numPartitions = 8)
+    val (_, enIngestWall) = timed {
+      (0 until n).foreach(b =>
+        en.processBatch(docs.filter(pmod(col("doc_id"), lit(n)) === b), b.toLong))
+    }
+    val enDeltaBytes = du(enDir)
+    def serve(m: LiveEngineMaintainer): Long = {
+      val eng = new graft.query.WikiSearchEngine(spark, m.latestIndex.get)
+      eng.run("TEXT == 'spark' and TEXT == 'join'").count()
+    }
+    val (preHits, enPreWall) = timed(serve(en))
+    val (_, enCompactWall) = timed(Compaction.compactEngine(spark, enDir))
+    val enBaseBytes = du(enDir)
+    val en2 = new LiveEngineMaintainer(spark, enDir, numPartitions = 8)
+    val (postHits, enPostWall) = timed(serve(en2))
+    require(preHits == postHits, "engine compaction must serve identically")
+    println(f"engine: n=$n ingest=$enIngestWall%.2fs deltas=${enDeltaBytes / 1024}%dKiB " +
+      f"serve_pre=$enPreWall%.2fs compact=$enCompactWall%.2fs base=${enBaseBytes / 1024}%dKiB " +
+      f"serve_post=$enPostWall%.2fs hits=$preHits")
     spark.stop()
   }
 }
