@@ -53,6 +53,40 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out.count == 3 && out.uids.toSet == Set("a", "b"))
   }
 
+  test("UidList merge is model-exact under ANY grouping and order (seeded property)") {
+    // The contract the whole delta architecture rests on (A1; the
+    // delta-based maintainers, mergeAll's merge-on-read, Compaction,
+    // the salted two-phase index build all fold through `combine` at
+    // arbitrary granularity): for ANY multiset of per-doc singletons,
+    // ANY binary combine tree over ANY permutation yields the one
+    // canonical result — (n, distinct uids, false) while distinct ≤
+    // MAX, else (n, ∅, true). Grouping-invariance is non-obvious
+    // because overflow is sticky (ignore poisons every later merge):
+    // it holds because a subset's distinct count never exceeds the
+    // whole's, so no grouping can flip ignore unless the total does.
+    // 300 seeded random tree shapes; failures reproduce.
+    val rnd = new scala.util.Random(0xA11CE)
+    def randomTree(parts: Vector[UidList]): UidList =
+      if (parts.size == 1) parts.head
+      else {
+        val cut = 1 + rnd.nextInt(parts.size - 1)
+        combine(randomTree(parts.take(cut)), randomTree(parts.drop(cut)))
+      }
+    def canon(u: UidList) = (u.count, u.uids.sorted, u.ignore)
+    (1 to 300).foreach { i =>
+      val n    = 1 + rnd.nextInt(60)
+      val pool = 1 + rnd.nextInt(40) // duplicates and >MAX distinct both reachable
+      val ids  = Vector.fill(n)(s"u${rnd.nextInt(pool)}")
+      val parts = rnd.shuffle(ids).map(id => ul(1, Seq(id)))
+      val distinct = ids.distinct.sorted
+      val want =
+        if (distinct.size <= 20) (n.toLong, distinct, false)
+        else (n.toLong, Nil, true)
+      assert(canon(randomTree(parts)) == want, s"iter $i: random tree diverged")
+      assert(canon(parts.reduceLeft(combine)) == want, s"iter $i: left fold diverged")
+    }
+  }
+
   test("TermWeight merge sums tf and sorts offsets") {
     val agg = new TermWeightAggregator
     val merged = agg.merge(TermWeight(0.1f, Seq(1, 5)), TermWeight(0.2f, Seq(3)))
