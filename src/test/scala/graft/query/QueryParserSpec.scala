@@ -52,6 +52,17 @@ class QueryParserSpec extends AnyFunSuite {
       FnTerm("between", Seq("NCHARS", "200", "400")))
   }
 
+  test("proximity/fuzzy function calls parse positionally (engine validates shapes)") {
+    assert(QueryParser.parse("f:near(TEXT, 'a', 'b', 3)") ==
+      FnTerm("near", Seq("TEXT", "a", "b", "3")))
+    assert(QueryParser.parse("f:near(TEXT, 3, 'a', 'b', 'c')") ==
+      FnTerm("near", Seq("TEXT", "3", "a", "b", "c")))
+    assert(QueryParser.parse("f:onear(TEXT, 3, 'a', 'b')") ==
+      FnTerm("onear", Seq("TEXT", "3", "a", "b")))
+    assert(QueryParser.parse("f:fuzzy(TEXT, 'sparc', 2)") ==
+      FnTerm("fuzzy", Seq("TEXT", "sparc", "2")))
+  }
+
   test("function comparison f:abs(X) >= 2") {
     assert(QueryParser.parse("f:abs(VAL) >= 2") ==
       FnCmp(FnTerm("abs", Seq("VAL")), Op.GE, "2"))
