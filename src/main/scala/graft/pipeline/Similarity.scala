@@ -339,14 +339,24 @@ object Similarity {
 
   def buildIvf(
       emb: DataFrame, cells: Int = 16, iters: Int = 2, persist: Boolean = true): IvfIndex = {
+    val cents = trainIvf(emb, cells, iters)
+    val assigned = assignIvf(cents, emb)
+    IvfIndex(cents, if (persist) assigned.cache() else assigned)
+  }
+
+  /** Nearest-centroid assignment of `emb` under FIXED centroids — the
+    * half of `buildIvf` that is deterministic per vector, which is what
+    * makes incremental ANN maintenance exact: assigning shard-by-shard
+    * under frozen centroids yields row-identical state to assigning the
+    * union (the `LiveAnnMaintainer` contract).
+    */
+  def assignIvf(cents: Array[Array[Double]], emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val cents = trainIvf(emb, cells, iters)
-    val bc    = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value))
-    val assigned = emb.select(col("vec_id"), col("embedding"),
+    emb.select(col("vec_id"), col("embedding"),
       assignUdf(col("embedding")).as("cell"), norm(col("embedding")).as("nrm"))
-    IvfIndex(cents, if (persist) assigned.cache() else assigned)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

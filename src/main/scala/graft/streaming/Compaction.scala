@@ -69,6 +69,24 @@ object Compaction {
     through
   }
 
+  /** Compact the ANN maintainer's assignment deltas at `dir` (pure
+    * concatenation — assignments are additive; the frozen codebook at
+    * `<dir>/centroids` is store-level state, untouched).
+    */
+  def compactAnn(spark: SparkSession, dir: String,
+      deleteSubsumed: Boolean = true): Long = {
+    val parts = LiveAnnMaintainer.Parts
+    val through = VersionedState.maxVersion(dir, parts)
+    if (through < 0) return -1L
+    for (p <- parts)
+      spark.read.parquet(VersionedState.readPaths(dir, parts, Some(p), through): _*)
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$dir/c$through/$p")
+    if (deleteSubsumed) sweep(dir, parts, through)
+    through
+  }
+
   /** Compact the full-engine maintainer's store at `dir`: additive
     * parts concatenate, the lossy `global` part folds through
     * `IncrementalIndex.mergeAll`, and the `metadata` catalog dedups —
@@ -107,16 +125,17 @@ object Compaction {
     doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
   }
 
-  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine> <dir>` */
+  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir>` */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 && Set("index", "dedup", "engine")(args(0)),
-      "usage: Compaction <index|dedup|engine> <stateDir>")
+    require(args.length == 2 && Set("index", "dedup", "engine", "ann")(args(0)),
+      "usage: Compaction <index|dedup|engine|ann> <stateDir>")
     val spark = graft.Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val through = args(0) match {
       case "index"  => compactIndex(spark, args(1))
       case "dedup"  => compactDedup(spark, args(1))
       case "engine" => compactEngine(spark, args(1))
+      case "ann"    => compactAnn(spark, args(1))
     }
     println(s"compacted ${args(1)} through v$through")
     spark.stop()

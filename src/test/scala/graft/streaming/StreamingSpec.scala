@@ -330,6 +330,45 @@ class StreamingSpec extends SparkSuite {
       assert(ids(live2, q) == ids(ref2, q), s"post-compaction ingest: $q")
   }
 
+  test("LiveAnnMaintainer: incremental assignment under frozen centroids equals batch assignment") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val vecs = (0L until 30L).map(i => (i, vec()))
+    val batches = vecs.grouped(10).toSeq
+    val m = new LiveAnnMaintainer(spark, dir, cells = 4, iters = 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      m.processBatch(b.toDF("vec_id", "embedding"), i.toLong)
+    }
+    assert(m.latestVersion == 2L)
+
+    // same frozen codebook + batch assignment of the union corpus
+    val cents = m.centroids.get
+    val ref = Similarity.IvfIndex(cents,
+      Similarity.assignIvf(cents, vecs.toDF("vec_id", "embedding")))
+    val queries = (1000L until 1003L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    def topk(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKWith(ix, queries, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = topk(ref)
+    assert(topk(m.latestIndex.get) == want && want.nonEmpty)
+
+    // deltas hold only their batch's assignments; compaction
+    // concatenates and serves identically; ingest continues on top
+    assert(spark.read.parquet(s"$dir/v1/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == (10L until 20L).toSet)
+    assert(Compaction.compactAnn(spark, dir) == 2L)
+    assert(!new java.io.File(s"$dir/v0").exists())
+    val recovered = new LiveAnnMaintainer(spark, dir, cells = 4)
+    assert(topk(recovered.latestIndex.get) == want)
+    val extra = (30L until 35L).map(i => (i, vec()))
+    recovered.processBatch(extra.toDF("vec_id", "embedding"), 3L)
+    val ref2 = Similarity.IvfIndex(cents,
+      Similarity.assignIvf(cents, (vecs ++ extra).toDF("vec_id", "embedding")))
+    assert(topk(recovered.latestIndex.get) == topk(ref2))
+  }
+
   test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
     // Object-store deployments commonly set this conf false session-wide;
     // the maintainer's commit protocol keys on _SUCCESS, so it must force
