@@ -40,6 +40,7 @@ object Bench {
     "ws_phrase_q"          -> "ws_pq",
     "ws_knear_q"           -> "ws_kq",
     "ws_onear_q"           -> "ws_oq",
+    "ws_live_q"            -> "ws_lq",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",

@@ -72,6 +72,25 @@ object SearchQueries {
     engine(s, dir); cache(dir)._1
   }
 
+  /** An engine served from a LIVE store: the documents table streamed
+    * through `LiveEngineMaintainer` in three micro-batches, queried via
+    * the maintainer's merge-on-read view (deltas deliberately left
+    * UNcompacted — this is the read path `Compaction` exists to bound,
+    * and the one the `ws_live_q` oracle gates). Built once per dir
+    * (the store is immutable corpus state — same memoization
+    * discipline as `engine`'s saved index).
+    */
+  private val liveCache = TrieMap.empty[String, WikiSearchEngine]
+  def liveEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    liveCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-store").toString
+      val m = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions)
+      (0 until 3).foreach(b =>
+        m.processBatch(docs.filter(col("doc_id") % 3 === b), b.toLong))
+      new WikiSearchEngine(s, m.latestIndex.get)
+    })
+
   /** Engine results → (doc_id, language) for the driver compare. */
   private def ids(df: DataFrame): DataFrame =
     df.select(col("docId").cast("bigint").as("doc_id"), col("language"))
@@ -381,6 +400,31 @@ object SearchQueries {
       engine(s, dir)
         .run("(SOURCE == 'src3' or SOURCE == 'src7') and f:near(TEXT, 'spark', 'join', 3)")
         .select(col("docId").cast("bigint").as("doc_id")).orderBy("doc_id")
+    },
+
+    // LIVE-store serving on the correctness gate: the same documents
+    // table streamed through LiveEngineMaintainer in 3 micro-batches,
+    // served through merge-on-read over the UNcompacted deltas — the
+    // oracle states the declarative semantics, so a green hash proves
+    // per-batch extraction + delta union + lossy-index fold + the
+    // whole query path compose to the batch-equivalent answer.
+    NamedQuery(
+      "ws_live_q",
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, lang, tk,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'hash' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(tk, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pb
+         | FROM t)
+         |SELECT doc_id, lang AS language FROM p
+         |WHERE list_contains(tk, 'spark')
+         |  AND (len(list_filter(pa, s ->
+         |         len(list_filter(pb, q -> q >= s AND q <= s + 4)) > 0)) > 0
+         |    OR len(list_filter(pb, s ->
+         |         len(list_filter(pa, q -> q >= s AND q <= s + 4)) > 0)) > 0)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(liveEngine(s, dir).run("TEXT == 'spark' and f:near(TEXT, 4, 'hash', 'join')"))
     },
 
     // k-term windowed proximity composed INSIDE the query language —
