@@ -41,6 +41,8 @@ object Bench {
     "ws_knear_q"           -> "ws_kq",
     "ws_onear_q"           -> "ws_oq",
     "ws_live_q"            -> "ws_lq",
+    "ws_count_q"           -> "ws_ct",
+    "ws_page_q"            -> "ws_pg",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",
@@ -92,6 +94,7 @@ object Bench {
     "cu_quality_gate"      -> "c_qg",
     "cu_bloom"             -> "c_bl",
     "cu_shuffle"           -> "c_sh",
+    "cu_temp"              -> "c_tp",
     "mm_binary_meta"       -> "m_bm",
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")

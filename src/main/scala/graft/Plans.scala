@@ -48,7 +48,10 @@ object Plans {
       "ws_knear_q" -> "k-term f:near: n-way co-partitioned stored-offset postings join, one codegen'd window predicate (exists-start covering every term), intersected exactly with EQ-driven candidates",
       "ws_onear_q" -> "ordered f:onear: the same n-way postings join with a chained strictly-increasing window predicate (SpanNear-in-order)",
       "ws_fuzzy2_q" -> "distance-2 f:fuzzy: nested SymSpell deletion neighborhoods expand the vocabulary candidates; residual re-verifies with threshold levenshtein at d=2",
-      "ws_index_incremental" -> "incremental index maintenance: base+delta fragments folded through ONE co-keyed UidList merge aggregation (merge-on-read — the delta-based maintainer's read path)")
+      "ws_index_incremental" -> "incremental index maintenance: base+delta fragments folded through ONE co-keyed UidList merge aggregation (merge-on-read — the delta-based maintainer's read path)",
+      "ws_page_q" -> "keyset pagination: the boundary predicate filters BEFORE a bounded TakeOrderedAndProject — page N costs page 1, no OFFSET skip-sort, no window",
+      "ws_count_q" -> "count-only serving, index-only fast path: the count is resolved from plan-time postings, so the PLAN is a one-row LocalRelation — the event store is never in it",
+      "cu_temp" -> "temperature-balanced sampling: bounded per-source quota aggregate, then ONE codegen'd narrow filter (hash gate) over the corpus — no join, no shuffle on the data path")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

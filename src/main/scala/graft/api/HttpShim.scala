@@ -21,9 +21,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `GET /explain?query=…&auths=a,b` → the engine's access-path report
   *    (plan tree, cardinalities, broadcast/shard decisions) with NO
   *    execution — beyond the reference, which only logs this.
-  *  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N (beyond reference).
-  *    Every content-returning route (/query, /rank, /fuzzy, /snippets,
-  *    /facets) accepts `auths=a,b` and enforces the same language
+  *  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N (beyond reference);
+  *    with `after_score`+`after_id` (the previous page's last row) it
+  *    serves the next keyset page — OFFSET-free pagination.
+  *  - `GET /count?query=…&auths=…` → `{"count":N,"fast":bool}` — count-
+  *    only serving; `fast` reports the index-only path (beyond ref).
+  *    Every content-returning route (/query, /count, /rank, /fuzzy,
+  *    /snippets, /facets) accepts `auths=a,b` and enforces the same language
   *    visibility filter — an unauthorized document must not leak through
   *    a ranking, a suggestion vocabulary, or a snippet window any more
   *    than through a search hit.
@@ -96,7 +100,29 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (terms.isEmpty) throw new IllegalArgumentException("terms is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 1000000)
-    ("application/json", service.rank(terms, limit, authsOf(params)))
+    // keyset pagination: the client echoes the previous page's last row
+    // as (after_score, after_id); both-or-neither
+    (params.get("after_score"), params.get("after_id")) match {
+      case (Some(s), Some(id)) =>
+        val afterScore =
+          try s.toDouble
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad after_score: $s") }
+        ("application/json",
+          service.rankAfter(terms, afterScore, id, limit, authsOf(params)))
+      case (None, None) =>
+        ("application/json", service.rank(terms, limit, authsOf(params)))
+      case _ => throw new IllegalArgumentException(
+        "after_score and after_id must be provided together")
+    }
+  })
+
+  //  - `GET /count?query=…&auths=…` → {"count":N,"fast":bool} — the
+  //    result-count badge endpoint; `fast` = answered from the index
+  //    alone (no event-store access)
+  server.createContext("/count", (ex: HttpExchange) => safely(ex) {
+    val (q, auths) = queryAndAuths(queryParams(ex))
+    ("application/json", service.count(q, auths))
   })
 
   //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions

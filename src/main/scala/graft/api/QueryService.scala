@@ -131,6 +131,33 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** Count-only serving (`WikiSearchEngine.countDocs`) as a JSON object
+    * `{"count":N,"fast":bool}`. `fast` reports whether the index-only
+    * path answered — i.e. the count came from plan-time postings with no
+    * event-store access — the operational signal a result-count badge
+    * endpoint wants to monitor.
+    */
+  def count(q: String, auths: Seq[String] = Nil): String = {
+    val fast = engine.fastCount(q, auths)
+    val n = fast.getOrElse(
+      engine.countDocs(q, auths).collect().head.getAs[Long]("cnt"))
+    s"""{"count":$n,"fast":${fast.isDefined}}"""
+  }
+
+  /** Keyset-paged BM25 retrieval (`WikiSearchEngine.rankPage`): the page
+    * strictly after the (`afterScore`, `afterId`) cursor — the last row
+    * of the previous page, echoed back by the client. `rank` numbers are
+    * page-relative (cursor clients paginate by cursor, not rank).
+    */
+  def rankAfter(terms: Seq[String], afterScore: Double, afterId: String,
+      limit: Int = 10, auths: Seq[String] = Nil): String = {
+    val rows = engine.rankPage(terms, limit, afterScore, afterId,
+      tokenizer = tokenizer, auths = auths).collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Typo-tolerant term suggestions (`WikiSearchEngine.fuzzyTerms`) as
     * a JSON array of {term, df}, document-frequency-descending so the
     * most plausible correction leads (ties alphabetical).

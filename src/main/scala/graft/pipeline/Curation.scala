@@ -35,6 +35,7 @@ object Curation {
   val SampleSalt = 0x5ca1ab1eL
   val ShuffleSalt = 0x0ddba11L
   val SourceCapSalt = 0xd00dfeedL
+  val TempSalt = 0x7e3a9e55L
 
   /** Deterministic train/val/test assignment: bucket = splitmix64
     * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
@@ -174,6 +175,48 @@ object Curation {
     // filter on the expression directly — a temp `bucket` column would
     // clobber a caller's column of that name (assignSplit emits one)
     docs.filter(b < rate)
+  }
+
+  /** Temperature-balanced source sampling — the multilingual/multi-domain
+    * rebalancing shape (sampling exponent α = 1/2): source s receives a
+    * document quota ∝ isqrt(tokens_s), which flattens head sources and
+    * boosts the tail relative to proportional sampling, without the
+    * degenerate uniform-across-sources extreme.
+    *
+    * Portability contract: isqrt = floor ∘ IEEE-754 sqrt (correctly
+    * rounded by spec, so every engine computes the same integer), and
+    * EVERYTHING after the isqrt is integer arithmetic —
+    * quota_s = target·w_s div Σw, keep-permille_s = min(1000,
+    * quota_s·1000 div n_docs_s) — so the oracle re-derives the exact
+    * same selection with no float-comparison hazard. Selection is the
+    * salted splitmix64 permille gate: join-free, reproducible, stable
+    * under re-partitioning. Quotas are met in expectation (each doc is
+    * an independent permille draw), which is the standard contract for
+    * hash-gated sampling at corpus scale.
+    *
+    * Scale shape: one partial-aggregated shuffle on the bounded source
+    * key for the quota table (driver-side — sources are a label domain,
+    * not data-scale), then a codegen'd narrow filter over the corpus.
+    */
+  def temperatureSample(docs: DataFrame, targetDocs: Long,
+      salt: Long = TempSalt): DataFrame = {
+    require(targetDocs >= 0, s"targetDocs must be >= 0: $targetDocs")
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val weights = per.map { case (_, _, nt) => math.sqrt(nt.toDouble).toLong }
+    val totalW  = weights.sum
+    val keepPermille = per.zip(weights).map { case ((src, nd, _), w) =>
+      val quota = if (totalW == 0L) 0L else targetDocs * w / totalW
+      src -> math.min(1000L, if (nd == 0L) 0L else quota * 1000L / nd)
+    }.toMap
+    val rate = keepPermille.foldLeft(lit(0L)) { case (acc, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    docs.filter(bucketUdf(salt)(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"))
   }
 
   /** Eval-set decontamination: per corpus document, the number of its

@@ -1185,6 +1185,28 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Temperature-balanced sampling (α = 1/2): per-source quotas from
+    // isqrt(token) weights, applied as an independent permille gate.
+    // The oracle re-derives the quota arithmetic (integer after the
+    // correctly-rounded sqrt) and the splitmix64 gate bit-identically.
+    NamedQuery(
+      "cu_temp",
+      s"""WITH ${hashCtes(Curation.TempSalt, ", source")},
+         | per AS (SELECT source, count(*) AS nd,
+         |           CAST(coalesce(sum(len($toks)), 0) AS BIGINT) AS nt
+         |         FROM documents GROUP BY source),
+         | w AS (SELECT source, nd, CAST(floor(sqrt(CAST(nt AS DOUBLE))) AS BIGINT) AS w FROM per),
+         | kp AS (SELECT source,
+         |          CASE WHEN nd = 0 THEN 0 ELSE
+         |            least(1000, ((300 * w) // (SELECT sum(w) FROM w)) * 1000 // nd)
+         |          END AS kp
+         |        FROM w)
+         |SELECT hf.doc_id, hf.source FROM hf JOIN kp USING (source)
+         |WHERE CAST(h % 1000 AS INT) < kp.kp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.temperatureSample(Tables.load(s, dir, "documents"), targetDocs = 300L)
+        .orderBy("doc_id")
+    },
+
     // PII scrubbing. The synthetic corpus contains no PII, so the query
     // PLANTS deterministic addresses derived from doc_id on BOTH sides —
     // the oracle exercises real matches, not a vacuous all-zeros pass.

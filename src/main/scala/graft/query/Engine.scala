@@ -191,6 +191,61 @@ class WikiSearchEngine(
     }
   }
 
+  /** Count-only serving — "how many hits" without fetching any of them
+    * (beyond the reference, whose query logics always emit the full
+    * result set). Returns one row, `cnt BIGINT`.
+    *
+    * FAST PATH (`fastCount`): when the plan is pure boolean-over-EQ —
+    * every leaf an `EqLeaf` whose postings carry no lossy `ignore` rows,
+    * no range/regex scan leaf, no proximity leaf, default config — the
+    * materialized candidate set is driver-local and EXACT (the symbolic
+    * shard part is empty at every node, and OR-union / AND-intersect /
+    * NOT-subtraction over exact uid sets are exact set algebra), so the
+    * hit count is its size, computed entirely from plan-time postings.
+    * A warm query (term-cache hit) answers with ZERO Spark jobs and
+    * never touches the event store — the index-only aggregate a
+    * 100 TB deployment wants for result-count badges and EXISTS-style
+    * pre-checks. Exactness of the fast path against the residual-
+    * verified path is pinned by CountServingSpec's metamorphic harness.
+    *
+    * Anything else (lossy rows, scans, near/phrase/fuzzy-fallback,
+    * unevaluated fields) falls back to counting the residual-verified
+    * `run` — same result, executed distributed.
+    */
+  def countDocs(query: String, auths: Seq[String] = Nil): DataFrame =
+    fastCount(query, auths) match {
+      case Some(n) =>
+        spark.range(1).select(lit(n).cast("bigint").as("cnt"))
+      case None =>
+        run(query, auths).agg(count(lit(1)).cast("bigint").as("cnt"))
+    }
+
+  /** The driver-local fast-path count, or None when the plan shape
+    * requires residual verification (package-visible so the spec can
+    * assert which path engaged).
+    */
+  private[graft] def fastCount(query: String, auths: Seq[String] = Nil): Option[Long] = {
+    val ast0 = QueryParser.parse(query)
+    if (QExpr.allNegated(ast0))
+      throw new IllegalArgumentException(
+        s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
+    validateNearPlacement(ast0, conjunctive = true)
+    val ast = rewriteBareTerms(ast0)
+    if (config.unevaluatedFields.nonEmpty) return None
+    val analysis = new Analysis
+    analyze(ast, analysis).flatMap { tree =>
+      if (!treeLeaves(tree).forall(_.isInstanceOf[EqLeaf])) None
+      else {
+        val stats = collectLeafStats(tree, withScanCards = false)
+        if (!stats.valuesIterator.forall(_.rows.forall(r => !r.ignore))) None
+        else materialize(tree, stats, langAuth(auths), auths) match {
+          case LocalCand(docs, Nil, _) => Some(docs.size.toLong)
+          case _                       => None // defensive: shards imply lossy rows
+        }
+      }
+    }
+  }
+
   /** Document point-fetch — `ContentLogic.runQuery`
     * (`query/.../logic/ContentLogic.java:56-107`): `DOCUMENT:partition/lang/id`
     * → Base64-decoded content. A partition-pruned single-key scan.
@@ -261,6 +316,43 @@ class WikiSearchEngine(
       auths: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
     bm25Scored(terms, k1, b, tokenizer, auths)
+      .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
+      .limit(k)
+      .select(col("docId"), col("language"), col("score"))
+  }
+
+  /** Keyset ("search after") page of the BM25 ranking: the `k` results
+    * strictly AFTER the sort position (`afterScore`, `afterTie`[,
+    * `afterLanguage`, `afterPartition`]) in `rankTopK`'s ordering
+    * (score DESC, tieBreak ASC, language ASC, partition ASC).
+    *
+    * This is OFFSET-free pagination: the boundary predicate filters
+    * BEFORE the bounded TakeOrderedAndProject, so page N costs the same
+    * as page 1 — an OFFSET plan must order and discard N·k rows in one
+    * task, which is the part that stops scaling. Scores are rounded to
+    * 4 dp by `bm25Scored`, so boundary equality is well-defined and
+    * reproducible across runs. Pass the deeper keys only when `tieBreak`
+    * values can tie: rows equal on ALL provided keys are excluded (with
+    * a unique tie-break — e.g. a numeric primary-key docId — the two-key
+    * form is already total).
+    */
+  def rankPage(terms: Seq[String], k: Int, afterScore: Double, afterTie: Any,
+      afterLanguage: Option[String] = None, afterPartition: Option[Int] = None,
+      k1: Double = 1.2, b: Double = 0.75,
+      tieBreak: Column = col("docId"),
+      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
+      auths: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    // lexicographic "strictly after", truncated to the keys provided
+    val partAfter = afterPartition.map(p => col("partition") > lit(p)).getOrElse(lit(false))
+    val langAfter = afterLanguage.map(l =>
+      col("language") > lit(l) || (col("language") === lit(l) && partAfter))
+      .getOrElse(lit(false))
+    val after = col("score") < lit(afterScore) ||
+      (col("score") === lit(afterScore) &&
+        (tieBreak > lit(afterTie) || (tieBreak === lit(afterTie) && langAfter)))
+    bm25Scored(terms, k1, b, tokenizer, auths)
+      .filter(after)
       .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
       .limit(k)
       .select(col("docId"), col("language"), col("score"))

@@ -630,6 +630,67 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id"),
           col("language"), col("snippet"))
         .orderBy("doc_id")
+    },
+
+    // Count-only serving through the query language. 'dup' is the one
+    // corpus term whose per-shard document frequency stays under the
+    // UidList MAX at every SF, and ID postings are single-uid by
+    // construction — so this boolean (OR + AND NOT over exact postings)
+    // takes the index-only fast path: the count comes from plan-time
+    // postings with no event-store access (CountServingSpec pins the
+    // path; the oracle pins the value).
+    NamedQuery(
+      "ws_count_q",
+      s"""SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
+         |WHERE (list_contains($toks, 'dup') OR doc_id = 42)
+         |  AND doc_id <> 17""".stripMargin) { (s, dir) =>
+      engine(s, dir).countDocs("(TEXT == 'dup' or ID == 42) and ID != 17")
+    },
+
+    // Keyset pagination of the BM25 ranking: page 2 (ranks 11-20) via
+    // the "strictly after page 1's last row" boundary predicate — never
+    // OFFSET. The oracle derives the same page from the full ranking's
+    // row numbers; agreement proves the keyset predicate reconstructs
+    // the global order's suffix exactly (rounded scores make the
+    // boundary equality portable).
+    NamedQuery(
+      "ws_page_q",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, $toks AS toks,
+         |               unnest(list_distinct($toks)) AS term FROM documents) q
+         |       WHERE term IN ('spark', 'join', 'vector')),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl) / stats.avgdl)) AS c
+         |  FROM tf, df, dl, stats WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ROUND(coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'join'   THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'vector' THEN c END), 0), 4) AS score
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored) q
+         |WHERE rk BETWEEN 11 AND 20 ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
+      val eng   = engine(s, dir)
+      val terms = Seq("spark", "join", "vector")
+      val tie   = col("docId").cast("bigint")
+      val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.tokenizeWs
+      // page 1's last row is the keyset boundary (what a serving edge
+      // hands back to the client as the cursor); docId is a unique
+      // numeric key here, so the two-key boundary is already total
+      val last = eng.rankTopK(terms, 10, tieBreak = tie, tokenizer = tok)
+        .collect().last
+      eng.rankPage(terms, 10,
+          afterScore = last.getDouble(2), afterTie = last.getString(0).toLong,
+          tieBreak = tie, tokenizer = tok)
+        .select(col("docId").cast("bigint").as("doc_id"), col("score"))
     }
   )
 }

@@ -180,6 +180,37 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/rank?terms=,")._1 == 400)    // empty after trim
   }
 
+  test("/count serves count-only queries and reports the index-only fast path") {
+    val (status, ct, body) = get(s"/count?$q&auths=enwiki")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body == """{"count":1,"fast":true}""", body)
+    // a scan shape (opaque regex) must still count — via the fallback
+    val scanQ = "query=" + java.net.URLEncoder.encode("TEXT =~ '.*bacu.*'", UTF_8)
+    val (_, _, scanBody) = get(s"/count?$scanQ&auths=enwiki")
+    assert(scanBody == """{"count":1,"fast":false}""", scanBody)
+    // auths gate the count like every other route
+    assert(get(s"/count?$q&auths=frwiki")._3 == """{"count":0,"fast":true}""")
+    assert(get("/count")._1 == 400) // missing query
+  }
+
+  test("/rank pages by keyset cursor; after params must come together") {
+    // page 1 of 2, then the page after its last row: disjoint and ordered
+    val p1 = get("/rank?terms=abacus,is&limit=2&auths=enwiki")._3
+    val idRe = """"id":"(\d+)"""".r
+    val scoreRe = """"score":(-?[0-9.]+)""".r
+    val ids1 = idRe.findAllMatchIn(p1).map(_.group(1)).toSeq
+    val lastScore = scoreRe.findAllMatchIn(p1).map(_.group(1)).toSeq.last
+    val p2 = get(s"/rank?terms=abacus,is&limit=5&auths=enwiki" +
+      s"&after_score=$lastScore&after_id=${ids1.last}")._3
+    val ids2 = idRe.findAllMatchIn(p2).map(_.group(1)).toSeq
+    assert(ids1.size == 2 && ids2.nonEmpty, s"p1=$p1 p2=$p2")
+    assert(ids1.toSet.intersect(ids2.toSet).isEmpty, s"pages overlap: $ids1 / $ids2")
+    // one-sided cursor is a client error
+    assert(get("/rank?terms=abacus&after_score=1.0")._1 == 400)
+    assert(get("/rank?terms=abacus&after_id=655")._1 == 400)
+    assert(get("/rank?terms=abacus&after_score=xyz&after_id=655")._1 == 400)
+  }
+
   test("/facets counts the hit set per field value") {
     val (status, ct, body) = get(s"/facets?$q&field=TITLE")
     assert(status == 200 && ct.startsWith("application/json"))

@@ -808,4 +808,40 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect()
     assert(gated.length == 70 && gated.forall(r => r._2 >= 500L && r._3 == 500L))
   }
+
+  test("temperatureSample: sqrt-weighted quotas flatten skew; deterministic; exact arithmetic") {
+    // head source: 360 docs × 16 tokens; tail: 40 docs × 4 tokens.
+    // Proportional-by-tokens would give the tail 40/(360·16+40·4)·target
+    // ≈ 2.7% of the target; sqrt weighting lifts it to
+    // isqrt(160)/(isqrt(5760)+isqrt(160)) = 12/(75+12) ≈ 13.8%.
+    val docs = ((0L until 360L).map(i => (i, Seq.fill(16)("w").mkString(" "), "head")) ++
+      (360L until 400L).map(i => (i, "a b c d", "tail")))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.temperatureSample(docs, targetDocs = 100L)
+      .as[(Long, String)].collect()
+    // determinism (same salt ⇒ same selection) and subset-of-input
+    val again = Curation.temperatureSample(docs, targetDocs = 100L)
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    assert(kept.forall(_._1 < 400L))
+    // the exact quota arithmetic the Scaladoc promises:
+    // W = 75 + 12 = 87; head quota = 100·75/87 = 86 → 86·1000/360 = 238‰
+    // tail quota = 100·12/87 = 13 → 13·1000/40 = 325‰ — the tail's keep
+    // RATE exceeds the head's (the rebalancing this operator is for),
+    // and each realized count is a Binomial(n, p) draw around n·p.
+    val bysrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val headKept = bysrc.getOrElse("head", 0)
+    val tailKept = bysrc.getOrElse("tail", 0)
+    assert(math.abs(headKept - 360 * 0.238) < 30, s"head kept $headKept")
+    assert(math.abs(tailKept - 40 * 0.325) < 12, s"tail kept $tailKept")
+    // repartitioning the input must not change the selection (hash gate,
+    // not task placement)
+    val shuffled = Curation.temperatureSample(docs.repartition(7), targetDocs = 100L)
+      .as[(Long, String)].collect()
+    assert(shuffled.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+    // degenerate targets: 0 keeps nothing; a target beyond the corpus
+    // caps every source at 1000‰ (keeps everything)
+    assert(Curation.temperatureSample(docs, 0L).count() == 0L)
+    assert(Curation.temperatureSample(docs, 1000000L).count() == 400L)
+  }
 }

@@ -1,0 +1,99 @@
+package graft.query
+
+import graft.SparkSuite
+import graft.ingest.IndexBuilder
+
+import org.apache.spark.sql.functions._
+
+/** Count-only serving (`countDocs`). The fast path answers pure
+  * boolean-over-exact-EQ queries from plan-time postings alone; the
+  * contract pinned here is (a) it NEVER disagrees with the residual-
+  * verified `run` path, (b) it engages exactly on the shapes it claims
+  * (and declines on lossy postings, scans, proximity), and (c) a warm
+  * fast count runs ZERO Spark jobs — the index-only economics the
+  * method exists for.
+  */
+class CountServingSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 90 of 100 docs contain 'hot' — over MAX=20 per (term, partition,
+  // language) even split across 2 partitions × 2 languages, so its
+  // posting rows are lossy; 'rare'/'tiny' stay exact; two languages
+  // exercise the auth path.
+  private lazy val docs = (0 until 100).map { i =>
+    val words = Seq.newBuilder[String]
+    words += s"w$i"
+    if (i < 90) words += "hot"
+    if (i % 8 == 0) words += "rare"
+    if (i % 13 == 0) words += "tiny"
+    (i.toLong, words.result().mkString(" "),
+      if (i % 4 == 0) "de" else "en", s"src${i % 3}", 100L + i)
+  }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private lazy val eng = new WikiSearchEngine(spark,
+    IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 2).cacheAll())
+
+  private def cnt(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect().map(r => (r.getLong(0))).head
+
+  test("fast path engages on boolean-over-exact-EQ and matches run().count()") {
+    val fastShapes = Seq(
+      "TEXT == 'rare'",
+      "TEXT == 'rare' and TEXT == 'tiny'",
+      "TEXT == 'rare' or TEXT == 'tiny'",
+      "(TEXT == 'rare' or ID == 3) and ID != 8",
+      "SOURCE == 'src0' and TEXT == 'rare'",
+      "TEXT == 'zzz-absent'")
+    for (q <- fastShapes) {
+      val fast = eng.fastCount(q)
+      assert(fast.isDefined, s"expected fast path for: $q")
+      assert(fast.get == eng.run(q).count(), s"fast != run for: $q")
+      assert(cnt(eng.countDocs(q)) == fast.get, q)
+    }
+  }
+
+  test("fast path declines on lossy/scan/proximity shapes; fallback still agrees") {
+    val slowShapes = Seq(
+      "TEXT == 'hot'",                     // lossy posting row
+      "TEXT == 'hot' and TEXT == 'rare'",  // lossy branch in an AND
+      "TEXT == 'rare' and TEXT != 'hot'",  // lossy NEGATED postings
+      "TEXT =~ 'ra.*'",                    // range/wildcard scan leaf
+      "NCHARS >= 100 and NCHARS <= 105",   // bounded range scan
+      "f:near(TEXT, 'rare', 'tiny', 9)")   // index-enforced proximity
+    for (q <- slowShapes) {
+      assert(eng.fastCount(q).isEmpty, s"expected fallback for: $q")
+      assert(cnt(eng.countDocs(q)) == eng.run(q).count(), s"countDocs != run for: $q")
+    }
+  }
+
+  test("fast path respects auths (language visibility)") {
+    for (auths <- Seq(Seq("en"), Seq("de"), Seq("en", "de"))) {
+      val fast = eng.fastCount("TEXT == 'rare'", auths)
+      assert(fast.isDefined)
+      assert(fast.get == eng.run("TEXT == 'rare'", auths).count(), auths.toString)
+    }
+    // rare docs (i % 8 == 0, i < 100) are all i % 4 == 0 ⇒ all 'de'
+    assert(eng.fastCount("TEXT == 'rare'", Seq("de")).get == 13L)
+    assert(eng.fastCount("TEXT == 'rare'", Seq("en")).get == 0L)
+  }
+
+  test("warm fast count runs zero Spark jobs") {
+    val sc = spark.sparkContext
+    eng.fastCount("TEXT == 'rare' and TEXT == 'tiny'") // warm the term cache
+    sc.setJobGroup("count-serving-warm", "warm fast count must be job-free")
+    try {
+      val n = eng.fastCount("TEXT == 'rare' and TEXT == 'tiny'")
+      assert(n.isDefined)
+      assert(sc.statusTracker.getJobIdsForGroup("count-serving-warm").isEmpty,
+        "warm fast count submitted Spark jobs")
+    } finally sc.clearJobGroup()
+  }
+
+  test("countDocs schema is one BIGINT cnt row on both paths") {
+    for (q <- Seq("TEXT == 'rare'", "TEXT == 'hot'")) {
+      val df = eng.countDocs(q)
+      assert(df.schema.map(f => (f.name, f.dataType.typeName)) == Seq(("cnt", "long")))
+      assert(df.count() == 1L)
+    }
+  }
+}

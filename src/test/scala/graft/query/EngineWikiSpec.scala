@@ -556,6 +556,45 @@ class EngineWikiSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"serving top-k must not plan a window:\n$plan")
   }
 
+  test("rankPage: keyset pages tile the ranking exactly and never re-sort skipped rows") {
+    import spark.implicits._
+    // scores engineered to TIE across docs (identical text ⇒ identical
+    // score) so the boundary predicate's tie handling is exercised
+    val docs = (1L to 9L).map { i =>
+      val text = if (i <= 3) "spark join spark" else if (i <= 6) "spark x y" else "join q"
+      (i, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val tok = graft.functions.TextFunctions.tokenizeWs _
+    val tie = org.apache.spark.sql.functions.col("docId").cast("bigint")
+    val terms = Seq("spark", "join")
+    val all = eng.rankTopK(terms, 9, tieBreak = tie, tokenizer = tok)
+      .collect().map(_.toSeq).toSeq
+    // page after row k must equal rows k+1..k+3 of the full ranking, for
+    // EVERY boundary — including boundaries inside a tie run
+    for (k <- 0 until 8) {
+      val last = all(k)
+      val page = eng.rankPage(terms, 3,
+          afterScore = last(2).asInstanceOf[Double],
+          afterTie = last(0).asInstanceOf[String].toLong,
+          tieBreak = tie, tokenizer = tok)
+        .collect().map(_.toSeq).toSeq
+      assert(page == all.slice(k + 1, k + 4), s"page after rank ${k + 1}")
+    }
+    // page plan is still the bounded top-k — no window, no offset-style sort
+    val plan = eng.rankPage(terms, 3, afterScore = all(2)(2).asInstanceOf[Double],
+        afterTie = all(2)(0).asInstanceOf[String].toLong, tieBreak = tie, tokenizer = tok)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k page plan:\n$plan")
+    assert(!plan.contains("Window"), s"page must not plan a window:\n$plan")
+    // past the end → empty page, not an error
+    val lastRow = all.last
+    assert(eng.rankPage(terms, 3, afterScore = lastRow(2).asInstanceOf[Double],
+      afterTie = lastRow(0).asInstanceOf[String].toLong,
+      tieBreak = tie, tokenizer = tok).collect().isEmpty)
+  }
+
   test("auths restrict rank, fuzzyTerms, snippets, and near to authorized languages") {
     import spark.implicits._
     val docs = Seq(
