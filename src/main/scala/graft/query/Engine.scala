@@ -220,7 +220,29 @@ class WikiSearchEngine(
         run(query, auths).agg(count(lit(1)).cast("bigint").as("cnt"))
     }
 
-  /** The driver-local fast-path count, or None when the plan shape
+  /** True iff the EXPRESSION (not just the plan) is computable exactly
+    * from exact postings: EQ leaves on indexed fields, NE only in
+    * conjunctive positions (where the planner turns it into an exact
+    * anti-join whose absence semantics — including the missing-field
+    * case — coincide with the residual's `anyMatch` negation), composed
+    * by AND/OR. Everything else (ranges, regex, functions, `not(...)`
+    * subtrees, NE under OR) is rejected: `analyze` handles those by
+    * DROPPING or WEAKENING branches into a candidate SUPERSET that only
+    * the residual restores — sound for `run`, unsound for an index-only
+    * count (a dropped `NCHARS < n` branch would overcount). Pinned by
+    * EngineEquivalenceSpec's random-query fastCount property.
+    */
+  private def exactCountable(e: QExpr): Boolean = e match {
+    case t: Term => (t.op == Op.EQ || t.op == Op.NE) && indexedFields.contains(t.field)
+    case Or(cs) => cs.forall {
+      case t: Term if Op.isNegative(t.op) => false // NE under OR can't anti-join
+      case c                              => exactCountable(c)
+    }
+    case And(cs) => cs.forall(exactCountable)
+    case _       => false // Not/FnTerm/FnCmp/BareTerm/range/regex shapes
+  }
+
+  /** The driver-local fast-path count, or None when the query shape
     * requires residual verification (package-visible so the spec can
     * assert which path engaged).
     */
@@ -231,7 +253,7 @@ class WikiSearchEngine(
         s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
     validateNearPlacement(ast0, conjunctive = true)
     val ast = rewriteBareTerms(ast0)
-    if (config.unevaluatedFields.nonEmpty) return None
+    if (config.unevaluatedFields.nonEmpty || !exactCountable(ast)) return None
     val analysis = new Analysis
     analyze(ast, analysis).flatMap { tree =>
       if (!treeLeaves(tree).forall(_.isInstanceOf[EqLeaf])) None

@@ -300,11 +300,62 @@ class EngineEquivalenceSpec extends SparkSuite {
         val want = scanIds(q, auths)
         assert(got == want,
           s"divergence on query #$i: $q (auths=$auths)\n engine=${got.toSeq.sorted}\n scan=${want.toSeq.sorted}")
+        // the count fast path must agree with the residual truth on any
+        // shape it claims (most of these queries fall back — the
+        // dedicated EQ/NE-only loop below is the engagement test; this
+        // one guards the DECISION: a shape fastCount wrongly claims
+        // surfaces here as an over- or under-count)
+        eng.fastCount(q, auths).foreach { n =>
+          assert(n == want.size.toLong,
+            s"fastCount divergence on query #$i: $q (auths=$auths): fast=$n scan=${want.size}")
+        }
         checked += 1
       } catch {
         case _: IllegalArgumentException => () // all-negation rejected by design
       }
     }
     assert(checked >= 40, s"only $checked queries actually checked")
+  }
+
+  test("40 random EQ/NE-only queries: the count fast path engages and equals the residual truth") {
+    // every posting in this corpus is exact (df ≈ 50 spread over 12
+    // (partition, language) shards stays under MAX=20), so an EQ/NE-only
+    // boolean MUST take the index-only branch — and its count must
+    // equal the full-scan residual's. This is the exactness contract
+    // `exactCountable` claims, under arbitrary AND/OR/NE composition.
+    def eqLeaf(): String = rnd.nextInt(4) match {
+      case 0 => s"TEXT == '${word()}'"
+      case 1 => s"TEXT != '${word()}'"
+      case 2 => s"SOURCE == 'src${1 + rnd.nextInt(3)}'"
+      case _ => s"TEXT == '${word()}'"
+    }
+    def eqExpr(depth: Int): String =
+      if (depth == 0) eqLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${eqExpr(depth - 1)} and ${eqExpr(depth - 1)})"
+        case 1 => s"(${eqExpr(depth - 1)} or ${eqExpr(depth - 1)})"
+        case 2 => s"(${eqExpr(depth - 1)} and ${eqExpr(depth - 1)} and ${eqLeaf()})"
+        case _ => eqLeaf()
+      }
+    var engaged = 0
+    (1 to 40).foreach { i =>
+      val q = eqExpr(1 + rnd.nextInt(2))
+      try {
+        val want = scanIds(q, Nil).size.toLong
+        // NE under OR falls back by design; anything else must engage
+        val fast = eng.fastCount(q)
+        val neUnderOr = q.contains("or") && q.contains("!=")
+        if (!neUnderOr)
+          assert(fast.isDefined, s"expected fast path for EQ/NE query #$i: $q")
+        fast.foreach { n =>
+          assert(n == want, s"fastCount divergence on EQ/NE query #$i: $q: fast=$n scan=$want")
+          engaged += 1
+        }
+        assert(eng.countDocs(q).collect().head.getLong(0) == want, q)
+      } catch {
+        case _: IllegalArgumentException => () // all-negation rejected by design
+      }
+    }
+    assert(engaged >= 20, s"fast path engaged only $engaged/40 times")
   }
 }
