@@ -95,6 +95,7 @@ object Bench {
     "cu_bloom"             -> "c_bl",
     "cu_shuffle"           -> "c_sh",
     "cu_temp"              -> "c_tp",
+    "cu_budget"            -> "c_bu",
     "mm_binary_meta"       -> "m_bm",
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")

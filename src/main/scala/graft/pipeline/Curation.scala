@@ -36,6 +36,7 @@ object Curation {
   val ShuffleSalt = 0x0ddba11L
   val SourceCapSalt = 0xd00dfeedL
   val TempSalt = 0x7e3a9e55L
+  val TokenBudgetSalt = 0xbead1e5L
 
   /** Deterministic train/val/test assignment: bucket = splitmix64
     * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
@@ -154,6 +155,67 @@ object Curation {
       .join(keepWhole.unionByName(boundary).withColumn("kept", lit(true)),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
+        when(col("kept"), lit("keep")).otherwise(lit("drop")).as("verdict"))
+  }
+
+  /** Per-source TOKEN budget — the mixture-building primitive when the
+    * recipe is stated in tokens, not documents ("600B tokens of web, 50B
+    * of code"): keep each source's documents in deterministic hash order
+    * ((salted splitmix64(doc_id), doc_id) — the determinism contract
+    * above) while the source's running token total stays within
+    * `budget`. The doc that would cross the budget is dropped, as is
+    * everything after it in hash order; re-running the pipeline or
+    * re-partitioning the corpus reproduces the exact same survivor set,
+    * and a SQL engine re-derives it (the cu_budget oracle).
+    *
+    * Scale posture: `sourceCap`'s distributed prefix-scan with token
+    * sums in place of row counts — monotone hash-top-bit buckets,
+    * per-(source, bucket) token totals, the running below-bucket total
+    * as a per-source window over ≤ `buckets` ROWS (bounded per source,
+    * any number of sources). Buckets wholly under budget keep all rows
+    * sort-free; exactly one boundary bucket per source runs an in-bucket
+    * running sum over its ~1/buckets share. No per-source global sort,
+    * no driver-side histogram of an unbounded domain.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long,
+      seed: Long = TokenBudgetSalt, buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val hUdf = udf { id: Long =>
+      val h = Dedup.mix64(id ^ seed)
+      ((if (buckets == 1) 0L else h >>> shift).toInt, h ^ Long.MinValue)
+    }
+    val withH = docs.select(col("doc_id"), col("source"),
+        size(Dedup.toks(col("text"))).cast("long").as("n_tokens"),
+        hUdf(col("doc_id")).as("hb"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("hb._1").as("bkt"), col("hb._2").as("hf"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = withH.groupBy("source", "bkt")
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("below", coalesce(sum(col("t")).over(wCum), lit(0L)))
+    val tagged = withH.join(cum, Seq("source", "bkt"))
+    val keepWhole = tagged.filter(col("below") + col("t") <= budget).select("doc_id")
+    // exactly one boundary bucket per source: the first whose cumulative
+    // total crosses the budget. In-bucket running sum in hash order —
+    // keep while the source's running total stays within budget.
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bkt").orderBy(col("hf"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = tagged
+      .filter(col("below") < budget && col("below") + col("t") > budget)
+      .withColumn("run", sum(col("n_tokens")).over(wRun))
+      .filter(col("below") + col("run") <= budget)
+      .select("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
+      .join(keepWhole.unionByName(boundary).withColumn("kept", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         when(col("kept"), lit("keep")).otherwise(lit("drop")).as("verdict"))
   }
 

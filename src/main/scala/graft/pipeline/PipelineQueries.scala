@@ -1185,6 +1185,25 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Per-source token budget: survivors in deterministic hash order
+    // while the source's running token total stays within budget. The
+    // oracle re-derives the full hash, the hash-order window sum, and
+    // the inclusive-cumulative keep rule — integer-exact end to end.
+    NamedQuery(
+      "cu_budget",
+      s"""WITH ${hashCtes(Curation.TokenBudgetSalt, ", source")},
+         | tok AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         | r AS (SELECT hf.doc_id, hf.source, tok.n_tokens,
+         |         SUM(tok.n_tokens) OVER (PARTITION BY hf.source ORDER BY hf.h, hf.doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM hf JOIN tok ON hf.doc_id = tok.doc_id)
+         |SELECT doc_id, source, n_tokens,
+         |  CASE WHEN cum <= 700 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.tokenBudget(Tables.load(s, dir, "documents"), budget = 700L)
+        .orderBy("doc_id")
+    },
+
     // Temperature-balanced sampling (α = 1/2): per-source quotas from
     // isqrt(token) weights, applied as an independent permille gate.
     // The oracle re-derives the quota arithmetic (integer after the

@@ -809,6 +809,44 @@ class PipelineSpec extends SparkSuite {
     assert(gated.length == 70 && gated.forall(r => r._2 >= 500L && r._3 == 500L))
   }
 
+  test("tokenBudget equals a per-source sequential fill in hash order, across bucket counts") {
+    // doc i has (i % 7) + 1 tokens; two sources of very different sizes.
+    // The reference implementation is the obvious sequential rule: sort
+    // each source by (mix64(id ^ salt) unsigned, id), keep while the
+    // inclusive running token total stays within budget.
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "),
+        if (i < 250) "big" else "small")
+    }.toDF("doc_id", "text", "source")
+    val budget = 120L
+    val expected = (0L until 300L).map { i =>
+      (i, if (i < 250) "big" else "small", (i % 7) + 1)
+    }.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) =>
+        (graft.pipeline.Dedup.mix64(id ^ Curation.TokenBudgetSalt) ^ Long.MinValue, id)
+      }
+      val cums = ordered.scanLeft(0L)((acc, r) => acc + r._3).tail
+      ordered.lazyZip(cums).map((r, c) => r._1 -> (c <= budget))
+    }
+    for (buckets <- Seq(1, 8, 1024)) {
+      val got = Curation.tokenBudget(docs, budget, buckets = buckets)
+        .select("doc_id", "verdict").as[(Long, String)].collect()
+        .map { case (id, v) => id -> (v == "keep") }.toMap
+      assert(got == expected.toMap, s"buckets=$buckets")
+    }
+    // every doc is reported exactly once with its token count
+    val full = Curation.tokenBudget(docs, budget)
+      .as[(Long, String, Long, String)].collect()
+    assert(full.length == 300 && full.forall(r => r._3 == (r._1 % 7) + 1))
+    // kept token totals stay within budget per source (and are non-zero)
+    val keptTok = full.filter(_._4 == "keep").groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(keptTok.values.forall(t => t > 0 && t <= budget), keptTok.toMap.toString)
+    // degenerate budgets
+    assert(Curation.tokenBudget(docs, 0L).filter(col("verdict") === "keep").count() == 0L)
+    assert(Curation.tokenBudget(docs, 1000000L)
+      .filter(col("verdict") === "keep").count() == 300L)
+  }
+
   test("temperatureSample: sqrt-weighted quotas flatten skew; deterministic; exact arithmetic") {
     // head source: 360 docs × 16 tokens; tail: 40 docs × 4 tokens.
     // Proportional-by-tokens would give the tail 40/(360·16+40·4)·target
