@@ -71,6 +71,7 @@ object Bench {
     "sim_lsh_multi"        -> "s_lm",
     "sim_ivf_topk"         -> "s_ivf",
     "sim_ivf_full_probe"   -> "s_ivff",
+    "sim_ivf_filtered"     -> "s_ivfl",
     "sim_pq_topk"          -> "s_pq",
     "sim_ivfpq_topk"       -> "s_ivfpq",
     "sim_recall"           -> "s_rec",

@@ -610,6 +610,44 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Filtered ANN — top-k among vectors matching a metadata predicate
+    // (label IN (1,3)): the restriction is a PRE-filter composed with
+    // the probed-cell pruning (never a post-filter of ranked results,
+    // which under-fills k). Same centroid-derived oracle as
+    // sim_ivf_topk with the label predicate on the neighbor side.
+    NamedQuery(
+      "sim_ivf_filtered",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist),
+         | assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cell FROM rk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         | scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM probe p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = a.vec_id AND ec.label IN (1, 3))
+         |SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val ivf = cachedIvf(s, dir)
+      Similarity.ivfTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0), k = 5,
+          allowed = Some(emb.filter(col("label").isin(1, 3))))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF with nprobe = cells (probe everything): the result must EQUAL
     // brute-force top-k, which DuckDB computes WITHOUT the persisted
     // centroids — a centroid-independent pin on the IVF machinery (cell

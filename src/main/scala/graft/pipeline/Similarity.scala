@@ -667,7 +667,18 @@ object Similarity {
   /** Probe a prebuilt IVF index (same semantics as `ivfTopK`, minus the
     * per-call training).
     */
-  def ivfTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+  /** `allowed`: optional FILTERED-ANN restriction — a (vec_id) set (or
+    * any DataFrame with a vec_id column) the neighbors must belong to;
+    * the classic "top-k among documents matching a metadata predicate"
+    * serving shape. Applied as a PRE-filter on the corpus side, BEFORE
+    * scoring: it composes with the probed-cell pruning, so a selective
+    * predicate shrinks the rerank set instead of discarding ranked
+    * results post-hoc (post-filtering top-k under-fills the page and
+    * re-probes; pre-filtering is the scale-correct form when the
+    * predicate is index-pushable).
+    */
+  def ivfTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = ivf.assigned.sparkSession
     graft.plans.GraftFunctions.register(spark)
@@ -699,7 +710,9 @@ object Similarity {
           org.apache.spark.sql.Encoders.scalaInt).collect()
         ivf.assigned.filter(col("cell").isin(probedCells.map(Int.box): _*))
       }
-    val scored = corpus.join(broadcast(qs), Seq("cell"))
+    val filtered = allowed.fold(corpus)(a =>
+      corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val scored = filtered.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))

@@ -228,6 +228,31 @@ class PipelineSpec extends SparkSuite {
     assert(probed == direct)
   }
 
+  test("filtered ANN: pre-filter equals brute-force top-k over the allowed subset at full probe") {
+    val emb = (0 until 40).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i % 5) + d) },
+        (i % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val allowed = emb.filter($"label" === 1)
+    val ivf = Similarity.buildIvf(emb.select("vec_id", "embedding"), cells = 4)
+    // full probe removes the recall approximation, isolating the filter:
+    // the result must EQUAL brute-force top-k over only the allowed set
+    val got = Similarity.ivfTopKWith(ivf, queries, k = 3, nprobe = 4,
+        allowed = Some(allowed))
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.topK(allowed.select("vec_id", "embedding"), queries, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // and every neighbor is from the allowed set
+    val allowedIds = allowed.select("vec_id").as[Long].collect().toSet
+    val neighbors = Similarity.ivfTopKWith(ivf, queries, k = 3, nprobe = 2,
+        allowed = Some(allowed))
+      .select("neighbor_id").as[Long].collect()
+    assert(neighbors.nonEmpty && neighbors.forall(allowedIds.contains))
+  }
+
   test("semDedup: drops within-cell near-dups keep-lowest-id; cross-cell pairs untouched") {
     // hand-built assignment pins the semantics: vecs 1,2 are identical in
     // cell 0 (2 drops); vec 3 is identical to them but in cell 1 (keeps —
