@@ -53,7 +53,8 @@ object Plans {
       "ws_count_q" -> "count-only serving, index-only fast path: the count is resolved from plan-time postings, so the PLAN is a one-row LocalRelation — the event store is never in it",
       "cu_temp" -> "temperature-balanced sampling: bounded per-source quota aggregate, then ONE codegen'd narrow filter (hash gate) over the corpus — no join, no shuffle on the data path",
       "cu_budget" -> "per-source token budget: distributed prefix-scan on monotone hash buckets — per-(source,bucket) token totals, below-bucket window over bounded rows, one boundary bucket sorts ~1/buckets of its source; no per-source global sort",
-      "sim_ivf_filtered" -> "filtered ANN: the allowed-set semi-join pre-filters the corpus BEFORE scoring, composed with probed-cell pruning — the rerank set shrinks with predicate selectivity, never post-filtered ranked results")
+      "sim_ivf_filtered" -> "filtered ANN: the allowed-set semi-join pre-filters the corpus BEFORE scoring, composed with probed-cell pruning — the rerank set shrinks with predicate selectivity, never post-filtered ranked results",
+      "ws_infix_q" -> "trigram-accelerated opaque regex: gram IN-list probe of the gram-sorted vocabulary projection + exact plan-time verify plans each infix pattern as a multi-form EQ leaf — the event store is reached only through the candidate IN predicate, never full-scanned")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

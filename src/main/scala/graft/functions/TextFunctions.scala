@@ -115,4 +115,26 @@ object TextFunctions {
       c.endsWith(regex.drop(2))
     else c.rlike("^(?s:" + regex + ")$")
   }
+
+  /** The exact driver-side twin of `jexlMatches` (full-string DOTALL
+    * match) — used by the trigram access path to verify candidate
+    * VOCABULARY values at plan time with precisely the semantics the
+    * residual would apply, so the planner and residual cannot disagree
+    * on a match.
+    */
+  def jexlMatchesStr(value: String, regex: String): Boolean =
+    value != null &&
+      java.util.regex.Pattern.compile(regex, java.util.regex.Pattern.DOTALL)
+        .matcher(value).matches()
+
+  /** Distinct character trigrams of a string column (pg_trgm-style,
+    * without boundary padding): `"column"` → `["col","olu","lum","umn"]`;
+    * strings shorter than 3 chars produce an empty array. Pure built-ins
+    * (`sequence`+`transform`+`substr`) so the derivation stays inside
+    * whole-stage codegen.
+    */
+  def charTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -20,7 +20,8 @@ case class WikiIndex(
     metadata: DataFrame,     // (fieldName, kind, language, normalizer)
     termPostings: DataFrame, // (term, language, partition, docId, tf, offsets)
     storedEvents: Option[DataFrame] = None, // loaded event view, if persisted
-    storedReverse: Option[DataFrame] = None // loaded reverse index, if persisted
+    storedReverse: Option[DataFrame] = None, // loaded reverse index, if persisted
+    storedTrigram: Option[DataFrame] = None // loaded trigram index, if persisted
 ) {
 
   /** The pivoted per-document event view — one row per doc with
@@ -60,6 +61,18 @@ case class WikiIndex(
     storedReverse.getOrElse(
       globalIndex.withColumn("fieldValue", reverse(col("fieldValue"))))
 
+  /** Trigram index over the VOCABULARY (pg_trgm posture): one row per
+    * distinct (fieldName, gram, fieldValue), derived as a projection of
+    * the global index — vocabulary-sized × (len−2), NOT corpus-sized,
+    * because an infix probe only needs to find which indexed VALUES can
+    * match; the values then probe the global index like any EQ leaf.
+    * PERSISTED by `save` sorted on gram so a gram IN-list probe pushes
+    * to the parquet scan; the derived fallback keeps unpersisted (live /
+    * in-memory) indexes queryable.
+    */
+  def trigramIndex: DataFrame =
+    storedTrigram.getOrElse(WikiIndex.deriveTrigrams(globalIndex))
+
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
     termPostings.cache(); events.cache()
@@ -89,6 +102,10 @@ case class WikiIndex(
       .repartition(col("fieldName"))
       .sortWithinPartitions("fieldValue") // sorted by REVERSED value → suffix probes prune
       .write.mode("overwrite").parquet(s"$dir/reverse_index")
+    WikiIndex.deriveTrigrams(globalIndex)
+      .repartition(col("fieldName"))
+      .sortWithinPartitions("gram") // sorted by gram → infix probes prune
+      .write.mode("overwrite").parquet(s"$dir/trigram_index")
     metadata.coalesce(1).write.mode("overwrite").parquet(s"$dir/metadata")
     termPostings
       .repartition(col("partition"))
@@ -109,12 +126,25 @@ object WikiIndex {
     metadata = spark.read.parquet(s"$dir/metadata"),
     termPostings = spark.read.parquet(s"$dir/term_postings"),
     storedEvents = Some(spark.read.parquet(s"$dir/events")),
-    // older saved dirs may predate the persisted reverse index — fall
-    // back to the derived projection
+    // older saved dirs may predate the persisted reverse/trigram indexes
+    // — fall back to the derived projections
     storedReverse =
       try Some(spark.read.parquet(s"$dir/reverse_index"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+    storedTrigram =
+      try Some(spark.read.parquet(s"$dir/trigram_index"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
+
+  /** (fieldName, gram, fieldValue) for every distinct vocabulary value —
+    * the derivation shared by `save` (persisted, gram-sorted) and the
+    * on-the-fly `trigramIndex` fallback.
+    */
+  def deriveTrigrams(globalIndex: DataFrame): DataFrame =
+    globalIndex.select("fieldName", "fieldValue").distinct()
+      .withColumn("gram",
+        explode(graft.functions.TextFunctions.charTrigrams(col("fieldValue"))))
+      .select("fieldName", "gram", "fieldValue")
 }
 
 /** Batch index construction — the Spark shape of the reference's ingest

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *        substitutes `field == null` unconditionally,
   *        AbstractEvaluatingIterator.java:292-301): a term on an
   *        unevaluated field that the index could NOT answer (e.g. an
-  *        opaque mid-string regex, or a NEGATED regex — NRE terms never
-  *        prune) is never checked anywhere — that is the cost of
-  *        declaring a field unevaluated. Index-answerable terms
-  *        (EQ/NE/prefix/suffix/bounded range) stay EXACT even through
-  *        lossy shard fallbacks (fi-style verification).
+  *        opaque mid-string regex with no extractable trigram — gram-
+  *        extractable ones now plan as exact EQ leaves via the trigram
+  *        path — or a NEGATED regex; NRE terms never prune) is never
+  *        checked anywhere — that is the cost of declaring a field
+  *        unevaluated. Index-answerable terms (EQ/NE/prefix/suffix/
+  *        bounded range) stay EXACT even through lossy shard fallbacks
+  *        (fi-style verification).
   */
 case class EngineConfig(
     unevaluatedFields: Set[String] = Set.empty,
@@ -37,7 +39,13 @@ case class EngineConfig(
       * exact residual is the better plan anyway (and the plan-time
       * collect stays bounded by construction).
       */
-    fuzzyExpandMax: Int = 64)
+    fuzzyExpandMax: Int = 64,
+    /** Expansion cap for the trigram-accelerated opaque-regex access
+      * path: beyond this many matching vocabulary values the pattern is
+      * so unselective that the full-scan residual is the better plan
+      * (and the plan-time collect stays bounded by construction).
+      */
+    regexExpandMax: Int = 256)
 
 /** The query engine: parse → plan (access path, SURVEY.md §4.1) →
   * execute (index semi/anti-join DAG or full scan) → pivot + residual
@@ -965,6 +973,64 @@ class WikiSearchEngine(
     */
   private def fuzzyDist(f: FnTerm): Int = Compiler.fuzzyDistOf(f)
 
+  /** Opaque-regex acceleration (pg_trgm / Google-Code-Search posture):
+    * extract the literal runs a full-string match provably requires
+    * (`requiredGrams` — conservative: any construct it cannot model
+    * bails), probe the trigram index for vocabulary values containing
+    * ALL required trigrams, verify each candidate value with the EXACT
+    * residual semantics (`jexlMatchesStr` = full-string DOTALL), and
+    * plan the survivors as a multi-form EQ leaf.
+    *
+    * Like `fuzzyNode` this is sound as an exact rewrite, not just a
+    * superset: a doc the residual accepts has a value whose indexed
+    * form matches the regex; that form is in the vocabulary, contains
+    * every required trigram (a literal run of a matched pattern is a
+    * substring of the value), so the probe finds it and the driver
+    * verify keeps it. Empty expansion is therefore proof of emptiness;
+    * over-cap expansion falls back to the reference's scan behavior.
+    * The probe is a gram IN-list on the gram-sorted trigram parquet
+    * (pushed filters), grouped by value — vocabulary-proportional, never
+    * corpus-proportional; the collect is capped at regexExpandMax+1.
+    */
+  private def trigramNode(field: String, regex: String, an: Analysis): Option[PlanNode] = {
+    val grams = WikiSearchEngine.requiredGrams(regex).getOrElse(return None)
+    // get/put, not computeIfAbsent — same mutex discipline as fuzzyCache.
+    val matched = Option(trigramCache.get((field, regex))).getOrElse {
+      trigramProbeRuns.incrementAndGet()
+      val cand = index.trigramIndex
+        .filter(col("fieldName") === field && col("gram").isin(grams: _*))
+        .groupBy("fieldValue")
+        .agg(count_distinct(col("gram")).as("ng"))
+        .filter(col("ng") === grams.size)
+        .select("fieldValue")
+        .limit(config.regexExpandMax + 1)
+        .collect().map(_.getString(0)).toSeq
+      val verified =
+        if (cand.size > config.regexExpandMax) cand // over cap: keep the marker size
+        else cand.filter(TextFunctions.jexlMatchesStr(_, regex))
+      trigramCache.put((field, regex), verified)
+      verified
+    }
+    if (matched.size > config.regexExpandMax) None
+    else if (matched.isEmpty) Some(EmptyLeaf)
+    else Some(an.eqLeaf(field, matched))
+  }
+
+  /** Driver-side LRU of (field, regex) → verified vocabulary expansion —
+    * the `fuzzyCache` analogue for the trigram access path; hot opaque
+    * regexes plan with zero Spark jobs.
+    */
+  private val trigramCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), Seq[String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Seq[String]]): Boolean =
+          size() > 1024
+      })
+
+  /** Count of cold trigram probe jobs actually run (cache-miss metric). */
+  private[query] val trigramProbeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Driver-side LRU of (field, probe forms, maxDist) → fuzzy
     * vocabulary expansion, so a HOT fuzzy query plans with zero Spark
     * jobs (the termCache analogue for the one other plan-time job).
@@ -1107,7 +1173,14 @@ class WikiSearchEngine(
                 .filter(col("fieldName") === t.field &&
                   col("fieldValue").startsWith(s.reverse)),
               fi(_.endsWith(s))))
-          case Opaque => None // mid-string wildcard: filter-only (RangeCalculator.java:357-420)
+          case Opaque =>
+            // Mid-string wildcard: the reference is filter-only here
+            // (RangeCalculator.java:357-420). Beyond-reference: when the
+            // regex provably requires ≥3-char literal runs, a trigram
+            // probe of the vocabulary turns the infix query into an
+            // exact multi-form EQ leaf; otherwise fall back to the
+            // reference's full-scan residual behavior.
+            trigramNode(t.field, norm, an)
         }
       case _ => None // single-sided ranges handled (fused) at the AND level
     }
@@ -1647,5 +1720,47 @@ object WikiSearchEngine {
     if (re.endsWith(".*") && plain(re.dropRight(2))) Prefix(re.dropRight(2))
     else if (re.startsWith(".*") && plain(re.drop(2))) Suffix(re.drop(2))
     else Opaque
+  }
+
+  /** The character trigrams a full-string match of `re` provably
+    * requires in any matching value, or None when the pattern uses a
+    * construct this conservative tokenizer does not model (classes,
+    * alternation, groups, anchors, quantified literals, class
+    * shorthands) — those fall back to the scan path.
+    *
+    * Modeled grammar: literal chars, escaped metachar literals, and the
+    * wildcard atoms `.`, `.*`, `.+`, `.?`. Under that grammar every
+    * literal char is mandatory, so each maximal literal run is a
+    * required substring of any match, and every trigram of a run ≥3
+    * chars is a required gram. Runs shorter than 3 contribute nothing
+    * (`c.l.mn` stays on the scan path, as before).
+    */
+  def requiredGrams(re: String): Option[Seq[String]] = {
+    val meta = ".+*?[](){}|\\^$"
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur  = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    var i = 0
+    while (i < re.length) {
+      re.charAt(i) match {
+        case '.' => // wildcard atom, optionally quantified: nothing mandatory
+          flush()
+          i += 1
+          if (i < re.length && "*+?".contains(re.charAt(i))) i += 1
+        case '\\' => // escaped metachar → literal; \w-style shorthand → bail
+          if (i + 1 >= re.length) return None
+          val esc = re.charAt(i + 1)
+          if (esc.isLetterOrDigit) return None
+          if (i + 2 < re.length && "*+?{".contains(re.charAt(i + 2))) return None
+          cur.append(esc); i += 2
+        case c if meta.contains(c) => return None // unmodeled construct
+        case c => // a quantifier would make this literal optional/repeated
+          if (i + 1 < re.length && "*+?{".contains(re.charAt(i + 1))) return None
+          cur.append(c); i += 1
+      }
+    }
+    flush()
+    val grams = runs.filter(_.length >= 3).flatMap(_.sliding(3)).distinct.toSeq
+    if (grams.isEmpty) None else Some(grams)
   }
 }
