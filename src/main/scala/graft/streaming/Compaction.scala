@@ -93,19 +93,29 @@ object Compaction {
     * each part's fold is exactly the read path's, so the compacted base
     * is read-equivalent by construction (StreamingSpec asserts it via
     * engine-result equality).
+    *
+    * Tombstones are applied PHYSICALLY here (the read path's
+    * version-ordered mask, then an empty tombstone part in the base):
+    * after compaction no byte of a deleted document remains anywhere in
+    * the store — this is the right-to-be-forgotten eraser the live
+    * delete path defers to.
     */
   def compactEngine(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
+    import LiveEngineMaintainer.{foldGlobal, maskDeleted, tombstoneSet, withVer}
     val parts = LiveEngineMaintainer.Parts
     val through = VersionedState.maxVersion(dir, parts)
     if (through < 0) return -1L
+    def readPart(p: String) = spark.read.parquet(
+      VersionedState.readPaths(dir, parts, Some(p), through): _*)
+    val tombs = tombstoneSet(Some(readPart("tombstones")))
     for (p <- parts) {
-      val unioned = spark.read.parquet(
-        VersionedState.readPaths(dir, parts, Some(p), through): _*)
+      val unioned = readPart(p)
       val folded = p match {
-        case "global"   => IncrementalIndex.mergeAll(unioned)
-        case "metadata" => unioned.distinct()
-        case _          => unioned
+        case "global"     => foldGlobal(withVer(unioned), tombs)
+        case "metadata"   => unioned.distinct()
+        case "tombstones" => unioned.limit(0) // applied above; base is clean
+        case _            => maskDeleted(withVer(unioned), tombs)
       }
       folded.write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")

@@ -28,6 +28,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     A1's contract).
   *   - `metadata` — (field, kind, language, normalizer) catalog rows →
   *     readers union + distinct (a language seen twice is one row).
+  *   - `tombstones` — DELETE markers (`processDeletes`): (partition,
+  *     docId) rows masking every ingest of that doc in an EARLIER
+  *     version. The LSM delete posture (Lucene liveDocs / Accumulo
+  *     delete entries): per-doc parts anti-join the tombstones at read
+  *     scope, version-ordered — a doc RE-ingested after its tombstone
+  *     is alive again — and `Compaction.compactEngine` applies them
+  *     physically (the compacted base carries no trace of a deleted
+  *     document and an empty tombstone part: the right-to-be-forgotten
+  *     eraser). Exact global-index rows also drop deleted uids at fold
+  *     scope so driver-local candidate sets (and the count-only fast
+  *     path, which never touches the event store) stay exact; lossy
+  *     rows keep their count — they are candidate-superset-only and
+  *     every candidate they produce re-verifies against the
+  *     tombstone-filtered event view.
+  *
+  * Row versions for the ordering come from PROVENANCE, not a stored
+  * column: a row's version is the `v<k>`/`c<k>` directory it was read
+  * from (`input_file_name`), so deltas stay byte-identical to a batch
+  * build's tables. (Store-format note: tombstones joined the commit
+  * protocol in round 8 — every version dir must carry all seven parts.)
   *
   * The reverse index is `WikiIndex`'s derived projection over the
   * merged global index (the persisted-sorted form is `save`'s batch
@@ -44,7 +64,9 @@ class LiveEngineMaintainer(
     dir: String,
     numPartitions: Int) {
 
-  private val parts = LiveEngineMaintainer.Parts
+  import LiveEngineMaintainer._
+
+  private val parts = Parts
 
   @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
 
@@ -60,13 +82,14 @@ class LiveEngineMaintainer(
     */
   def latestIndex: Option[WikiIndex] =
     readUnion("docs_fields").map { df =>
+      val tombs = tombstoneSet(readUnion("tombstones"))
       WikiIndex(
-        docsFields = df,
-        documents = readUnion("documents").get,
-        globalIndex = IncrementalIndex.mergeAll(readUnion("global").get),
+        docsFields = maskDeleted(withVer(df), tombs),
+        documents = maskDeleted(withVer(readUnion("documents").get), tombs),
+        globalIndex = foldGlobal(withVer(readUnion("global").get), tombs),
         metadata = readUnion("metadata").get.distinct(),
-        termPostings = readUnion("postings").get,
-        storedEvents = readUnion("events"))
+        termPostings = maskDeleted(withVer(readUnion("postings").get), tombs),
+        storedEvents = readUnion("events").map(e => maskDeleted(withVer(e), tombs)))
     }
 
   private def write(df: DataFrame, path: String): Unit =
@@ -74,22 +97,55 @@ class LiveEngineMaintainer(
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(path)
 
+  private def alreadyCommitted(batchId: Long): Boolean =
+    batchId <= version ||
+      parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists())
+
   /** One micro-batch: build the batch's index tables with the SAME
-    * extraction as batch ingest and write each as this version's delta.
-    * Replay is idempotent (deltas depend only on the batch's rows).
+    * extraction as batch ingest and write each as this version's delta
+    * (plus an empty tombstone part — the commit protocol requires every
+    * part). Replay is idempotent (deltas depend only on the batch's rows).
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= version ||
-        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
-      version = math.max(version, batchId)
+    if (alreadyCommitted(batchId)) version = math.max(version, batchId)
     else {
-      val ix = IndexBuilder.fromDocumentsTable(batch.sparkSession, batch, numPartitions)
+      val s = batch.sparkSession
+      val ix = IndexBuilder.fromDocumentsTable(s, batch, numPartitions)
       write(ix.docsFields, s"$dir/v$batchId/docs_fields")
       write(ix.documents, s"$dir/v$batchId/documents")
       write(ix.globalIndex, s"$dir/v$batchId/global")
       write(ix.termPostings, s"$dir/v$batchId/postings")
       write(ix.events, s"$dir/v$batchId/events")
       write(ix.metadata, s"$dir/v$batchId/metadata")
+      write(emptyTombstones(s), s"$dir/v$batchId/tombstones")
+      version = math.max(version, batchId)
+    }
+  }
+
+  /** One DELETE micro-batch: `deletes` carries a `doc_id` column; this
+    * version's delta is the tombstone rows plus empty doc parts (uniform
+    * commit protocol). A tombstone masks every ingest of that doc in a
+    * version ≤ its own; later re-ingest resurrects the doc. O(|deletes|)
+    * bytes at any corpus size — the store is never rewritten here;
+    * physical erasure happens at `Compaction.compactEngine`.
+    */
+  def processDeletes(deletes: DataFrame, batchId: Long): Unit = {
+    if (alreadyCommitted(batchId)) version = math.max(version, batchId)
+    else {
+      val s = deletes.sparkSession
+      val tomb = deletes
+        .withColumn("partition", pmod(col("doc_id"), lit(numPartitions)).cast("int"))
+        .withColumn("docId", col("doc_id").cast("string"))
+        .select("partition", "docId").distinct()
+      val empty = IndexBuilder.fromDocumentsTable(
+        s, s.createDataFrame(s.sparkContext.emptyRDD[Row], DocumentsSchema), numPartitions)
+      write(empty.docsFields, s"$dir/v$batchId/docs_fields")
+      write(empty.documents, s"$dir/v$batchId/documents")
+      write(empty.globalIndex, s"$dir/v$batchId/global")
+      write(empty.termPostings, s"$dir/v$batchId/postings")
+      write(empty.events, s"$dir/v$batchId/events")
+      write(empty.metadata, s"$dir/v$batchId/metadata")
+      write(tomb, s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
   }
@@ -102,7 +158,7 @@ class LiveEngineMaintainer(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF, batchId)
+        processBatch(batch.toDF(), batchId)
       }
       .start()
 }
@@ -112,5 +168,82 @@ object LiveEngineMaintainer {
     * part's `_SUCCESS` exists. Shared with `Compaction.compactEngine`.
     */
   val Parts: Seq[String] =
-    Seq("docs_fields", "documents", "global", "postings", "events", "metadata")
+    Seq("docs_fields", "documents", "global", "postings", "events", "metadata", "tombstones")
+
+  /** The harness `documents` schema — the delete path needs it to write
+    * schema-preserved empty doc parts.
+    */
+  val DocumentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** Row provenance: the version is the `v<k>`/`c<k>` directory the row
+    * was read from. Keeps the stored deltas schema-identical to a batch
+    * build's tables (no version column on disk).
+    */
+  private[streaming] def withVer(df: DataFrame): DataFrame =
+    df.withColumn("ver",
+      regexp_extract(input_file_name(), "/[vc](\\d+)/", 1).cast("long"))
+
+  /** (docId, tver) pairs, or None when no tombstone exists (the common
+    * case skips the joins entirely).
+    */
+  private[streaming] def tombstoneSet(tombs: Option[DataFrame]): Option[DataFrame] =
+    tombs
+      .map(t => withVer(t).select(col("docId"), col("ver").as("tver")).distinct())
+      .filter(!_.isEmpty)
+
+  /** Version-ordered delete mask for per-doc parts: a row is dead iff
+    * some tombstone for its doc is at the row's version or later. One
+    * hash anti-join keyed on docId; `ver` is provenance-only and dropped.
+    */
+  private[streaming] def maskDeleted(rows: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs match {
+      case None => rows.drop("ver")
+      case Some(t) =>
+        rows.join(t, rows("docId") === t("docId") && rows("ver") <= t("tver"), "left_anti")
+          .drop("ver")
+    }
+
+  /** Merge-on-read fold of the global index under tombstones. EXACT
+    * fragment rows are exploded to uids, masked version-ordered, and
+    * re-grouped (count := live uid count) BEFORE the UidList merge — so
+    * exact candidate sets, and everything derived from them (the
+    * count-only fast path, driver-local IN predicates), never contain a
+    * deleted doc. LOSSY rows pass through unchanged: their count cannot
+    * be decremented (count-only by design) and never needs to be — they
+    * are candidate-superset-only, re-verified against the masked event
+    * view. The explode is bounded by the UidList contract (≤ MAX uids
+    * per exact row), so this costs one extra co-keyed pass over
+    * vocabulary-sized data, only on stores that HAVE tombstones.
+    */
+  private[streaming] def foldGlobal(raw: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs match {
+      case None => IncrementalIndex.mergeAll(raw.drop("ver"))
+      case Some(t) =>
+        val lossy = raw.filter(col("ignore")).drop("ver")
+        val exact = raw.filter(!col("ignore"))
+          .select(col("fieldValue"), col("fieldName"), col("partition"),
+            col("language"), col("ver"), explode(col("uids")).as("docId"))
+        // re-group PER VERSION: the cross-version fold stays mergeAll's
+        // (uids dedup, counts add), identical to the no-tombstone path
+        val live = exact
+          .join(t, exact("docId") === t("docId") && exact("ver") <= t("tver"), "left_anti")
+          .groupBy("fieldValue", "fieldName", "partition", "language", "ver")
+          .agg(array_sort(collect_list(col("docId"))).as("uids"))
+          .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"),
+            size(col("uids")).cast("long").as("count"), col("uids"),
+            lit(false).as("ignore"))
+        IncrementalIndex.mergeAll(live.unionByName(lossy))
+    }
+
+  private[streaming] def emptyTombstones(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("partition", IntegerType), StructField("docId", StringType))))
+  }
 }

@@ -330,6 +330,76 @@ class StreamingSpec extends SparkSuite {
       assert(ids(live2, q) == ids(ref2, q), s"post-compaction ingest: $q")
   }
 
+  test("LiveEngineMaintainer: tombstone deletes mask version-ordered, count exactly, and erase physically at compaction") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-del").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    m.processBatch(df(Seq(
+      (1L, "alpha beta", "en", "s1", 10),
+      (2L, "alpha gamma", "en", "s1", 11),
+      (3L, "beta gamma secret", "en", "s2", 17))), 0L)
+    m.processBatch(df(Seq((4L, "alpha beta gamma", "en", "s2", 16))), 1L)
+    // v2: delete 2 and 3 (9 was never ingested — harmless no-op marker)
+    m.processDeletes(Seq(2L, 9L, 3L).toDF("doc_id"), 2L)
+    // v3: RE-ingest doc 3 with new text — the tombstone (v2) must not
+    // mask rows from a LATER version
+    m.processBatch(df(Seq((3L, "delta alpha", "en", "s2", 11))), 3L)
+
+    val current = Seq(
+      (1L, "alpha beta", "en", "s1", 10),
+      (4L, "alpha beta gamma", "en", "s2", 16),
+      (3L, "delta alpha", "en", "s2", 11))
+    val ref = new WikiSearchEngine(spark,
+      graft.ingest.IndexBuilder.fromDocumentsTable(spark, df(current), 2))
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    val queries = Seq(
+      "TEXT == 'alpha'",          // 2 deleted, others live
+      "TEXT == 'gamma'",          // 2 and OLD 3 dead, 4 lives
+      "TEXT == 'secret'",         // only in deleted doc 3's old body → empty
+      "TEXT == 'delta'",          // only in resurrected doc 3 → {3}
+      "TEXT == 'alpha' and TEXT == 'beta'")
+    def check(live: WikiSearchEngine, tag: String): Unit =
+      for (q <- queries) assert(ids(live, q) == ids(ref, q), s"$tag: $q")
+    val live = new WikiSearchEngine(spark, m.latestIndex.get)
+    check(live, "merge-on-read")
+    assert(ids(live, "TEXT == 'secret'").isEmpty)
+    assert(ids(live, "TEXT == 'delta'") == Set("3"))
+
+    // count-only serving stays EXACT: deleted uids are dropped from the
+    // exact index rows at fold scope, so the zero-job fast path cannot
+    // overcount
+    def cnt(e: WikiSearchEngine, q: String) =
+      e.countDocs(q).collect()(0).getLong(0)
+    for (q <- queries)
+      assert(cnt(live, q) == ids(ref, q).size.toLong, s"count: $q")
+
+    // compaction applies tombstones PHYSICALLY: serving is unchanged,
+    // the base's tombstone part is empty, and no byte of the deleted
+    // body survives in any base file
+    assert(Compaction.compactEngine(spark, dir) == 3L)
+    val rec = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    check(new WikiSearchEngine(spark, rec.latestIndex.get), "compacted")
+    assert(spark.read.parquet(s"$dir/c3/tombstones").isEmpty)
+    val baseDocs = spark.read.parquet(s"$dir/c3/documents")
+      .select(unbase64(col("textB64")).cast("string").as("t"))
+      .collect().map(_.getString(0))
+    assert(!baseDocs.exists(_.contains("secret")))
+    assert(spark.read.parquet(s"$dir/c3/global")
+      .filter(col("fieldValue") === "secret").isEmpty)
+    assert(spark.read.parquet(s"$dir/c3/documents")
+      .filter(col("docId") === "2").isEmpty)
+
+    // deletes keep working after compaction (tombstone v4 masks base
+    // rows, whose provenance version is the base's c3)
+    rec.processDeletes(Seq(4L).toDF("doc_id"), 4L)
+    val live4 = new WikiSearchEngine(spark, rec.latestIndex.get)
+    assert(ids(live4, "TEXT == 'gamma'").isEmpty) // only doc 4 carried gamma
+    assert(ids(live4, "TEXT == 'alpha'") == Set("1", "3"))
+  }
+
   test("LiveAnnMaintainer: incremental assignment under frozen centroids equals batch assignment") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
