@@ -41,14 +41,17 @@ object Bench {
     "ws_knear_q"           -> "ws_kq",
     "ws_onear_q"           -> "ws_oq",
     "ws_live_q"            -> "ws_lq",
+    "ws_del_q"             -> "ws_dq",
     "ws_count_q"           -> "ws_ct",
     "ws_page_q"            -> "ws_pg",
+    "ws_infix_q"           -> "ws_ix",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",
     "ws_postings"          -> "ws_po",
     "ws_facets"            -> "ws_fa",
     "ws_bm25"              -> "ws_bm",
+    "ws_mlt_q"             -> "ws_ml",
     "ws_msnip"             -> "ws_ms",
     "ws_psnip"             -> "ws_ps",
     "ws_snip"              -> "ws_sn",

@@ -136,6 +136,18 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     ("application/json", service.fuzzy(term.trim, limit, authsOf(params)))
   })
 
+  //  - `GET /mlt?doc=655&limit=N&auths=…` → more-like-this: documents
+  //    sharing vocabulary with the source doc, rarity-weighted,
+  //    best-first, as JSON
+  server.createContext("/mlt", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val doc = params.getOrElse("doc",
+      throw new IllegalArgumentException("missing required parameter: doc"))
+    if (doc.trim.isEmpty) throw new IllegalArgumentException("doc is empty")
+    val limit = intParam(params, "limit", default = 10, min = 1, max = 10000)
+    ("application/json", service.moreLikeThis(doc.trim, limit, authsOf(params)))
+  })
+
   server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
     val params = queryParams(ex)
     val (q, auths) = queryAndAuths(params)

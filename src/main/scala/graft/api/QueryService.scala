@@ -172,6 +172,17 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** More-like-this (`WikiSearchEngine.moreLikeThis`): the top-`limit`
+    * documents sharing vocabulary with the source doc, rarity-weighted
+    * (integer scores — see the engine scaladoc), best-first.
+    */
+  def moreLikeThis(docId: String, limit: Int = 10, auths: Seq[String] = Nil): String = {
+    val rows = engine.moreLikeThis(docId, limit, auths = auths).collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Long]("score")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Facet counts for a query's hit set (`WikiSearchEngine.facets`) as
     * a JSON array; a null facet value (document missing the field)
     * serializes as JSON null.

@@ -388,6 +388,42 @@ class WikiSearchEngine(
       .select(col("docId"), col("language"), col("score"))
   }
 
+  /** More-like-this: the top-`k` documents sharing vocabulary with a
+    * SOURCE document (Lucene's MoreLikeThis serving shape), scored by
+    * rarity-weighted coordination — each shared DISTINCT term
+    * contributes `N − df(term)`, the integer idf surrogate, so rare
+    * shared terms dominate stopwords while the score stays EXACT
+    * integer arithmetic (portable to any oracle; the float-scored
+    * analogue is `rank(sourceTerms…)`). The source document itself is
+    * excluded.
+    *
+    * Plan shape: the source's distinct terms (≤ its vocabulary, tiny)
+    * broadcast into the postings filter; df aggregates only those
+    * terms' postings; one keyed sum per candidate; the top-k is a
+    * bounded TakeOrderedAndProject. No driver-side collect anywhere,
+    * and `auths` restricts candidates, df AND N (same visibility model
+    * as `rank`).
+    */
+  def moreLikeThis(docId: String, k: Int,
+      tieBreak: Column = col("docId"),
+      auths: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val posts = langAuth(auths)(index.termPostings)
+    val srcTerms = posts.filter(col("docId") === docId).select("term").distinct()
+    val nDf = langAuth(auths)(index.documents)
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tf = posts.join(broadcast(srcTerms), "term")
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDf))
+      .filter(col("docId") =!= docId)
+      .groupBy("partition", "language", "docId")
+      .agg(sum(col("n") - col("df")).cast("long").as("score"))
+      .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
+      .limit(k)
+      .select(col("docId"), col("language"), col("score"))
+  }
+
   private def bm25Scored(terms: Seq[String], k1: Double, b: Double,
       tokenizer: Column => Column, auths: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "rank() needs at least one term")

@@ -782,6 +782,36 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("gid"), col("sum_qty"), col("n"))
         .orderBy("gid", "returnflag", "linestatus")
+    },
+
+    // -- q32: UNPIVOT — wide-to-long reshaping (q28's inverse) ------------
+    // Spark's unpivot plans as an Expand (4 output rows per input, no
+    // join, no extra shuffle); the downstream aggregation is partial-
+    // aggregable as usual, so the only wide op is the final groupBy —
+    // the shape that holds at any corpus size. The oracle states the
+    // same semantics as a UNION ALL of one SELECT per measure.
+    NamedQuery(
+      "q32_unpivot",
+      """SELECT l_returnflag AS returnflag, measure,
+        |  CAST(CAST(sum(CAST(val AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(dsum(col("val")).cast("decimal(18,2)").cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag").as("returnflag"), col("measure"),
+          col("total"), col("n"))
+        .orderBy("returnflag", "measure")
     }
   )
 }

@@ -91,6 +91,28 @@ object SearchQueries {
       new WikiSearchEngine(s, m.latestIndex.get)
     })
 
+  /** An engine served from a live store WITH tombstone deletes: two
+    * ingest batches (doc_id%3 ∈ {0,1}), a delete batch tombstoning
+    * doc_id%7==2, then a LATE ingest batch (doc_id%3==2). The docs that
+    * stay deleted are exactly %7==2 ∧ %3≠2 — the %7==2 ∧ %3==2 ones
+    * arrive AFTER their tombstone and must be alive, so the oracle
+    * encodes the LSM version-ordering rule, not just set subtraction.
+    * Deltas deliberately UNcompacted (the masking read path is what
+    * `ws_del_q` gates; physical erasure is StreamingSpec's half).
+    */
+  private val liveDelCache = TrieMap.empty[String, WikiSearchEngine]
+  def liveDeleteEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    liveDelCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-del").toString
+      val m = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions)
+      m.processBatch(docs.filter(col("doc_id") % 3 === 0), 0L)
+      m.processBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+      m.processDeletes(docs.filter(col("doc_id") % 7 === 2).select("doc_id"), 2L)
+      m.processBatch(docs.filter(col("doc_id") % 3 === 2), 3L)
+      new WikiSearchEngine(s, m.latestIndex.get)
+    })
+
   /** Engine results → (doc_id, language) for the driver compare. */
   private def ids(df: DataFrame): DataFrame =
     df.select(col("docId").cast("bigint").as("doc_id"), col("language"))
@@ -161,6 +183,15 @@ object SearchQueries {
     q("ws_q11_regex_scan",
       "TEXT =~ 'c.l.mn'",
       s"len(list_filter($toks, x -> regexp_matches(x, '^c.l.mn$$'))) > 0"),
+
+    // trigram-accelerated opaque regexes (beyond-reference): both terms
+    // carry ≥3-char mandatory literal runs, so each plans as an exact
+    // vocabulary-verified EQ leaf instead of a full scan — composed
+    // under AND to exercise the leaves inside the boolean DAG
+    q("ws_infix_q",
+      "TEXT =~ 'cust.mer' and TEXT =~ '.*erge.*'",
+      s"len(list_filter($toks, x -> regexp_matches(x, '^cust.mer$$'))) > 0" +
+        s" AND len(list_filter($toks, x -> x LIKE '%erge%')) > 0"),
 
     // S11/A5 — the global index itself: per-term document frequency
     NamedQuery(
@@ -325,6 +356,29 @@ object SearchQueries {
         .orderBy("rank")
     },
 
+    // Beyond-reference: more-like-this — top-k documents sharing
+    // vocabulary with a source doc, scored by rarity-weighted
+    // coordination (each shared distinct term contributes N − df, an
+    // integer idf surrogate — exact integer arithmetic, so the oracle
+    // is bit-portable where a float tf-idf sum would hinge on
+    // association order). Bench: ws_ml.
+    NamedQuery(
+      "ws_mlt_q",
+      s"""WITH tf AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
+         |src AS (SELECT DISTINCT term FROM tf WHERE doc_id = 101),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, SUM(n.n - df.df) AS score
+         |  FROM tf JOIN src USING (term) JOIN df USING (term) CROSS JOIN n
+         |  WHERE tf.doc_id <> 101 GROUP BY tf.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .moreLikeThis("101", 25, tieBreak = col("docId").cast("bigint"))
+        .select(col("docId").cast("bigint").as("doc_id"), col("score"))
+    },
+
     // Beyond-reference: facet counts over a query's result set — the
     // standard search-results sidebar (result count per metadata value).
     // Engine hits (a bounded candidate set) broadcast-join back to the
@@ -425,6 +479,20 @@ object SearchQueries {
          |         len(list_filter(pa, q -> q >= s AND q <= s + 4)) > 0)) > 0)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       ids(liveEngine(s, dir).run("TEXT == 'spark' and f:near(TEXT, 4, 'hash', 'join')"))
+    },
+
+    // LIVE-store DELETES on the correctness gate: tombstoned docs must
+    // vanish from serving, EXCEPT those re-ingested after their
+    // tombstone (version-ordered masking — see liveDeleteEngine). The
+    // oracle is fully declarative: the stayed-deleted set is
+    // %7==2 ∧ %3≠2 by construction of the batch/delete schedule.
+    NamedQuery(
+      "ws_del_q",
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE list_contains($toks, 'vector') AND list_contains($toks, 'stream')
+         |  AND NOT (doc_id % 7 = 2 AND doc_id % 3 <> 2)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(liveDeleteEngine(s, dir).run("TEXT == 'vector' and TEXT == 'stream'"))
     },
 
     // k-term windowed proximity composed INSIDE the query language —

@@ -211,6 +211,17 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/rank?terms=abacus&after_score=xyz&after_id=655")._1 == 400)
   }
 
+  test("/mlt ranks related documents, excludes the source, and is auths-gated") {
+    val (status, ct, body) = get("/mlt?doc=655&limit=3&auths=enwiki")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.startsWith("""[{"rank":1,"""))
+    assert(body.contains("\"score\":"))
+    assert(!body.contains("\"id\":\"655\"")) // source excluded
+    assert(get("/mlt?doc=655&auths=frwiki")._3 == "[]") // visibility
+    assert(get("/mlt")._1 == 400)           // missing doc
+    assert(get("/mlt?doc=%20")._1 == 400)   // blank doc
+  }
+
   test("/facets counts the hit set per field value") {
     val (status, ct, body) = get(s"/facets?$q&field=TITLE")
     assert(status == 200 && ct.startsWith("application/json"))

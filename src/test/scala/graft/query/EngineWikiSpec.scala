@@ -216,6 +216,26 @@ class EngineWikiSpec extends SparkSuite {
     assert(got == Map("1" -> "b c d e f", "2" -> "d x y"))
   }
 
+  test("moreLikeThis: rarity-weighted overlap ranking, source excluded, auths respected") {
+    import spark.implicits._
+    // vocab df: a→3 docs, b→2, c→1, z→1; N=4
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L),   // source
+      (2L, "a b", "en", "s", 3L),     // shares a,b → (4-3)+(4-2)=3
+      (3L, "a", "en", "s", 1L),       // shares a   → 1
+      (4L, "z", "en", "s", 1L))       // shares none → absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
+    val got = eng.moreLikeThis("1", 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("2", 3L), ("3", 1L)))
+    // k bounds the result (TakeOrderedAndProject semantics)
+    assert(eng.moreLikeThis("1", 1).collect().map(_.getString(0)).toSeq == Seq("2"))
+    // visibility: wrong auths see nothing
+    assert(eng.moreLikeThis("1", 10, auths = Seq("de")).collect().isEmpty)
+  }
+
   test("snippets: one window per (doc, matched term), one tokenize per doc") {
     import spark.implicits._
     val docs = Seq(
