@@ -69,20 +69,35 @@ object Compaction {
     through
   }
 
-  /** Compact the ANN maintainer's assignment deltas at `dir` (pure
-    * concatenation — assignments are additive; the frozen codebook at
-    * `<dir>/centroids` is store-level state, untouched).
+  /** Compact the ANN maintainer's assignment deltas at `dir`
+    * (concatenation with tombstones applied PHYSICALLY — same
+    * right-to-be-forgotten contract as `compactEngine`; the frozen
+    * codebook at `<dir>/centroids` is store-level state, untouched).
     */
   def compactAnn(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
     val parts = LiveAnnMaintainer.Parts
     val through = VersionedState.maxVersion(dir, parts)
     if (through < 0) return -1L
-    for (p <- parts)
-      spark.read.parquet(VersionedState.readPaths(dir, parts, Some(p), through): _*)
-        .write.mode("overwrite")
+    def readPart(p: String) = spark.read.parquet(
+      VersionedState.readPaths(dir, parts, Some(p), through): _*)
+    val tombs = VersionedState.tombstoneSet(
+      VersionedState.readPaths(dir, parts, Some("tombstones"), through) match {
+        case Nil => None
+        case _   => Some(readPart("tombstones"))
+      }, "vec_id")
+    for (p <- parts) {
+      val unioned = readPart(p)
+      val folded = p match {
+        case "assigned" =>
+          VersionedState.maskDeleted(VersionedState.withVer(unioned), tombs, "vec_id")
+        case "tombstones" => unioned.limit(0) // applied above; base is clean
+        case _            => unioned
+      }
+      folded.write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
         .parquet(s"$dir/c$through/$p")
+    }
     if (deleteSubsumed) sweep(dir, parts, through)
     through
   }

@@ -49,13 +49,22 @@ class LiveAnnMaintainer(
   }
 
   /** The queryable IVF index at the latest committed version — feed it
-    * to `Similarity.ivfTopKWith`.
+    * to `Similarity.ivfTopKWith`. Tombstoned vectors are masked
+    * version-ordered (the engine store's delete posture, keyed on
+    * vec_id): a vector re-embedded AFTER its tombstone serves again.
     */
   def latestIndex: Option[IvfIndex] =
     centroids.flatMap { cents =>
       val ps = VersionedState.readPaths(dir, parts, Some("assigned"), version)
       if (ps.isEmpty) None
-      else Some(IvfIndex(cents, spark.read.parquet(ps: _*)))
+      else {
+        val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
+        val tombs = VersionedState.tombstoneSet(
+          if (tombPs.isEmpty) None else Some(spark.read.parquet(tombPs: _*)), "vec_id")
+        Some(IvfIndex(cents,
+          VersionedState.maskDeleted(
+            VersionedState.withVer(spark.read.parquet(ps: _*)), tombs, "vec_id")))
+      }
     }
 
   /** One micro-batch of embeddings (vec_id, embedding). The first
@@ -83,6 +92,28 @@ class LiveAnnMaintainer(
         .write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
         .parquet(s"$dir/v$batchId/assigned")
+      write(LiveAnnMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
+      version = math.max(version, batchId)
+    }
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(path)
+
+  /** One DELETE micro-batch: `deletes` carries a `vec_id` column. Same
+    * LSM contract as the engine store — O(|deletes|) tombstone bytes,
+    * masking at read scope, physical removal at `Compaction.compactAnn`,
+    * re-embedding after the tombstone resurrects the vector.
+    */
+  def processDeletes(deletes: DataFrame, batchId: Long): Unit = {
+    if (batchId <= version ||
+        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+      version = math.max(version, batchId)
+    else {
+      write(LiveAnnMaintainer.emptyAssigned(spark), s"$dir/v$batchId/assigned")
+      write(deletes.select("vec_id").distinct(), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
   }
@@ -101,8 +132,27 @@ class LiveAnnMaintainer(
 }
 
 object LiveAnnMaintainer {
-  /** One additive part per version; the codebook is store-level state,
-    * not versioned (frozen by design).
+  /** Assignment deltas + delete markers per version; the codebook is
+    * store-level state, not versioned (frozen by design).
     */
-  val Parts: Seq[String] = Seq("assigned")
+  val Parts: Seq[String] = Seq("assigned", "tombstones")
+
+  private[streaming] def emptyTombstones(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("vec_id", LongType))))
+  }
+
+  /** Schema-preserved empty `assigned` delta (the delete path writes
+    * one so the commit protocol stays uniform across version kinds).
+    */
+  private[streaming] def emptyAssigned(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("cell", IntegerType),
+        StructField("nrm", DoubleType))))
+  }
 }

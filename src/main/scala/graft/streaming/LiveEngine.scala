@@ -181,33 +181,18 @@ object LiveEngineMaintainer {
       StructField("n_chars", LongType)))
   }
 
-  /** Row provenance: the version is the `v<k>`/`c<k>` directory the row
-    * was read from. Keeps the stored deltas schema-identical to a batch
-    * build's tables (no version column on disk).
+  /** Provenance versioning and version-ordered masking are the shared
+    * LSM-delete machinery in `VersionedState` (the ANN maintainer uses
+    * the same, keyed on vec_id).
     */
   private[streaming] def withVer(df: DataFrame): DataFrame =
-    df.withColumn("ver",
-      regexp_extract(input_file_name(), "/[vc](\\d+)/", 1).cast("long"))
+    VersionedState.withVer(df)
 
-  /** (docId, tver) pairs, or None when no tombstone exists (the common
-    * case skips the joins entirely).
-    */
   private[streaming] def tombstoneSet(tombs: Option[DataFrame]): Option[DataFrame] =
-    tombs
-      .map(t => withVer(t).select(col("docId"), col("ver").as("tver")).distinct())
-      .filter(!_.isEmpty)
+    VersionedState.tombstoneSet(tombs, "docId")
 
-  /** Version-ordered delete mask for per-doc parts: a row is dead iff
-    * some tombstone for its doc is at the row's version or later. One
-    * hash anti-join keyed on docId; `ver` is provenance-only and dropped.
-    */
   private[streaming] def maskDeleted(rows: DataFrame, tombs: Option[DataFrame]): DataFrame =
-    tombs match {
-      case None => rows.drop("ver")
-      case Some(t) =>
-        rows.join(t, rows("docId") === t("docId") && rows("ver") <= t("tver"), "left_anti")
-          .drop("ver")
-    }
+    VersionedState.maskDeleted(rows, tombs, "docId")
 
   /** Merge-on-read fold of the global index under tombstones. EXACT
     * fragment rows are exploded to uids, masked version-ordered, and

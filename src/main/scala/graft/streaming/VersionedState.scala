@@ -66,4 +66,42 @@ private[streaming] object VersionedState {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }
+
+  // ---- LSM delete masking (shared by the engine and ANN maintainers) ----
+
+  /** Row provenance: a row's version is the `v<k>`/`c<k>` directory it
+    * was read from (`input_file_name`) — no version column on disk, so
+    * deltas stay schema-identical to batch-built tables.
+    */
+  def withVer(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("ver",
+      regexp_extract(input_file_name(), "/[vc](\\d+)/", 1).cast("long"))
+  }
+
+  /** (key, tver) tombstone pairs, or None when no tombstone exists (the
+    * common case skips the joins entirely).
+    */
+  def tombstoneSet(tombs: Option[org.apache.spark.sql.DataFrame], key: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    tombs
+      .map(t => withVer(t).select(col(key), col("ver").as("tver")).distinct())
+      .filter(!_.isEmpty)
+  }
+
+  /** Version-ordered delete mask: a row is dead iff some tombstone for
+    * its key is at the row's version or later (so re-ingest after a
+    * tombstone resurrects). One hash anti-join; `ver` is
+    * provenance-only and dropped.
+    */
+  def maskDeleted(rows: org.apache.spark.sql.DataFrame,
+      tombs: Option[org.apache.spark.sql.DataFrame], key: String)
+      : org.apache.spark.sql.DataFrame =
+    tombs match {
+      case None => rows.drop("ver")
+      case Some(t) =>
+        rows.join(t, rows(key) === t(key) && rows("ver") <= t("tver"), "left_anti")
+          .drop("ver")
+    }
 }

@@ -439,6 +439,45 @@ class StreamingSpec extends SparkSuite {
     assert(topk(recovered.latestIndex.get) == topk(ref2))
   }
 
+  test("LiveAnnMaintainer: vector tombstones mask version-ordered and erase at compaction") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-ann-del").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val vecs = (0L until 20L).map(i => (i, vec()))
+    val m = new LiveAnnMaintainer(spark, dir, cells = 4, iters = 2)
+    m.processBatch(vecs.take(10).toDF("vec_id", "embedding"), 0L)
+    m.processBatch(vecs.drop(10).toDF("vec_id", "embedding"), 1L)
+    // v2: delete 3, 7, 15; v3: RE-embed 7 (new vector — must resurrect)
+    m.processDeletes(Seq(3L, 7L, 15L).toDF("vec_id"), 2L)
+    val re7 = (7L, vec())
+    m.processBatch(Seq(re7).toDF("vec_id", "embedding"), 3L)
+
+    val cents = m.centroids.get
+    val liveVecs = vecs.filterNot(v => Set(3L, 7L, 15L)(v._1)) :+ re7
+    val ref = Similarity.IvfIndex(cents,
+      Similarity.assignIvf(cents, liveVecs.toDF("vec_id", "embedding")))
+    val queries = (1000L until 1004L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    def topk(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKWith(ix, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = topk(ref)
+    assert(topk(m.latestIndex.get) == want && want.nonEmpty)
+    // the served store holds exactly the live vec_ids
+    assert(m.latestIndex.get.assigned.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == liveVecs.map(_._1).toSet)
+
+    // compaction: physical erasure, clean tombstone part, serving intact
+    assert(Compaction.compactAnn(spark, dir) == 3L)
+    assert(spark.read.parquet(s"$dir/c3/tombstones").isEmpty)
+    assert(spark.read.parquet(s"$dir/c3/assigned").filter(col("vec_id").isin(3L, 15L)).isEmpty)
+    val recovered = new LiveAnnMaintainer(spark, dir, cells = 4)
+    assert(topk(recovered.latestIndex.get) == want)
+    // deletes keep working against the compacted base
+    recovered.processDeletes(Seq(0L).toDF("vec_id"), 4L)
+    assert(recovered.latestIndex.get.assigned.filter(col("vec_id") === 0L).isEmpty)
+  }
+
   test("LiveIndexMaintainer commits recoverable snapshots even when _SUCCESS markers are disabled globally") {
     // Object-store deployments commonly set this conf false session-wide;
     // the maintainer's commit protocol keys on _SUCCESS, so it must force
