@@ -46,25 +46,37 @@ object Compaction {
   }
 
   /** Compact the near-dup maintainer's additive parts at `dir` through
-    * the newest committed version (per-batch `verdicts/` history is
-    * per-batch output, not corpus state — untouched).
+    * the newest committed version, applying doc tombstones PHYSICALLY
+    * (per-batch `verdicts/` history is per-batch output, not corpus
+    * state — untouched).
     */
   def compactDedup(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
     val parts = LiveNearDupMaintainer.Parts
     val through = VersionedState.maxVersion(dir, parts)
     if (through < 0) return -1L
-    // Stage under a temp name, then commit parts into place: c<through>
-    // must never be listable as committed while half-written, and
-    // `committed` requires EVERY part's marker — writing parts directly
-    // is safe, but reading subsumed dirs while also writing the base
-    // from them is not a conflict either (parquet reads are immutable
-    // snapshots of the file listing at plan time).
-    for (p <- parts)
-      spark.read.parquet(VersionedState.readPaths(dir, parts, Some(p), through): _*)
-        .write.mode("overwrite")
+    def readPart(p: String) = spark.read.parquet(
+      VersionedState.readPaths(dir, parts, Some(p), through): _*)
+    val tombs = VersionedState.tombstoneSet(
+      VersionedState.readPaths(dir, parts, Some("tombstones"), through) match {
+        case Nil => None
+        case _   => Some(readPart("tombstones"))
+      }, "doc_id")
+    // Reading subsumed dirs while writing the base from them is not a
+    // conflict (parquet reads are immutable snapshots of the file
+    // listing at plan time), and `committed` requires EVERY part's
+    // marker, so a half-written c<through> is never listable.
+    for (p <- parts) {
+      val unioned = readPart(p)
+      val folded = p match {
+        case "tombstones" => unioned.limit(0) // applied below; base is clean
+        case _ =>
+          VersionedState.maskDeleted(VersionedState.withVer(unioned), tombs, "doc_id")
+      }
+      folded.write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
         .parquet(s"$dir/c$through/$p")
+    }
     if (deleteSubsumed) sweep(dir, parts, through)
     through
   }

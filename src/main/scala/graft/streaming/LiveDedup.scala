@@ -61,8 +61,21 @@ class LiveNearDupMaintainer(
     if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
   }
 
-  /** The KEPT corpus (deduped documents): union of committed deltas. */
-  def latest: Option[DataFrame] = readUnion("docs", version)
+  /** Tombstone-masked read of a doc-keyed part (docs/sets/bands): the
+    * same version-ordered LSM masking as the engine/ANN stores, keyed
+    * on doc_id — a deleted corpus doc stops matching future batches,
+    * and a re-ingest after its tombstone re-enters dedup as fresh.
+    */
+  private def readMasked(part: String, upTo: Long): Option[DataFrame] = {
+    val tombs = VersionedState.tombstoneSet(readUnion("tombstones", upTo), "doc_id")
+    readUnion(part, upTo).map(df =>
+      VersionedState.maskDeleted(VersionedState.withVer(df), tombs, "doc_id"))
+  }
+
+  /** The KEPT corpus (deduped documents): union of committed deltas,
+    * minus tombstoned docs.
+    */
+  def latest: Option[DataFrame] = readMasked("docs", version)
 
   def latestVersion: Long = version
 
@@ -110,8 +123,8 @@ class LiveNearDupMaintainer(
       val baseV = baseVersionFor(batchId)
       val setsNew = Dedup.shingleSets(b, shingleN).cache()
       val bandsNew = Dedup.minhashBands(setsNew, bands).cache()
-      val setsOld = readUnion("sets", baseV).getOrElse(setsNew.limit(0))
-      val bandsOld = readUnion("bands", baseV).getOrElse(bandsNew.limit(0))
+      val setsOld = readMasked("sets", baseV).getOrElse(setsNew.limit(0))
+      val bandsOld = readMasked("bands", baseV).getOrElse(bandsNew.limit(0))
       val pairs = Dedup.minhashPairsFromParts(
         setsOld, bandsOld, setsNew, bandsNew, tau)
 
@@ -142,16 +155,46 @@ class LiveNearDupMaintainer(
         s"$dir/v$batchId/bands")
       write(b.join(dropIds, Seq("doc_id"), "left_anti"),
         s"$dir/v$batchId/docs")
+      write(LiveNearDupMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
       Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
+      version = math.max(version, batchId)
+    }
+  }
+
+  /** One DELETE micro-batch: `deletes` carries a `doc_id` column. The
+    * corpus-state contract of the other stores — O(|deletes|) tombstone
+    * bytes; the doc's text AND its LSH artifacts (sets/bands) stop
+    * matching at read scope; physical removal at
+    * `Compaction.compactDedup`. Already-written verdicts are history
+    * (per-batch output), untouched.
+    */
+  def processDeletes(deletes: DataFrame, batchId: Long): Unit = {
+    if (batchId <= version ||
+        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+      version = math.max(version, batchId)
+    else {
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], LiveEngineMaintainer.DocumentsSchema)
+      write(emptyDocs, s"$dir/v$batchId/docs")
+      write(Dedup.shingleSets(emptyDocs, shingleN), s"$dir/v$batchId/sets")
+      write(Dedup.minhashBands(Dedup.shingleSets(emptyDocs, shingleN), bands),
+        s"$dir/v$batchId/bands")
+      write(deletes.select("doc_id").distinct(), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
   }
 }
 
 object LiveNearDupMaintainer {
-  /** The three additive state parts of a committed version: kept docs,
-    * their shingle-hash sets (verify side), their minhash band table
-    * (candidate side). Shared with `Compaction`.
+  /** The additive state parts of a committed version: kept docs, their
+    * shingle-hash sets (verify side), their minhash band table
+    * (candidate side), plus delete markers. Shared with `Compaction`.
     */
-  val Parts: Seq[String] = Seq("docs", "sets", "bands")
+  val Parts: Seq[String] = Seq("docs", "sets", "bands", "tombstones")
+
+  private[streaming] def emptyTombstones(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", LongType))))
+  }
 }

@@ -277,6 +277,40 @@ class StreamingSpec extends SparkSuite {
       Set(1L, 3L, 5L, 8L))
   }
 
+  test("LiveNearDupMaintainer: doc tombstones unblock future twins and erase at compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-dedup-del").toString
+    val m = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    m.processBatch(df(Seq(
+      (1L, s"$base again", "en", "s", 0),
+      (3L, "completely different text about spark structured streaming watermarks entirely", "en", "s", 0))), 0L)
+    // twin of kept corpus doc 1 → drops while 1 is alive
+    m.processBatch(df(Seq((4L, s"$base also", "en", "s", 0))), 1L)
+    assert(m.verdictsFor(1).as[(Long, String)].collect().toMap == Map(4L -> "drop"))
+    // v2: forget doc 1 — its text AND its LSH artifacts must stop
+    // matching, so a later twin KEEPS (the corpus no longer holds it)
+    m.processDeletes(Seq(1L).toDF("doc_id"), 2L)
+    assert(m.latest.get.select("doc_id").as[Long].collect().toSet == Set(3L))
+    m.processBatch(df(Seq((9L, s"$base anew", "en", "s", 0))), 3L)
+    assert(m.verdictsFor(3).as[(Long, String)].collect().toMap == Map(9L -> "keep"))
+    assert(m.latest.get.select("doc_id").as[Long].collect().toSet == Set(3L, 9L))
+
+    // compaction erases doc 1 physically from every part
+    assert(Compaction.compactDedup(spark, dir) == 3L)
+    assert(spark.read.parquet(s"$dir/c3/tombstones").isEmpty)
+    for (p <- Seq("docs", "sets", "bands"))
+      assert(spark.read.parquet(s"$dir/c3/$p").filter(col("doc_id") === 1L).isEmpty, p)
+    val recovered = new LiveNearDupMaintainer(spark, dir, tau = 0.6)
+    assert(recovered.latest.get.select("doc_id").as[Long].collect().toSet == Set(3L, 9L))
+    // and the corpus keeps deduping against the post-delete state: a
+    // twin of the RE-KEPT doc 9 drops
+    recovered.processBatch(df(Seq((12L, s"$base redux", "en", "s", 0))), 4L)
+    assert(recovered.verdictsFor(4).as[(Long, String)].collect().toMap == Map(12L -> "drop"))
+  }
+
   test("LiveEngineMaintainer: the streamed store serves the full query language like a batch build") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-live-engine").toString
