@@ -50,6 +50,7 @@ object Bench {
     "ws_content_fetch"     -> "ws_cf",
     "ws_postings"          -> "ws_po",
     "ws_facets"            -> "ws_fa",
+    "ws_hist_q"            -> "ws_hg",
     "ws_bm25"              -> "ws_bm",
     "ws_mlt_q"             -> "ws_ml",
     "ws_msnip"             -> "ws_ms",

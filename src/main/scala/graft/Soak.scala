@@ -20,7 +20,7 @@ object Soak {
       .filter(_.matches("[a-z0-9]+")).sorted
     val rnd = new scala.util.Random(99)
     def word() = vocab(rnd.nextInt(vocab.length))
-    def leaf(): String = rnd.nextInt(10) match {
+    def leaf(): String = rnd.nextInt(11) match {
       case 0 | 1 => s"TEXT == '${word()}'"
       case 2     => s"TEXT != '${word()}'"
       case 3     => s"SOURCE == 'src${1 + rnd.nextInt(4)}'"
@@ -29,7 +29,14 @@ object Soak {
       case 6     => s"TEXT =~ '${word().take(3)}.*'"
       case 7     => s"TEXT =~ '.*${word().takeRight(3)}'"
       case 8     => s"f:between(NCHARS, ${rnd.nextInt(200)}, ${200 + rnd.nextInt(400)})"
-      case 9 => rnd.nextInt(2) match {
+      case 9 => // opaque INFIX regex through the trigram access path,
+        // verified against the scan residual's jexlMatches semantics
+        val w = word()
+        if (w.length >= 4) {
+          val start = rnd.nextInt(w.length - 3)
+          s"TEXT =~ '.*${w.substring(start, start + 3 + rnd.nextInt(w.length - start - 2))}.*'"
+        } else s"TEXT == '$w'"
+      case 10 => rnd.nextInt(2) match {
         case 0 => s"TEXT != '${100 + rnd.nextInt(900)}'"
         case _ => // random 1-edit typo through the f:fuzzy plan expansion
           val w = word()

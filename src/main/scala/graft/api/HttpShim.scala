@@ -136,6 +136,26 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     ("application/json", service.fuzzy(term.trim, limit, authsOf(params)))
   })
 
+  //  - `GET /histogram?query=…&field=NCHARS&lo=0&width=100&buckets=10`
+  //    → numeric range-facet counts over the hit set, as JSON
+  server.createContext("/histogram", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val (q, auths) = queryAndAuths(params)
+    val field = params.getOrElse("field",
+      throw new IllegalArgumentException("missing required parameter: field")).toUpperCase
+    def longParam(k: String, default: Long): Long =
+      params.get(k).map { v =>
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad $k: $v") }
+      }.getOrElse(default)
+    val lo = longParam("lo", 0L)
+    val width = longParam("width", 100L)
+    if (width <= 0) throw new IllegalArgumentException(s"width must be > 0: $width")
+    val buckets = intParam(params, "buckets", default = 10, min = 1, max = 10000)
+    ("application/json", service.histogram(q, field, lo, width, buckets, auths))
+  })
+
   //  - `GET /mlt?doc=655&limit=N&auths=…` → more-like-this: documents
   //    sharing vocabulary with the source doc, rarity-weighted,
   //    best-first, as JSON

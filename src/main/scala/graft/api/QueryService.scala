@@ -183,6 +183,19 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** Numeric-field histogram over a query's hit set
+    * (`WikiSearchEngine.histogram`) as a JSON array of
+    * {bucket, lo, hi, n} with the bucket's value range inlined.
+    */
+  def histogram(q: String, field: String, lo: Long, width: Long,
+      buckets: Int, auths: Seq[String] = Nil): String = {
+    val rows = engine.histogram(q, field, lo, width, buckets, auths).collect()
+    rows.map { r =>
+      val b = r.getAs[Long]("bucket")
+      s"""{"bucket":$b,"lo":${lo + b * width},"hi":${lo + (b + 1) * width},"n":${r.getAs[Long]("n")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Facet counts for a query's hit set (`WikiSearchEngine.facets`) as
     * a JSON array; a null facet value (document missing the field)
     * serializes as JSON null.

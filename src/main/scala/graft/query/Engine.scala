@@ -742,6 +742,30 @@ class WikiSearchEngine(
       .groupBy("language", "value").agg(count(lit(1)).as("n"))
       .orderBy("language", "value")
 
+  /** Numeric-field histogram over a query's hit set — the range-facet
+    * sidebar (`facets`' numeric companion): bucket b counts hits whose
+    * field value v satisfies lo + b·width ≤ v < lo + (b+1)·width, for
+    * b in [0, buckets); values outside [lo, lo + buckets·width) (or
+    * unparsable) are excluded. With integer lo/width the bucket
+    * arithmetic `floor((v − lo)/width)` is exact in doubles (exact
+    * inputs; a quotient on a bucket boundary is exactly representable),
+    * so any oracle re-derives the histogram bit-identically. One narrow
+    * projection over the hit set + a ≤`buckets`-row aggregation.
+    */
+  def histogram(query: String, field: String, lo: Long, width: Long,
+      buckets: Int, auths: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"width must be > 0: $width")
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    run(query, auths)
+      .select(explode(element_at(col("fields"), field)).as("v"))
+      .select(col("v").try_cast("double").as("v"))
+      .filter(col("v").isNotNull &&
+        col("v") >= lit(lo) && col("v") < lit(lo + width * buckets.toLong))
+      .select(floor((col("v") - lit(lo)) / lit(width)).cast("bigint").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Whether the query would take the index-assisted path (vs full
     * scan) — a planning probe for tests/diagnostics; runs no jobs beyond
     * bare-term rewrites.

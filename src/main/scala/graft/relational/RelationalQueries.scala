@@ -812,6 +812,39 @@ object RelationalQueries {
         .select(col("l_returnflag").as("returnflag"), col("measure"),
           col("total"), col("n"))
         .orderBy("returnflag", "measure")
+    },
+
+    // -- q33: the full rank-function family over ONE window ---------------
+    // rank / dense_rank / ntile / percent_rank / cume_dist share a
+    // single (partition, order) spec, so Catalyst evaluates all five in
+    // ONE Window operator — one shuffle on the partition key, one sort,
+    // five frame-free rank computations in the same pass. The ratio
+    // functions are portable because each is a SINGLE division of exact
+    // integers ((rank−1)/(n−1), rowsLE/n): no float accumulation, both
+    // engines round the one quotient identically (single-row partitions
+    // define percent_rank = 0 on both).
+    NamedQuery(
+      "q33_rank_family",
+      """SELECT o_custkey AS custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          ntile(4).over(w).cast("bigint").as("nt"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("custkey", "o_orderkey")
     }
   )
 }

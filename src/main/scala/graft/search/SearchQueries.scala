@@ -396,6 +396,22 @@ object SearchQueries {
         .orderBy("language", "source")
     },
 
+    // Numeric range-facet: histogram of a query's hit set over an
+    // integer field — `facets`' numeric companion (route /histogram).
+    // Integer lo/width make floor((v−lo)/width) exact in doubles, so
+    // the oracle re-derives buckets bit-identically. Bench: ws_hg.
+    NamedQuery(
+      "ws_hist_q",
+      s"""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS n
+         |FROM documents
+         |WHERE (source = 'src1' OR source = 'src2')
+         |  AND n_chars >= 0 AND n_chars < 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      engine(s, dir).histogram(
+        "SOURCE == 'src1' or SOURCE == 'src2'", "NCHARS",
+        lo = 0L, width = 100L, buckets = 10)
+    },
+
     // Beyond-reference: typo-tolerant term lookup ("did you mean") —
     // SymSpell 1-deletion-neighborhood join over the vocabulary-sized
     // term dictionary + exact levenshtein verify. The typo 'sow' matches

@@ -211,6 +211,22 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/rank?terms=abacus&after_score=xyz&after_id=655")._1 == 400)
   }
 
+  test("/histogram buckets the hit set's numeric field values") {
+    // the fixture's 4 articles all carry one ID value in [655, 658] →
+    // one bucket of width 10 starting at 650 holds all four
+    val idsQ = "query=" + java.net.URLEncoder.encode(
+      "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'", UTF_8)
+    val (status, ct, body) = get(s"/histogram?$idsQ&field=ID&lo=650&width=10&buckets=5")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body == """[{"bucket":0,"lo":650,"hi":660,"n":4}]""", body)
+    // out-of-range values are excluded, not clamped
+    val (_, _, none) = get(s"/histogram?$idsQ&field=ID&lo=0&width=10&buckets=5")
+    assert(none == "[]")
+    assert(get(s"/histogram?$idsQ")._1 == 400)                 // missing field
+    assert(get(s"/histogram?$idsQ&field=ID&width=0")._1 == 400) // bad width
+    assert(get(s"/histogram?$idsQ&field=ID&lo=abc")._1 == 400)  // bad lo
+  }
+
   test("/mlt ranks related documents, excludes the source, and is auths-gated") {
     val (status, ct, body) = get("/mlt?doc=655&limit=3&auths=enwiki")
     assert(status == 200 && ct.startsWith("application/json"))

@@ -30,7 +30,8 @@ class EngineConcurrencySpec extends SparkSuite {
     "TEXT == 'epsilon' and TEXT != 'zeta'",
     "SOURCE == 'src1' and TEXT == 'alpha'",
     "NCHARS >= 60 and NCHARS < 120 and TEXT == 'beta'",
-    "TEXT =~ 'gam.*'")
+    "TEXT =~ 'gam.*'",
+    "TEXT =~ '.*mma.*'") // trigram path: exercises trigramCache under load
 
   private def runAll(eng: WikiSearchEngine): Seq[Set[String]] =
     workload.map(q => eng.run(q).select("docId").collect().map(_.getString(0)).toSet)
