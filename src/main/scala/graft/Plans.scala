@@ -54,7 +54,10 @@ object Plans {
       "cu_temp" -> "temperature-balanced sampling: bounded per-source quota aggregate, then ONE codegen'd narrow filter (hash gate) over the corpus — no join, no shuffle on the data path",
       "cu_budget" -> "per-source token budget: distributed prefix-scan on monotone hash buckets — per-(source,bucket) token totals, below-bucket window over bounded rows, one boundary bucket sorts ~1/buckets of its source; no per-source global sort",
       "sim_ivf_filtered" -> "filtered ANN: the allowed-set semi-join pre-filters the corpus BEFORE scoring, composed with probed-cell pruning — the rerank set shrinks with predicate selectivity, never post-filtered ranked results",
-      "ws_infix_q" -> "trigram-accelerated opaque regex: gram IN-list probe of the gram-sorted vocabulary projection + exact plan-time verify plans each infix pattern as a multi-form EQ leaf — the event store is reached only through the candidate IN predicate, never full-scanned")
+      "ws_infix_q" -> "trigram-accelerated opaque regex: gram IN-list probe of the gram-sorted vocabulary projection + exact plan-time verify plans each infix pattern as a multi-form EQ leaf — the event store is reached only through the candidate IN predicate, never full-scanned",
+      "ws_mlt_q" -> "more-like-this: source terms broadcast into the postings filter, integer rarity-weighted sum per candidate, bounded TakeOrderedAndProject — no driver collect, no window",
+      "ws_hist_q" -> "hit-set histogram: one narrow projection over the residual-verified hits, exact integer-parameter bucketing, <=buckets-row aggregation",
+      "q33_rank_family" -> "five rank functions over ONE shared window spec: a single Window operator — one shuffle + one sort serve rank/dense_rank/ntile/percent_rank/cume_dist together")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")
