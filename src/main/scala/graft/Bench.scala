@@ -50,6 +50,8 @@ object Bench {
     "ws_content_fetch"     -> "ws_cf",
     "ws_postings"          -> "ws_po",
     "ws_facets"            -> "ws_fa",
+    "ws_hybrid"            -> "ws_hy",
+    "ws_collapse_q"        -> "ws_cp",
     "ws_hist_q"            -> "ws_hg",
     "ws_bm25"              -> "ws_bm",
     "ws_mlt_q"             -> "ws_ml",
@@ -71,6 +73,7 @@ object Bench {
     "dd_scrub"             -> "dd_sc",
     "sim_pairs_brute"      -> "s_pb",
     "sim_topk"             -> "s_tk",
+    "sim_knn"              -> "s_kn",
     "sim_lsh_pairs"        -> "s_lp",
     "sim_lsh_multi"        -> "s_lm",
     "sim_ivf_topk"         -> "s_ivf",

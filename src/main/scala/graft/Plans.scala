@@ -57,7 +57,11 @@ object Plans {
       "ws_infix_q" -> "trigram-accelerated opaque regex: gram IN-list probe of the gram-sorted vocabulary projection + exact plan-time verify plans each infix pattern as a multi-form EQ leaf — the event store is reached only through the candidate IN predicate, never full-scanned",
       "ws_mlt_q" -> "more-like-this: source terms broadcast into the postings filter, integer rarity-weighted sum per candidate, bounded TakeOrderedAndProject — no driver collect, no window",
       "ws_hist_q" -> "hit-set histogram: one narrow projection over the residual-verified hits, exact integer-parameter bucketing, <=buckets-row aggregation",
-      "q33_rank_family" -> "five rank functions over ONE shared window spec: a single Window operator — one shuffle + one sort serve rank/dense_rank/ntile/percent_rank/cume_dist together")
+      "q33_rank_family" -> "five rank functions over ONE shared window spec: a single Window operator — one shuffle + one sort serve rank/dense_rank/ntile/percent_rank/cume_dist together",
+      "ws_hybrid" -> "hybrid retrieval: two bounded top-50 pages (TakeOrdered BM25 + broadcast-query cosine) full-outer-joined on id; the RRF fold and final rank cover <=100 rows — nothing corpus-scaled",
+      "sim_knn" -> "k-NN classification: exact top-k neighbors (broadcast queries) + label equi-join + per-query argmax over <=k rows; the neighbor source swaps to IVF at scale",
+      "q34_kmv_distinct" -> "KMV distinct sketch: <=k-doubles mergeable partial-agg state, map-side combined — vs countDistinct shuffling every distinct value",
+      "ws_collapse_q" -> "field collapsing: argmin+count groupBy over the hit set — map-side combined, no window, no per-group sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

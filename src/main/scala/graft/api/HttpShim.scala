@@ -32,6 +32,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    a ranking, a suggestion vocabulary, or a snippet window any more
   *    than through a search hit.
   *  - `GET /facets?query=…&field=F&auths=…` → facet counts (beyond ref).
+  *  - `GET /collapse?query=…&field=F&auths=…` → one representative hit
+  *    per field value + group size (beyond ref).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -174,6 +176,17 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
     ("application/json", service.facets(q, field, auths))
+  })
+
+  //  - `GET /collapse?query=…&field=SOURCE&auths=…` → one representative
+  //    hit per field value + collapsed group size, as JSON (auth-gated
+  //    like every content-returning route)
+  server.createContext("/collapse", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val (q, auths) = queryAndAuths(params)
+    val field = params.getOrElse("field",
+      throw new IllegalArgumentException("missing required parameter: field"))
+    ("application/json", service.collapse(q, field, auths))
   })
 
   //  - `GET /snippets?terms=a,b&window=3&limit=N` → per-(doc, term)

@@ -208,6 +208,19 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** Collapsed results for a query's hit set (`WikiSearchEngine.collapse`)
+    * — one representative doc per field value + group size, JSON array.
+    */
+  def collapse(q: String, field: String, auths: Seq[String] = Nil): String = {
+    val rows = engine.collapse(q, field, auths).collect()
+    rows.map { r =>
+      val v = Option(r.getAs[String]("value")).map(jstr).getOrElse("null")
+      val top = if (r.isNullAt(r.fieldIndex("top_doc"))) "null"
+                else r.getAs[Long]("top_doc").toString
+      s"""{"value":$v,"n":${r.getAs[Long]("n")},"top_doc":$top}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Multi-term snippets (`WikiSearchEngine.snippets`) — one entry per
     * (document, matched term), first `limit` rows as a JSON array.
     */

@@ -549,6 +549,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // k-NN majority-vote classification (the standard embedding-space
+    // label-propagation op): queries = every 25th vector, corpus = the
+    // rest; k=5 exact-cosine neighbors vote, most votes wins, vote ties
+    // break to the smallest label. The oracle re-derives the neighbor
+    // ranks (same unrounded-cosine ordering as sim_topk), the label
+    // join, and the same (votes DESC, label) argmax. At scale the
+    // neighbor source swaps to the IVF candidate path (knnClassify's
+    // pluggable `neighbors`); the vote/argmax stages are unchanged.
+    // Bench: s_kn.
+    NamedQuery(
+      "sim_knn",
+      s"""WITH nn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id % 25 = 0 AND c.vec_id % 25 <> 0) t
+         | WHERE rank <= 5),
+         |votes AS (SELECT query_id, label, count(*) AS votes
+         |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(label AS BIGINT) AS predicted_label,
+         |  CAST(votes AS BIGINT) AS votes FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label) AS rk
+         |  FROM votes) v WHERE rk = 1 ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnClassify(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0), k = 5)
+        .orderBy("query_id")
+    },
+
     // Hyperplane LSH fully oracled: the planes are portable ±1 Rademacher
     // vectors (Similarity.planeWeight = fnv1a + murmur fmix64, pure
     // integer math), so DuckDB re-derives the exact buckets, the exact

@@ -139,6 +139,38 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** k-NN majority-vote classification: each query vector takes the modal
+    * label among its k nearest CORPUS neighbors by exact cosine (most
+    * votes wins; vote ties break to the smallest label). The neighbor
+    * source is pluggable: the default exact `topK` is the correctness
+    * baseline; at scale pass an ANN candidate generator of the same
+    * (query_id, rank, neighbor_id, …) shape (e.g. built on `ivfTopKWith`)
+    * — the label join and per-query argmax are identical either way.
+    *
+    * Scale posture: neighbors are a bounded (|queries|·k)-row set; the
+    * label join keys on vec_id (corpus-partitioned, with the small
+    * neighbor side broadcastable); the argmax window partitions BY QUERY
+    * over ≤k rows per query — never unpartitioned, never corpus-wide.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      neighbors: (DataFrame, DataFrame, Int) => DataFrame = topK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = neighbors(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"),
+        col("label").cast("bigint").as("predicted_label"),
+        col("votes").cast("bigint").as("votes"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   /** Train IVF centroids: deterministic init (first k by vec_id), then

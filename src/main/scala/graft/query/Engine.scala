@@ -742,6 +742,22 @@ class WikiSearchEngine(
       .groupBy("language", "value").agg(count(lit(1)).as("n"))
       .orderBy("language", "value")
 
+  /** Field collapsing over a query's hit set — one representative document
+    * per distinct field value plus the collapsed group size (the standard
+    * results-deduplication serving surface: "group by source/domain, show
+    * one hit each"). Representative = smallest numeric docId in the group
+    * (deterministic; compose with `rank` upstream for a score-ordered
+    * pick). One narrow projection + an argmin groupBy over the hit set —
+    * map-side combined, no window, no per-group sort.
+    */
+  def collapse(query: String, field: String, auths: Seq[String] = Nil): DataFrame =
+    run(query, auths)
+      .select(explode_outer(element_at(col("fields"), field)).as("value"),
+        col("docId").cast("bigint").as("id"))
+      .groupBy("value")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("top_doc"))
+      .orderBy(col("n").desc, col("value"))
+
   /** Numeric-field histogram over a query's hit set — the range-facet
     * sidebar (`facets`' numeric companion): bucket b counts hits whose
     * field value v satisfies lo + b·width ≤ v < lo + (b+1)·width, for

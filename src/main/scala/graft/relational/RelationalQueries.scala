@@ -845,6 +845,50 @@ object RelationalQueries {
           percent_rank().over(w).as("prnk"),
           cume_dist().over(w).as("cdist"))
         .orderBy("custkey", "o_orderkey")
+    },
+
+    // -- q34: KMV distinct sketch vs exact countDistinct ------------------
+    // Mergeable bounded-state cardinality (Sketches.KmvDistinctAggregator,
+    // k=128): partial-agg state is ≤128 doubles per group at ANY row
+    // count, vs countDistinct shuffling every distinct value. The sketch
+    // is DETERMINISTIC (k-smallest-distinct of splitmix64 hashes is
+    // order- and grouping-independent), so the oracle re-derives the
+    // exact same estimate: the same integer hash chain in HUGEINT
+    // arithmetic, the same (h >> 11)/2^53 normalization, the same
+    // (k−1)/u_k quotient — a sketch with a hash-exact oracle, not a
+    // tolerance check. n_exact doubles as the accuracy witness.
+    NamedQuery(
+      "q34_kmv_distinct",
+      s"""WITH ids AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h0 AS (SELECT event_type, xor(CAST(user_id AS UBIGINT), CAST(user_id AS UBIGINT) >> 30) AS h FROM ids),
+         |h1 AS (SELECT event_type, ${kmvMul("h", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
+         |h2 AS (SELECT event_type, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
+         |hf AS (SELECT event_type, xor(h, h >> 31) AS h FROM h2),
+         |u AS (SELECT event_type, CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM hf),
+         |r AS (SELECT event_type, u,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM u),
+         |kth AS (SELECT event_type, n, u FROM r WHERE rn = LEAST(n, 128))
+         |SELECT event_type, CAST(n AS BIGINT) AS n_exact,
+         |  ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+         |             ELSE CAST(127 AS DOUBLE) / u END, 4) AS estimate
+         |FROM kth ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new graft.functions.Sketches.KmvDistinctAggregator(128))
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          round(kmv(col("user_id")), 4).as("estimate"))
+        .orderBy("event_type")
     }
   )
+
+  /** 64-bit wrapping multiply in DuckDB HUGEINT arithmetic (the oracle
+    * side of `Sketches.kmvPoint`'s splitmix64 — same technique as the
+    * pipeline module's portable-hash oracles).
+    */
+  private def kmvMul(col: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xFFFFFFFFL
+    s"CAST(((CAST($col AS HUGEINT) * $lo) + ((CAST($col AS HUGEINT) * $hi) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+  }
 }

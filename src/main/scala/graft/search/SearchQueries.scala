@@ -379,6 +379,76 @@ object SearchQueries {
         .select(col("docId").cast("bigint").as("doc_id"), col("score"))
     },
 
+    // Beyond-reference: HYBRID retrieval — the BM25 lexical ranking fused
+    // with a semantic cosine top-k over the embeddings table by
+    // Reciprocal Rank Fusion (HybridSearch.rrfFuse; kRrf=60 per the
+    // original paper). vec_id is doc_id-aligned by the generator, so the
+    // two lists rank the same id space. Only RANKS enter the fusion, so
+    // the score-scale mismatch between BM25 and cosine never needs
+    // calibration; the oracle re-derives both rankings (the ws_bm25 CTE
+    // verbatim + an exact-cosine row_number) and the same explicit
+    // c1+c2 contribution chain. Bench: ws_hy.
+    NamedQuery(
+      "ws_hybrid",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, $toks AS toks,
+         |               unnest(list_distinct($toks)) AS term FROM documents) q
+         |       WHERE term IN ('spark', 'join', 'vector')),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl) / stats.avgdl)) AS c
+         |  FROM tf, df, dl, stats WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ROUND(coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'join'   THEN c END), 0)
+         |        + coalesce(max(CASE WHEN term = 'vector' THEN c END), 0), 4) AS score
+         |  FROM contrib GROUP BY doc_id),
+         |bmr AS (SELECT r, doc_id FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r,
+         |         doc_id FROM scored) b WHERE r <= 50),
+         |cosr AS (SELECT doc_id, r FROM (
+         |  SELECT c.vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      (list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+         |        / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+         |         * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))))
+         |      DESC, c.vec_id) AS BIGINT) AS r
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id = 101 AND c.vec_id <> 101) t
+         |  WHERE r <= 50),
+         |fused AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |  ROUND(coalesce(CAST(1 AS DOUBLE) / CAST(60 + b.r AS DOUBLE), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / CAST(60 + c.r AS DOUBLE), 0), 6) AS score
+         |  FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, score
+         |FROM fused ORDER BY rank LIMIT 20""".stripMargin) { (s, dir) =>
+      // engineOn: the BM25 list must live on the CALLER's session so it
+      // joins the embeddings-table ranking without crossing sessions.
+      // Each side contributes its top-50 PAGE (rankTopK plans as
+      // TakeOrderedAndProject — no corpus-wide window), the production
+      // hybrid-serving shape; ranks are then numbered over the 50-row
+      // page (bounded window).
+      val bmPage = engineOn(s, dir)
+        .rankTopK(Seq("spark", "join", "vector"), k = 50,
+          tieBreak = col("docId").cast("bigint"),
+          tokenizer = graft.functions.TextFunctions.tokenizeWs)
+      val bm = bmPage.select(
+        col("docId").cast("bigint").as("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docId").cast("bigint"))).as("rank"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val cos = graft.pipeline.Similarity
+        .topK(emb, emb.filter(col("vec_id") === 101), k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      HybridSearch.rrfFuse(Seq(bm, cos), kRrf = 60, k = 20)
+        .select(col("rank"), col("id").as("doc_id"), col("score"))
+    },
+
     // Beyond-reference: facet counts over a query's result set — the
     // standard search-results sidebar (result count per metadata value).
     // Engine hits (a bounded candidate set) broadcast-join back to the
@@ -394,6 +464,18 @@ object SearchQueries {
       engine(s, dir).facets("TEXT == 'spark'", "SOURCE")
         .select(col("language"), col("value").as("source"), col("n"))
         .orderBy("language", "source")
+    },
+
+    // Field collapsing: one representative hit per SOURCE over the
+    // query's result set plus the collapsed group size — `facets` with a
+    // witness document (Engine.collapse; argmin groupBy, no window).
+    // Bench: ws_cp.
+    NamedQuery(
+      "ws_collapse_q",
+      s"""SELECT source AS value, count(*) AS n, min(doc_id) AS top_doc
+         |FROM documents WHERE list_contains($toks, 'spark')
+         |GROUP BY source ORDER BY n DESC, value""".stripMargin) { (s, dir) =>
+      engine(s, dir).collapse("TEXT == 'spark'", "SOURCE")
     },
 
     // Numeric range-facet: histogram of a query's hit set over an

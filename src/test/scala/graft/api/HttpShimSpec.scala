@@ -245,6 +245,14 @@ class HttpShimSpec extends SparkSuite {
     assert(get(s"/facets?$q")._1 == 400) // missing field param
   }
 
+  test("/collapse returns one representative per field value with group size") {
+    val (status, ct, body) = get(s"/collapse?$q&field=TITLE")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.startsWith("""[{"value":"""))
+    assert(body.contains(""""n":""") && body.contains(""""top_doc":"""))
+    assert(get(s"/collapse?$q")._1 == 400) // missing field param
+  }
+
   test("auths gate /rank, /fuzzy and /snippets like /query (no content-route bypass)") {
     // the fixture is all enwiki: an frwiki-only client must see nothing
     // through ANY content-returning route, and an enwiki client sees it all
