@@ -52,6 +52,7 @@ object Bench {
     "ws_facets"            -> "ws_fa",
     "ws_hybrid"            -> "ws_hy",
     "ws_collapse_q"        -> "ws_cp",
+    "ws_stats_q"           -> "ws_st",
     "ws_hist_q"            -> "ws_hg",
     "ws_bm25"              -> "ws_bm",
     "ws_mlt_q"             -> "ws_ml",

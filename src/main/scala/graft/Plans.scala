@@ -61,7 +61,8 @@ object Plans {
       "ws_hybrid" -> "hybrid retrieval: two bounded top-50 pages (TakeOrdered BM25 + broadcast-query cosine) full-outer-joined on id; the RRF fold and final rank cover <=100 rows — nothing corpus-scaled",
       "sim_knn" -> "k-NN classification: exact top-k neighbors (broadcast queries) + label equi-join + per-query argmax over <=k rows; the neighbor source swaps to IVF at scale",
       "q34_kmv_distinct" -> "KMV distinct sketch: <=k-doubles mergeable partial-agg state, map-side combined — vs countDistinct shuffling every distinct value",
-      "ws_collapse_q" -> "field collapsing: argmin+count groupBy over the hit set — map-side combined, no window, no per-group sort")
+      "ws_collapse_q" -> "field collapsing: argmin+count groupBy over the hit set — map-side combined, no window, no per-group sort",
+      "ws_stats_q" -> "index catalog statistics: one partial-aggregable pass over the postings store, keyed on the bounded language domain — the batch ANALYZE surface")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

@@ -34,6 +34,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `GET /facets?query=…&field=F&auths=…` → facet counts (beyond ref).
   *  - `GET /collapse?query=…&field=F&auths=…` → one representative hit
   *    per field value + group size (beyond ref).
+  *  - `GET /stats?auths=…` → per-language index catalog statistics
+  *    (beyond ref — the ANALYZE surface).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -187,6 +189,12 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
     ("application/json", service.collapse(q, field, auths))
+  })
+
+  //  - `GET /stats?auths=…` → per-language index catalog statistics
+  //    (docs, vocabulary, postings, tokens) as JSON — the ANALYZE surface
+  server.createContext("/stats", (ex: HttpExchange) => safely(ex) {
+    ("application/json", service.stats(authsOf(queryParams(ex))))
   })
 
   //  - `GET /snippets?terms=a,b&window=3&limit=N` → per-(doc, term)

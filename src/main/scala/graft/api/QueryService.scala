@@ -221,6 +221,16 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** Index catalog statistics (`WikiSearchEngine.indexStats`) as a JSON
+    * array — the operational ANALYZE surface, auth-gated per language.
+    */
+  def stats(auths: Seq[String] = Nil): String = {
+    val rows = engine.indexStats(auths).collect()
+    rows.map { r =>
+      s"""{"language":${jstr(r.getAs[String]("language"))},"n_docs":${r.getAs[Long]("n_docs")},"n_terms":${r.getAs[Long]("n_terms")},"n_postings":${r.getAs[Long]("n_postings")},"n_tokens":${r.getAs[Long]("n_tokens")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Multi-term snippets (`WikiSearchEngine.snippets`) — one entry per
     * (document, matched term), first `limit` rows as a JSON array.
     */

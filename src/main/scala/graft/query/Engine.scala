@@ -758,6 +758,29 @@ class WikiSearchEngine(
       .agg(count(lit(1)).as("n"), min(col("id")).as("top_doc"))
       .orderBy(col("n").desc, col("value"))
 
+  /** Index catalog statistics per language — the ANALYZE surface an
+    * operator runs after a build or compaction to validate stored index
+    * contents: documents with at least one posting, vocabulary size,
+    * posting rows, and total token occurrences (sum of stored offset
+    * lengths — so a green oracle proves the stored offsets are
+    * COMPLETE, not just positionally correct). Auth-gated like every
+    * content-derived surface.
+    *
+    * Scale posture: one pass over the postings store, partial-aggregable
+    * counts keyed on the bounded language domain; the two distinct
+    * counts are the honest batch-ANALYZE cost — swap in
+    * `Sketches.KmvDistinctAggregator` where an estimate suffices (the
+    * bounded-state variant of exactly these counters).
+    */
+  def indexStats(auths: Seq[String] = Nil): DataFrame =
+    langAuth(auths)(index.termPostings)
+      .groupBy("language")
+      .agg(countDistinct(col("docId")).as("n_docs"),
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(size(col("offsets"))).cast("bigint").as("n_tokens"))
+      .orderBy("language")
+
   /** Numeric-field histogram over a query's hit set — the range-facet
     * sidebar (`facets`' numeric companion): bucket b counts hits whose
     * field value v satisfies lo + b·width ≤ v < lo + (b+1)·width, for

@@ -874,10 +874,19 @@ object RelationalQueries {
          |             ELSE CAST(127 AS DOUBLE) / u END, 4) AS estimate
          |FROM kth ORDER BY event_type""".stripMargin) { (s, dir) =>
       val kmv = udaf(new graft.functions.Sketches.KmvDistinctAggregator(128))
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_exact"),
-          round(kmv(col("user_id")), 4).as("estimate"))
+      val ev = Tables.events(s, dir)
+      // The sketch aggregates SEPARATELY from the exact witness: a
+      // combined agg would inherit countDistinct's expand-and-shuffle-
+      // every-distinct-value plan, hiding exactly the bounded-state
+      // shape the sketch exists for. Alone it plans as partial/final
+      // ObjectHashAggregate over raw rows — ≤k-double buffers are all
+      // that shuffles. The witness join is |groups| rows (broadcast).
+      val est = ev.groupBy("event_type")
+        .agg(round(kmv(col("user_id")), 4).as("estimate"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("n_exact"), col("estimate"))
         .orderBy("event_type")
     }
   )

@@ -72,6 +72,17 @@ object SearchQueries {
     engine(s, dir); cache(dir)._1
   }
 
+  /** Memoized `engineOn`: a caller-session engine for entries that must
+    * JOIN engine output with caller-session tables (ws_hybrid). Cached
+    * per dir like `engine` — the index load (parquet footers + metadata
+    * collect) is not free per invocation; unlike `engineOn` the conf is
+    * whatever the caller's session has, so profiling tools keep using
+    * the uncached variant.
+    */
+  private val callerCache = TrieMap.empty[String, WikiSearchEngine]
+  def callerEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    callerCache.getOrElseUpdate(dir, engineOn(s, dir))
+
   /** An engine served from a LIVE store: the documents table streamed
     * through `LiveEngineMaintainer` in three micro-batches, queried via
     * the maintainer's merge-on-read view (deltas deliberately left
@@ -427,13 +438,14 @@ object SearchQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, score
          |FROM fused ORDER BY rank LIMIT 20""".stripMargin) { (s, dir) =>
-      // engineOn: the BM25 list must live on the CALLER's session so it
-      // joins the embeddings-table ranking without crossing sessions.
+      // callerEngine: the BM25 list must live on the CALLER's session so
+      // it joins the embeddings-table ranking without crossing sessions
+      // (memoized — the index load is not free per invocation).
       // Each side contributes its top-50 PAGE (rankTopK plans as
       // TakeOrderedAndProject — no corpus-wide window), the production
       // hybrid-serving shape; ranks are then numbered over the 50-row
       // page (bounded window).
-      val bmPage = engineOn(s, dir)
+      val bmPage = callerEngine(s, dir)
         .rankTopK(Seq("spark", "join", "vector"), k = 50,
           tieBreak = col("docId").cast("bigint"),
           tokenizer = graft.functions.TextFunctions.tokenizeWs)
@@ -464,6 +476,26 @@ object SearchQueries {
       engine(s, dir).facets("TEXT == 'spark'", "SOURCE")
         .select(col("language"), col("value").as("source"), col("n"))
         .orderBy("language", "source")
+    },
+
+    // Index catalog statistics (Engine.indexStats — the ANALYZE
+    // surface): per-language doc/vocabulary/posting/token counts read
+    // from the STORED index tables; the oracle re-derives all four from
+    // the raw text, so a green hash proves the stored postings and
+    // offset arrays are complete. Bench: ws_st.
+    NamedQuery(
+      "ws_stats_q",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS term FROM documents),
+         |base AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |                CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |                CAST(count(*) AS BIGINT) AS n_tokens
+         |         FROM tok GROUP BY lang),
+         |post AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_postings
+         |         FROM (SELECT DISTINCT lang, doc_id, term FROM tok) p GROUP BY lang)
+         |SELECT base.lang AS language, n_docs, n_terms, n_postings, n_tokens
+         |FROM base JOIN post ON base.lang = post.lang
+         |ORDER BY language""".stripMargin) { (s, dir) =>
+      engine(s, dir).indexStats()
     },
 
     // Field collapsing: one representative hit per SOURCE over the

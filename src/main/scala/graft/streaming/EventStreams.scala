@@ -103,4 +103,32 @@ object EventStreams {
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream interval join — the attribution shape: each `right`
+    * event (e.g. a purchase) joins the `left` events of the SAME user
+    * that happened in the `windowMs` BEFORE it (e.g. the clicks that led
+    * there). Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can expire buffered state:
+    * per-side state is (ingest rate × (watermark + window)), independent
+    * of stream history — the only admissible stream-stream join shape at
+    * 100 TB (an unbounded-time join would buffer a side forever).
+    * Inner join: unmatched rows expire silently.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String = "user_id", eventTime: String = "ts",
+      watermark: String = "1 hour", windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val l = left.withWatermark(eventTime, watermark)
+      .select(col(key).as("l_key"), col(eventTime).as("l_ts"),
+        col("event_type").as("l_type"), col("event_id").as("l_id"))
+    val r = right.withWatermark(eventTime, watermark)
+      .select(col(key).as("r_key"), col(eventTime).as("r_ts"),
+        col("event_type").as("r_type"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("l_key").as("user_id"), col("l_id"), col("l_type"),
+        col("r_id"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
 }

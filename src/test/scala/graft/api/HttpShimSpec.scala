@@ -253,6 +253,14 @@ class HttpShimSpec extends SparkSuite {
     assert(get(s"/collapse?$q")._1 == 400) // missing field param
   }
 
+  test("/stats reports per-language index catalog statistics, auth-gated") {
+    val (status, ct, body) = get("/stats")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.contains(""""language":"enwiki"""") && body.contains(""""n_docs":"""))
+    assert(body.contains(""""n_terms":""") && body.contains(""""n_tokens":"""))
+    assert(get("/stats?auths=frwiki")._3 == "[]") // fixture is all enwiki
+  }
+
   test("auths gate /rank, /fuzzy and /snippets like /query (no content-route bypass)") {
     // the fixture is all enwiki: an frwiki-only client must see nothing
     // through ANY content-returning route, and an enwiki client sees it all

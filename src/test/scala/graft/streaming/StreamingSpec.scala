@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes left events within the window before each right event") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Timestamp, String, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, String, Long)]
+    val cols = Seq("user_id", "ts", "event_type", "event_id")
+    val q = EventStreams.intervalJoin(
+      clicks.toDF().toDF(cols: _*), purchases.toDF().toDF(cols: _*),
+      windowMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      clicks.addData(
+        (7L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1L), // in window
+        (7L, Timestamp.valueOf("2024-01-01 09:00:00"), "click", 2L), // too old
+        (8L, Timestamp.valueOf("2024-01-01 10:10:00"), "click", 3L)) // other user
+      purchases.addData(
+        (7L, Timestamp.valueOf("2024-01-01 10:20:00"), "purchase", 10L))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 7L &&
+        r.getAs[Long]("l_id") == 1L && r.getAs[Long]("r_id") == 10L)
+      // a click AFTER the purchase never attributes to it
+      clicks.addData((7L, Timestamp.valueOf("2024-01-01 10:30:00"), "click", 4L))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() == 1)
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicate content, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
