@@ -91,6 +91,7 @@ object Bench {
     "ta_repetition"        -> "t_rep",
     "ta_top_ngrams"        -> "t_ng",
     "ta_lm_score"          -> "t_lm",
+    "ta_nb_langid"         -> "t_nb",
     "cu_split"             -> "c_sp",
     "cu_sample"            -> "c_sa",
     "cu_contam"            -> "c_ct",

@@ -62,7 +62,9 @@ object Plans {
       "sim_knn" -> "k-NN classification: exact top-k neighbors (broadcast queries) + label equi-join + per-query argmax over <=k rows; the neighbor source swaps to IVF at scale",
       "q34_kmv_distinct" -> "KMV distinct sketch: <=k-doubles mergeable partial-agg state, map-side combined — vs countDistinct shuffling every distinct value",
       "ws_collapse_q" -> "field collapsing: argmin+count groupBy over the hit set — map-side combined, no window, no per-group sort",
-      "ws_stats_q" -> "index catalog statistics: one partial-aggregable pass over the postings store, keyed on the bounded language domain — the batch ANALYZE surface")
+      "ws_stats_q" -> "index catalog statistics: one partial-aggregable pass over the postings store, keyed on the bounded language domain — the batch ANALYZE surface",
+      "ta_nb_langid" -> "trained NB classifier: vocabulary-x-labels model broadcast into a token join, one keyed integer sum per (doc,label), per-doc argmax — quantized log-likelihoods make inference exact integer arithmetic",
+      "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

@@ -1025,6 +1025,51 @@ object PipelineQueries {
       TextAnalysis.lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // TRAINED classifier (fastText-filter shape reduced to its exactly-
+    // reproducible core): multinomial Naive Bayes language ID — train on
+    // doc_id % 5 != 0, classify the held-out fifth. Every log-likelihood
+    // is quantized to round(ln(p)·1e6) BIGINT at TRAIN time, so scoring
+    // is exact integer arithmetic — order-independent under any
+    // partitioning, and the oracle re-derives model + inference
+    // bit-exactly (ln portability per the ws_bm25 precedent, with the
+    // integer quantization removing the float-association hazard
+    // entirely). Bench: t_nb.
+    NamedQuery(
+      "ta_nb_langid",
+      s"""WITH tr AS (SELECT doc_id, lang, unnest($toks) AS token
+         |            FROM documents WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang AS actual, unnest($toks) AS token
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM tr GROUP BY 1),
+         |vocab AS (SELECT DISTINCT token FROM tr),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |model AS (SELECT t.lang, vo.token,
+         |    CAST(round(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+         |                  / CAST(t.tot + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS logp
+         |  FROM vocab vo CROSS JOIN tot t CROSS JOIN v
+         |  LEFT JOIN cnt c ON c.lang = t.lang AND c.token = vo.token),
+         |pri AS (SELECT a.lang,
+         |    CAST(round(ln(CAST(a.nd AS DOUBLE) / CAST(b.nt AS DOUBLE)) * 1000000) AS BIGINT) AS prior
+         |  FROM (SELECT lang, count(*) AS nd FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1) a
+         |  CROSS JOIN (SELECT count(*) AS nt FROM documents WHERE doc_id % 5 <> 0) b),
+         |occ AS (SELECT doc_id, actual, token, CAST(count(*) AS BIGINT) AS occ
+         |        FROM te GROUP BY 1, 2, 3),
+         |ll AS (SELECT o.doc_id, o.actual, model.lang,
+         |         CAST(sum(o.occ * model.logp) AS BIGINT) AS ll
+         |       FROM occ o JOIN model ON o.token = model.token GROUP BY 1, 2, 3),
+         |sc AS (SELECT ll.doc_id, ll.actual, ll.lang, ll.ll + pri.prior AS score
+         |       FROM ll JOIN pri ON ll.lang = pri.lang)
+         |SELECT doc_id, actual, lang AS predicted, CAST(score AS BIGINT) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, lang) AS rk FROM sc) q
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.nbClassify(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    },
+
     // ---- multimodal plumbing --------------------------------------------
     NamedQuery(
       "mm_binary_meta",

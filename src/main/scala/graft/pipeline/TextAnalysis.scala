@@ -192,4 +192,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tri"),
         expr("(1000 * sum_df) div (n_tri * n_docs)").as("fam_permille"))
   }
+
+  /** TRAINED multinomial Naive Bayes classifier — the model-based
+    * companion to the heuristic `langId` (the fastText-classifier shape
+    * modern pipelines use for quality/language filtering, reduced to
+    * its exactly-reproducible core). Trains per-label token counts with
+    * Laplace smoothing on `train`, classifies each `test` document by
+    * argmax of prior + Σ occurrences·log-likelihood.
+    *
+    * Determinism contract: every log-likelihood is QUANTIZED to an
+    * integer (round(ln(p)·10⁶) — the quantized-inference idea applied
+    * for bit-exact distributed reproducibility), so the per-document
+    * fold is exact BIGINT arithmetic — order-independent under any
+    * partitioning, and re-derivable by an oracle with no
+    * float-association hazard. Test tokens unseen in training are
+    * dropped (the standard NB contract); a test document with NO seen
+    * tokens yields no row.
+    *
+    * Scale posture: the model is (vocabulary × labels) rows — broadcast
+    * both ways; training is one partial-aggregable count shuffle;
+    * scoring is a broadcast join on token + one keyed sum per
+    * (doc, label); the argmax window partitions per doc over ≤|labels|
+    * rows. Nothing corpus-pairwise, no driver-side model state.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame,
+      labelCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = lit(1000000.0)
+    val tokTrain = train.select(col(labelCol).as("label"),
+      explode(toks(col("text"))).as("token"))
+    val cnt = tokTrain.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val tot = tokTrain.groupBy("label").agg(count(lit(1)).as("tot"))
+    val vocab = tokTrain.select("token").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val model = vocab.crossJoin(broadcast(tot))
+      .join(cnt, Seq("label", "token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(vSize))
+      .select(col("label"), col("token"),
+        round(log((col("cnt") + lit(1)).cast("double") /
+          (col("tot") + col("v")).cast("double")) * scale)
+          .cast("bigint").as("logp"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ntot"))))
+      .select(col("label"),
+        round(log(col("nd").cast("double") / col("ntot").cast("double")) * scale)
+          .cast("bigint").as("prior"))
+    val occ = test.select(col("doc_id"), col(labelCol).as("actual"),
+        explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "actual", "token").agg(count(lit(1)).as("occ"))
+    val scores = occ.join(broadcast(model), "token")
+      .groupBy(col("doc_id"), col("actual"), col("label"))
+      .agg(sum(col("occ") * col("logp")).as("ll"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("actual"), col("label"),
+        (col("ll") + col("prior")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))
+    scores
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("actual"),
+        col("label").as("predicted"), col("score"))
+      .orderBy("doc_id")
+  }
 }

@@ -888,6 +888,42 @@ object RelationalQueries {
       est.join(broadcast(exact), "event_type")
         .select(col("event_type"), col("n_exact"), col("estimate"))
         .orderBy("event_type")
+    },
+
+    // -- q35: time-series gap-fill (dense resample) -----------------------
+    // q12's hourly rollup emits only OBSERVED buckets; downstream
+    // time-series consumers (charting, anomaly baselines, windowed
+    // models) need the DENSE grid with explicit zeros. The grid is
+    // sequence(min_hour, max_hour) exploded from ONE aggregate row ×
+    // the bounded event-type domain — |hours|·|types| rows, corpus-
+    // independent — left-joined to the observed counts (one keyed
+    // shuffle). All values are integers; hour strings render in the
+    // session-pinned UTC zone on both engines.
+    NamedQuery(
+      "q35_gapfill",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+        |  ty.event_type AS event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM g CROSS JOIN ty
+        |LEFT JOIN c ON c.h = g.h AND c.event_type = ty.event_type
+        |ORDER BY hour, ty.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select("event_type").distinct())
+      grid.join(hourly, Seq("h", "event_type"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour", "event_type")
     }
   )
 

@@ -907,4 +907,45 @@ class PipelineSpec extends SparkSuite {
     assert(Curation.temperatureSample(docs, 0L).count() == 0L)
     assert(Curation.temperatureSample(docs, 1000000L).count() == 400L)
   }
+
+  test("nbClassify: separable vocabularies classify correctly; shared tokens don't flip") {
+    val train = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb bb", "en"),
+      (3L, "xx xx yy", "fr"), (4L, "xx yy yy", "fr")).toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (10L, "aa bb aa", "en"),   // pure en vocabulary
+      (11L, "yy xx", "fr"),      // pure fr vocabulary
+      (12L, "aa aa aa xx", "en") // majority en tokens
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(train, test).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(out == Map(10L -> "en", 11L -> "fr", 12L -> "en"))
+  }
+
+  test("nbClassify: unseen test tokens are dropped; all-unseen doc yields no row") {
+    val train = Seq((1L, "aa bb", "en"), (2L, "xx yy", "fr")).toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (10L, "aa zz zz", "en"), // zz unseen → only aa scores
+      (11L, "qq zz", "fr"))    // nothing seen → no row
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.nbClassify(train, test).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+    assert(rows.head.getAs[String]("predicted") == "en")
+  }
+
+  test("nbClassify: quantized integer scores are invariant to partitioning") {
+    val docs = (1L to 200L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text = if (i % 2 == 0) s"aa bb cc dd ee aa bb ${"aa " * (i % 3).toInt}".trim
+                 else s"xx yy zz aa ww xx ${"yy " * (i % 3).toInt}".trim
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val test = docs.filter($"doc_id" % 5 === 0)
+    val a = TextAnalysis.nbClassify(train.repartition(1), test.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    val b = TextAnalysis.nbClassify(train.repartition(17), test.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
