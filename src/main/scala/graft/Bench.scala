@@ -53,6 +53,7 @@ object Bench {
     "ws_hybrid"            -> "ws_hy",
     "ws_collapse_q"        -> "ws_cp",
     "ws_stats_q"           -> "ws_st",
+    "ws_complete_q"        -> "ws_ac",
     "ws_hist_q"            -> "ws_hg",
     "ws_bm25"              -> "ws_bm",
     "ws_mlt_q"             -> "ws_ml",

@@ -64,7 +64,8 @@ object Plans {
       "ws_collapse_q" -> "field collapsing: argmin+count groupBy over the hit set — map-side combined, no window, no per-group sort",
       "ws_stats_q" -> "index catalog statistics: one partial-aggregable pass over the postings store, keyed on the bounded language domain — the batch ANALYZE surface",
       "ta_nb_langid" -> "trained NB classifier: vocabulary-x-labels model broadcast into a token join, one keyed integer sum per (doc,label), per-doc argmax — quantized log-likelihoods make inference exact integer arithmetic",
-      "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent")
+      "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent",
+      "ws_complete_q" -> "prefix autocomplete: StringStartsWith pushed to the value-sorted global-index scan (the forward twin of the reverse-index suffix probe) + bounded TakeOrderedAndProject")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")

@@ -36,6 +36,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    per field value + group size (beyond ref).
   *  - `GET /stats?auths=…` → per-language index catalog statistics
   *    (beyond ref — the ANALYZE surface).
+  *  - `GET /complete?prefix=…&limit=N` → prefix autocomplete from the
+  *    value-sorted global index (beyond ref).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -195,6 +197,18 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   //    (docs, vocabulary, postings, tokens) as JSON — the ANALYZE surface
   server.createContext("/stats", (ex: HttpExchange) => safely(ex) {
     ("application/json", service.stats(authsOf(queryParams(ex))))
+  })
+
+  //  - `GET /complete?prefix=sp&limit=N` → top-N indexed terms for the
+  //    prefix with document frequencies (the query-box autocomplete),
+  //    auth-gated like every vocabulary-returning route
+  server.createContext("/complete", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val prefix = params.getOrElse("prefix",
+      throw new IllegalArgumentException("missing required parameter: prefix"))
+    if (prefix.trim.isEmpty) throw new IllegalArgumentException("prefix is empty")
+    val limit = intParam(params, "limit", default = 10, min = 1, max = 10000)
+    ("application/json", service.complete(prefix.trim, limit, authsOf(params)))
   })
 
   //  - `GET /snippets?terms=a,b&window=3&limit=N` → per-(doc, term)

@@ -221,6 +221,16 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
+  /** Prefix autocomplete (`WikiSearchEngine.completeTerms`) — top-k
+    * indexed terms for a prefix with document frequencies, JSON array.
+    */
+  def complete(prefix: String, limit: Int, auths: Seq[String] = Nil): String = {
+    val rows = engine.completeTerms(prefix, limit, auths).collect()
+    rows.map { r =>
+      s"""{"term":${jstr(r.getAs[String]("term"))},"df":${r.getAs[Long]("df")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Index catalog statistics (`WikiSearchEngine.indexStats`) as a JSON
     * array — the operational ANALYZE surface, auth-gated per language.
     */

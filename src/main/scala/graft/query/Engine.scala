@@ -517,6 +517,28 @@ class WikiSearchEngine(
     * authorized languages: term existence is itself information about
     * unauthorized content (same visibility model as `run`).
     */
+  /** Prefix autocomplete over the indexed vocabulary — top-k terms
+    * starting with `prefix`, ranked by document frequency (ties → term).
+    * Served from the GLOBAL INDEX, whose storage is value-sorted, so
+    * the prefix predicate pushes to the parquet scan as a
+    * StringStartsWith filter (the forward twin of the reverse-index
+    * suffix probe): the scan reads the one sorted slice holding the
+    * prefix range, never the vocabulary. The aggregation folds the
+    * per-shard lossy rows' counts — df here is the same
+    * document-frequency surface `ws_index_termfreq` verifies.
+    */
+  def completeTerms(prefix: String, k: Int, auths: Seq[String] = Nil): DataFrame = {
+    require(prefix.nonEmpty, "completeTerms() needs a non-empty prefix")
+    require(k > 0, s"k must be > 0: $k")
+    langAuth(auths)(index.globalIndex)
+      .filter(col("fieldName") === "TEXT" &&
+        col("fieldValue").startsWith(prefix.toLowerCase))
+      .groupBy(col("fieldValue").as("term"))
+      .agg(sum(col("count")).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
   def fuzzyTerms(term: String, auths: Seq[String] = Nil, maxDist: Int = 1): DataFrame = {
     require(term.nonEmpty, "fuzzyTerms() needs a non-empty term")
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2: $maxDist")

@@ -478,6 +478,20 @@ object SearchQueries {
         .orderBy("language", "source")
     },
 
+    // Prefix autocomplete from the value-sorted global index (the
+    // query-box surface): StartsWith pushes to the parquet scan — the
+    // forward twin of the reverse-index suffix probe — and df ranking
+    // reuses the ws_index_termfreq-verified count surface. Bench: ws_ac.
+    NamedQuery(
+      "ws_complete_q",
+      s"""SELECT term, df FROM (
+         |  SELECT token AS term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, unnest($toks) AS token FROM documents) q
+         |  WHERE token LIKE 's%' GROUP BY token) t
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin) { (s, dir) =>
+      engine(s, dir).completeTerms("s", k = 5)
+    },
+
     // Index catalog statistics (Engine.indexStats — the ANALYZE
     // surface): per-language doc/vocabulary/posting/token counts read
     // from the STORED index tables; the oracle re-derives all four from

@@ -261,6 +261,15 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/stats?auths=frwiki")._3 == "[]") // fixture is all enwiki
   }
 
+  test("/complete suggests prefix-matching terms ranked by df, auth-gated") {
+    val (status, ct, body) = get("/complete?prefix=ab&limit=5")
+    assert(status == 200 && ct.startsWith("application/json"))
+    assert(body.contains(""""term":"abacus"""") && body.contains(""""df":"""))
+    assert(get("/complete?prefix=ab&auths=frwiki")._3 == "[]") // visibility
+    assert(get("/complete")._1 == 400)            // missing prefix
+    assert(get("/complete?prefix=%20")._1 == 400) // blank prefix
+  }
+
   test("auths gate /rank, /fuzzy and /snippets like /query (no content-route bypass)") {
     // the fixture is all enwiki: an frwiki-only client must see nothing
     // through ANY content-returning route, and an enwiki client sees it all

@@ -638,4 +638,43 @@ class EngineWikiSpec extends SparkSuite {
     assert(eng.near("spark", "classified", 5, Seq("en")).collect().isEmpty)
     assert(eng.near("spark", "classified", 5, Seq("fr")).collect().nonEmpty)
   }
+
+  test("completeTerms: prefix match on the indexed vocabulary, df-ranked, k-capped") {
+    val rows = engine.completeTerms("ab", 10, Seq("enwiki")).collect()
+    val terms = rows.map(_.getString(0)).toSeq
+    assert(terms.contains("abacus"))
+    assert(terms.forall(_.startsWith("ab")))
+    // df-descending, term-ascending on ties
+    val dfs = rows.map(_.getLong(1)).toSeq
+    assert(dfs == dfs.sortBy(-_))
+    // prefix is normalized like query literals (fields store lowercase)
+    assert(engine.completeTerms("AB", 10, Seq("enwiki")).collect()
+      .map(_.getString(0)).toSeq == terms)
+    // k caps the page
+    assert(engine.completeTerms("a", 2, Seq("enwiki")).collect().length == 2)
+    intercept[IllegalArgumentException](engine.completeTerms("", 5))
+    intercept[IllegalArgumentException](engine.completeTerms("a", 0))
+  }
+
+  test("collapse: representative per field value with group size over the hit set") {
+    val rows = engine.collapse("TEXT == 'the'", "TITLE", Seq("enwiki")).collect()
+    assert(rows.nonEmpty)
+    // each group of this fixture is a single doc: n == 1, top_doc == the doc
+    assert(rows.forall(_.getAs[Long]("n") == 1L))
+    // n-descending then value ordering
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_))
+  }
+
+  test("indexStats: counts agree with the fixture corpus") {
+    val r = engine.indexStats(Seq("enwiki")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("language") == "enwiki")
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_terms") > 0L &&
+      row.getAs[Long]("n_postings") >= row.getAs[Long]("n_terms"))
+    assert(row.getAs[Long]("n_tokens") >= row.getAs[Long]("n_postings"))
+    assert(engine.indexStats(Seq("frwiki")).collect().isEmpty)
+  }
 }
