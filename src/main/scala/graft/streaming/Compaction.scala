@@ -152,6 +152,27 @@ object Compaction {
     through
   }
 
+  /** Auto-compaction policy gate for the maintainers (the Accumulo
+    * dial: N minor flushes trigger a major). Runs `compact` iff the
+    * policy is on (`every > 0`) and the committed delta count has
+    * reached it; the check is one directory listing, paid per batch.
+    * Returns whether a compaction ran.
+    */
+  def maybeCompact(every: Int, dir: String, parts: Seq[String])(compact: => Long): Boolean =
+    every > 0 && VersionedState.committed(dir, 'v', parts).size >= every && {
+      compact; true
+    }
+
+  /** Deferred sweep for grace-period deployments: delete everything the
+    * NEWEST committed base subsumes. The compact-then-sweep-later
+    * posture (`compactX(deleteSubsumed = false)` now, `sweepSubsumed`
+    * after the reader grace window) is the standard object-store
+    * compaction protocol.
+    */
+  def sweepSubsumed(dir: String, parts: Seq[String]): Unit =
+    VersionedState.committed(dir, 'c', parts).sorted.lastOption
+      .foreach(sweep(dir, parts, _))
+
   /** Delete dirs subsumed by the committed base `c<through>`: every
     * delta `v ≤ through` and every older base.
     */
@@ -162,19 +183,39 @@ object Compaction {
     doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
   }
 
-  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir>` */
+  private def partsOf(kind: String): Seq[String] = kind match {
+    case "index"  => Nil
+    case "dedup"  => LiveNearDupMaintainer.Parts
+    case "engine" => LiveEngineMaintainer.Parts
+    case "ann"    => LiveAnnMaintainer.Parts
+  }
+
+  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir> [keep|sweep]`
+    * — `keep` compacts but defers the delete of subsumed dirs (reader
+    * grace period); `sweep` performs only that deferred delete.
+    */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 && Set("index", "dedup", "engine", "ann")(args(0)),
-      "usage: Compaction <index|dedup|engine|ann> <stateDir>")
+    require(args.length >= 2 && args.length <= 3 &&
+        Set("index", "dedup", "engine", "ann")(args(0)) &&
+        (args.length == 2 || Set("keep", "sweep")(args(2))),
+      "usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep]")
+    val mode = if (args.length == 3) args(2) else "full"
+    if (mode == "sweep") {
+      sweepSubsumed(args(1), partsOf(args(0)))
+      println(s"swept subsumed dirs under ${args(1)}")
+      return
+    }
     val spark = graft.Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val del = mode != "keep"
     val through = args(0) match {
-      case "index"  => compactIndex(spark, args(1))
-      case "dedup"  => compactDedup(spark, args(1))
-      case "engine" => compactEngine(spark, args(1))
-      case "ann"    => compactAnn(spark, args(1))
+      case "index"  => compactIndex(spark, args(1), del)
+      case "dedup"  => compactDedup(spark, args(1), del)
+      case "engine" => compactEngine(spark, args(1), del)
+      case "ann"    => compactAnn(spark, args(1), del)
     }
-    println(s"compacted ${args(1)} through v$through")
+    println(s"compacted ${args(1)} through v$through" +
+      (if (del) "" else " (subsumed dirs kept; run with 'sweep' after the grace period)"))
     spark.stop()
   }
 }

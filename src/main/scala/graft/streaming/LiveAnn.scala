@@ -32,7 +32,8 @@ class LiveAnnMaintainer(
     spark: SparkSession,
     dir: String,
     cells: Int = 16,
-    iters: Int = 2) {
+    iters: Int = 2,
+    autoCompactEvery: Int = 0) {
 
   private val parts = LiveAnnMaintainer.Parts
 
@@ -95,6 +96,16 @@ class LiveAnnMaintainer(
       write(LiveAnnMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
+    maybeCompact()
+  }
+
+  // Policy-driven major compaction (`Compaction.maybeCompact` dial);
+  // the frozen codebook is store-level state and never folds. Also the
+  // tombstone eraser for deleted vectors.
+  private def maybeCompact(): Unit = {
+    Compaction.maybeCompact(autoCompactEvery, dir, parts)(
+      Compaction.compactAnn(spark, dir))
+    ()
   }
 
   private def write(df: DataFrame, path: String): Unit =
@@ -116,6 +127,7 @@ class LiveAnnMaintainer(
       write(deletes.select("vec_id").distinct(), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
+    maybeCompact()
   }
 
   /** Attach to a streaming Dataset with (vec_id, embedding) columns;

@@ -45,7 +45,8 @@ class LiveNearDupMaintainer(
     dir: String,
     tau: Double = 0.6,
     bands: Int = 32,
-    shingleN: Int = 3) {
+    shingleN: Int = 3,
+    autoCompactEvery: Int = 0) {
 
   private val parts = LiveNearDupMaintainer.Parts
 
@@ -159,6 +160,17 @@ class LiveNearDupMaintainer(
       Seq(b, setsNew, bandsNew, dropIds).foreach(_.unpersist())
       version = math.max(version, batchId)
     }
+    maybeCompact()
+  }
+
+  // Policy-driven major compaction (`Compaction.maybeCompact` dial);
+  // per-batch `verdicts/` history is untouched — only corpus state
+  // folds. Also the tombstone eraser: deleted docs' bytes outlive the
+  // delete by at most one compaction cycle.
+  private def maybeCompact(): Unit = {
+    Compaction.maybeCompact(autoCompactEvery, dir, parts)(
+      Compaction.compactDedup(spark, dir))
+    ()
   }
 
   /** One DELETE micro-batch: `deletes` carries a `doc_id` column. The
@@ -182,6 +194,7 @@ class LiveNearDupMaintainer(
       write(deletes.select("doc_id").distinct(), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
+    maybeCompact()
   }
 }
 

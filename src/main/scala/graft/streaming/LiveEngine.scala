@@ -62,7 +62,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 class LiveEngineMaintainer(
     spark: SparkSession,
     dir: String,
-    numPartitions: Int) {
+    numPartitions: Int,
+    autoCompactEvery: Int = 0) {
 
   import LiveEngineMaintainer._
 
@@ -120,6 +121,19 @@ class LiveEngineMaintainer(
       write(emptyTombstones(s), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
+    maybeCompact()
+  }
+
+  // Policy-driven major compaction (autoCompactEvery > 0): fold the
+  // store into one base once the committed delta count reaches the
+  // dial — bounded read amplification with no operator in the loop.
+  // Doubles as the tombstone eraser: every auto-compaction applies
+  // deletes physically, so a deleted doc's bytes outlive it by at most
+  // one compaction cycle.
+  private def maybeCompact(): Unit = {
+    Compaction.maybeCompact(autoCompactEvery, dir, parts)(
+      Compaction.compactEngine(spark, dir))
+    ()
   }
 
   /** One DELETE micro-batch: `deletes` carries a `doc_id` column; this
@@ -148,6 +162,7 @@ class LiveEngineMaintainer(
       write(tomb, s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
+    maybeCompact()
   }
 
   /** Attach to a streaming Dataset with the `documents` schema; same

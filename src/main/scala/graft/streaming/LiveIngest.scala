@@ -41,7 +41,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 class LiveIndexMaintainer(
     spark: SparkSession,
     dir: String,
-    numPartitions: Int) {
+    numPartitions: Int,
+    autoCompactEvery: Int = 0) {
 
   // Recover the committed pointer on (re)construction: a restarted
   // maintainer resumes at the last committed version, not from scratch —
@@ -101,5 +102,14 @@ class LiveIndexMaintainer(
         .parquet(s"$dir/v$batchId")
       version = math.max(version, batchId) // committed — advance last
     }
+    // Policy-driven major compaction (autoCompactEvery > 0): once the
+    // committed delta count reaches the dial, fold base+deltas into one
+    // c<k> — read amplification stays bounded without an operator in
+    // the loop. Runs inside the batch turn, so the maintainer pauses
+    // for one fold every N batches (Accumulo's blocking-major analogue;
+    // size the dial to the corpus like its compaction ratio).
+    Compaction.maybeCompact(autoCompactEvery, dir, Nil)(
+      Compaction.compactIndex(spark, dir))
+    ()
   }
 }

@@ -571,6 +571,58 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("autoCompactEvery: maintainers self-compact at the dial, reads stay identical, deletes erase") {
+    // --- index maintainer: delta count never exceeds the dial, the
+    // merged read equals a from-scratch batch build throughout ---
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto-compact").toString
+    val m = new LiveIndexMaintainer(spark, dir, numPartitions = 2, autoCompactEvery = 2)
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10),
+      (2L, "beta gamma", "en", "s1", 10),
+      (3L, "gamma delta", "de", "s2", 11),
+      (4L, "delta alpha", "en", "s1", 11),
+      (5L, "epsilon alpha", "en", "s1", 13))
+    docs.zipWithIndex.foreach { case (d, i) =>
+      m.processBatch(Seq(d).toDF("doc_id", "text", "lang", "source", "n_chars"), i.toLong)
+      // the policy bounds pending deltas at every-1 after each batch
+      assert(VersionedState.committed(dir, 'v', Nil).size < 2,
+        s"pending deltas after batch $i")
+    }
+    def names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // batches 0..4 at every=2: majors fired after batch 1 (→ c1) and
+    // batch 3 (→ c3, sweeping c1); batch 4's delta is pending
+    assert(names == Set("c3", "v4"), names.toString)
+    assert(m.latestVersion == 4L)
+    val batchBuilt = graft.ingest.IndexBuilder.buildGlobalIndex(
+      graft.ingest.IndexBuilder.documentIndexRows(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"), 2))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("fieldValue"), col("fieldName"), col("partition"), col("language"),
+        col("count"), array_sort(col("uids")).as("uids"), col("ignore"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(m.latest.get) == canon(batchBuilt))
+
+    // --- engine maintainer: an auto-compaction doubles as the
+    // tombstone eraser — no operator ran the CLI, yet the deleted doc
+    // is physically gone from the folded base ---
+    import graft.query.WikiSearchEngine
+    val edir = java.nio.file.Files.createTempDirectory("graft-auto-engine").toString
+    val em = new LiveEngineMaintainer(spark, edir, numPartitions = 2, autoCompactEvery = 2)
+    em.processBatch(Seq(
+      (1L, "alpha beta", "en", "s1", 10),
+      (2L, "beta gamma", "en", "s1", 10)).toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    em.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 1L)
+    // delta count hit the dial at the delete batch → base c1, no deltas
+    val enames = new java.io.File(edir).listFiles().map(_.getName).toSet
+    assert(enames == Set("c1"), enames.toString)
+    assert(spark.read.parquet(s"$edir/c1/documents")
+      .select("docId").collect().map(_.getString(0)).toSet == Set("2"))
+    assert(spark.read.parquet(s"$edir/c1/tombstones").count() == 0L)
+    val live = new WikiSearchEngine(spark, em.latestIndex.get)
+    assert(live.run("TEXT == 'beta'", Nil)
+      .select("docId").collect().map(_.getString(0)).toSet == Set("2"))
+  }
+
   test("incremental index merge preserves lossy UidList semantics") {
     def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
       rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
