@@ -623,6 +623,78 @@ class StreamingSpec extends SparkSuite {
       .select("docId").collect().map(_.getString(0)).toSet == Set("2"))
   }
 
+  test("live store fuzz: random ingest/delete/compaction sequences serve like a batch build") {
+    // Metamorphic property over the whole LSM algebra: for ANY op
+    // sequence (ingest fresh docs, delete live docs, re-ingest deleted
+    // ones, auto- or manual compaction at any cadence), a
+    // WikiSearchEngine over the live store must answer every access
+    // path exactly like a from-scratch batch build over the docs a
+    // sequential replay leaves alive. Seeds are fixed — failures
+    // reproduce.
+    import graft.query.WikiSearchEngine
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val langs = Vector("en", "de")
+    val queries = Seq(
+      "TEXT == 'alpha'",
+      "TEXT == 'alpha' and TEXT == 'beta'",
+      "TEXT == 'beta' or TEXT == 'zeta'",
+      "TEXT =~ 'de.*'",
+      "f:near(TEXT, 3, 'alpha', 'gamma')")
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val dial = rnd.nextInt(3) // 0 = manual compaction, else auto
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-live-fuzz-$seed").toString
+      val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2,
+        autoCompactEvery = dial)
+      var alive = Map.empty[Long, (String, String)] // id -> (text, lang)
+      var dead  = Set.empty[Long]
+      var nextId = 1L
+      def docRow(id: Long) = {
+        val (text, lang) = alive(id)
+        (id, text, lang, "s1", text.length)
+      }
+      for (batchId <- 0L until 7L) {
+        val doDelete = alive.nonEmpty && rnd.nextInt(3) == 0
+        if (doDelete) {
+          val ids = rnd.shuffle(alive.keys.toSeq).take(1 + rnd.nextInt(2)) ++
+            (if (rnd.nextBoolean()) Seq(999L) else Nil) // unseen id: masks nothing
+          m.processDeletes(ids.map(Tuple1(_)).toDF("doc_id"), batchId)
+          alive --= ids; dead ++= ids.filterNot(_ == 999L)
+        } else {
+          val ids = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            // re-ingest a previously deleted doc half the time it can:
+            // a tombstone must not outlive a LATER ingest (resurrection)
+            if (dead.nonEmpty && rnd.nextBoolean()) {
+              val id = dead.head; dead -= id; id
+            } else { val id = nextId; nextId += 1; id }
+          }
+          ids.foreach { id =>
+            val text = (0 until 3 + rnd.nextInt(3))
+              .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+            alive += id -> (text, langs(rnd.nextInt(langs.size)))
+          }
+          m.processBatch(ids.map(docRow).toDF(
+            "doc_id", "text", "lang", "source", "n_chars"), batchId)
+        }
+        if (dial > 0)
+          assert(VersionedState.committed(dir, 'v', LiveEngineMaintainer.Parts)
+            .size < dial, s"seed=$seed dial=$dial batch=$batchId pending deltas")
+        else if (batchId == 3L) Compaction.compactEngine(spark, dir) // mid-sequence manual major
+      }
+      val expected = alive.keys.toSeq.sorted.map(docRow)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ref = new WikiSearchEngine(spark,
+        graft.ingest.IndexBuilder.fromDocumentsTable(spark, expected, 2))
+      val live = new WikiSearchEngine(spark, m.latestIndex.get)
+      def ids(e: WikiSearchEngine, q: String, auths: Seq[String]) =
+        e.run(q, auths).select("docId").collect().map(_.getString(0)).toSet
+      for (q <- queries; auths <- Seq(Nil, Seq("de")))
+        assert(ids(live, q, auths) == ids(ref, q, auths),
+          s"seed=$seed dial=$dial auths=$auths: $q")
+    }
+  }
+
   test("incremental index merge preserves lossy UidList semantics") {
     def gi(rows: Seq[(String, String, Int, String, Long, Seq[String], Boolean)]) =
       rows.toDF("fieldValue", "fieldName", "partition", "language", "count", "uids", "ignore")
