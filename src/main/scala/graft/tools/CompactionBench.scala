@@ -58,6 +58,25 @@ object CompactionBench {
       f"read_pre=$preWall%.2fs compact=$compactWall%.2fs base=${baseBytes / 1024}%dKiB " +
       f"read_post=$postWall%.2fs rows=$preRows")
 
+    // ---- auto-compaction policy: same ingest, dial = 4 -----------------
+    // Sustained ingest with autoCompactEvery: majors fire inside the
+    // batch turn every 4 deltas, so the final read never folds more
+    // than 3 deltas over the base — the amortized cost shows up in
+    // ingest wall, the payoff in read wall and a bounded dir count.
+    val acDir = java.nio.file.Files.createTempDirectory("graft-cbench-ac").toString
+    val ac = new LiveIndexMaintainer(spark, acDir, numPartitions = 8, autoCompactEvery = 4)
+    val (_, acIngestWall) = timed {
+      (0 until n).foreach(b =>
+        ac.processBatch(docs.filter(pmod(col("doc_id"), lit(n)) === b), b.toLong))
+    }
+    val acBytes = du(acDir)
+    val acDirs = Option(new java.io.File(acDir).listFiles()).map(_.length).getOrElse(0)
+    val (acRows, acReadWall) = timed(ac.latest.get.count())
+    require(acRows == preRows && canon(ac.latest.get) == preCanon,
+      "auto-compacted read must equal the manual maintainer's")
+    println(f"index-auto4: n=$n ingest=$acIngestWall%.2fs dirs=$acDirs%d " +
+      f"bytes=${acBytes / 1024}%dKiB read=$acReadWall%.2fs rows=$acRows")
+
     // ---- dedup maintainer: n batches → compact -------------------------
     val ddDir = java.nio.file.Files.createTempDirectory("graft-cbench-dd").toString
     val dd = new LiveNearDupMaintainer(spark, ddDir, tau = 0.6)
