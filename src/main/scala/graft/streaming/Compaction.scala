@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
-/** Major compaction for the versioned streaming state both maintainers
-  * accumulate (`VersionedState` layout) — the Spark shape of Accumulo's
+/** Major compaction for the versioned streaming state all four
+  * maintainers accumulate (`VersionedState` layout: index, near-dup,
+  * full engine store, ANN) — the Spark shape of Accumulo's
   * major compaction (`README.md:50-56`: combiners fold at compact scope;
   * minor flushes pile up files, a major folds them into one).
   *

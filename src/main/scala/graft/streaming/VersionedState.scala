@@ -1,7 +1,8 @@
 package graft.streaming
 
-/** The shared LSM-style versioned-parquet state layout behind both
-  * streaming maintainers (`LiveIndexMaintainer`, `LiveNearDupMaintainer`):
+/** The shared LSM-style versioned-parquet state layout behind the
+  * streaming maintainers (`LiveIndexMaintainer`, `LiveNearDupMaintainer`,
+  * `LiveEngineMaintainer`, `LiveAnnMaintainer`):
   *
   *   - `v<batchId>/` — a DELTA holding only that micro-batch's output
   *     (O(|batch|) bytes at any accumulated corpus size);
