@@ -93,10 +93,11 @@ case class Results(documents: Seq[Document]) {
   * fronts (stored offsets index into its token stream): the default is
   * the wiki-XML path's `TextFunctions.tokenize`; a service over a
   * documents-table engine (postings built with `tokenizeWs`) passes
-  * that instead. Held HERE, once, so the BM25 doc lengths and snippet
-  * windows this service requests can never diverge from the index —
-  * per-call tokenizer choice was the exact mismatch `rank()`'s doc
-  * warns about.
+  * that instead. Held HERE, once, so the snippet windows this service
+  * requests can never diverge from the index — per-call tokenizer
+  * choice was the exact mismatch the snippet docs warn about. (BM25
+  * serving no longer takes a tokenizer at all: dl and corpus stats come
+  * from the index's materialized statistics tables.)
   */
 class QueryService(engine: WikiSearchEngine,
     tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -125,7 +126,7 @@ class QueryService(engine: WikiSearchEngine,
     * from the collected row order.
     */
   def rank(terms: Seq[String], limit: Int = 10, auths: Seq[String] = Nil): String = {
-    val rows = engine.rankTopK(terms, limit, tokenizer = tokenizer, auths = auths).collect()
+    val rows = engine.rankTopK(terms, limit, auths = auths).collect()
     rows.zipWithIndex.map { case (r, i) =>
       s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
     }.mkString("[", ",", "]")
@@ -152,7 +153,7 @@ class QueryService(engine: WikiSearchEngine,
   def rankAfter(terms: Seq[String], afterScore: Double, afterId: String,
       limit: Int = 10, auths: Seq[String] = Nil): String = {
     val rows = engine.rankPage(terms, limit, afterScore, afterId,
-      tokenizer = tokenizer, auths = auths).collect()
+      auths = auths).collect()
     rows.zipWithIndex.map { case (r, i) =>
       s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
     }.mkString("[", ",", "]")

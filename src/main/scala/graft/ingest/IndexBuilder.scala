@@ -21,7 +21,9 @@ case class WikiIndex(
     termPostings: DataFrame, // (term, language, partition, docId, tf, offsets)
     storedEvents: Option[DataFrame] = None, // loaded event view, if persisted
     storedReverse: Option[DataFrame] = None, // loaded reverse index, if persisted
-    storedTrigram: Option[DataFrame] = None // loaded trigram index, if persisted
+    storedTrigram: Option[DataFrame] = None, // loaded trigram index, if persisted
+    storedDocLengths: Option[DataFrame] = None, // loaded per-doc lengths, if persisted
+    storedCorpusStats: Option[DataFrame] = None // loaded per-language stats, if persisted
 ) {
 
   /** The pivoted per-document event view — one row per doc with
@@ -73,6 +75,41 @@ case class WikiIndex(
   def trigramIndex: DataFrame =
     storedTrigram.getOrElse(WikiIndex.deriveTrigrams(globalIndex))
 
+  /** Per-document token length `(partition, language, docId, dl)` — the
+    * BM25 `dl` statistic, materialized at index build rather than
+    * re-derived from raw content per query (the reference's own posture:
+    * `TermWeight.Info.normalizedTermFrequency` is precomputed at ingest,
+    * `ingest/src/main/protobuf/TermWeight.proto:54-57`, merged by
+    * `TextIndexCombiner.java:45-79`). The derived fallback is EXACT
+    * without touching raw text: every token position appears in exactly
+    * one term's offsets array, so dl = Σ_term |offsets| per doc; docs
+    * with no tokens get dl = 0 via the left join on the document keys.
+    * `save` persists this (and `load` reads it back) so a ranked query
+    * reads one narrow column instead of folding offsets arrays.
+    */
+  def docLengths: DataFrame =
+    storedDocLengths.getOrElse(
+      documents.select("partition", "language", "docId")
+        .join(
+          termPostings.groupBy("partition", "language", "docId")
+            .agg(sum(size(col("offsets"))).cast("double").as("dl")),
+          Seq("partition", "language", "docId"), "left")
+        .na.fill(0.0, Seq("dl")))
+
+  /** Per-language corpus statistics `(language, n, sum_dl)` for BM25's
+    * N and avgdl. Kept per LANGUAGE (not one global row) because
+    * language is this engine's visibility label: an auth-restricted
+    * query must exclude unauthorized documents from N/avgdl too, so the
+    * serving aggregation is a sum over the authorized rows of this
+    * catalog-sized table. Values are integer-valued doubles (token
+    * counts), so any summation order yields bit-identical results
+    * (exact integer sums below 2^53).
+    */
+  def corpusStats: DataFrame =
+    storedCorpusStats.getOrElse(
+      docLengths.groupBy("language")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).as("sum_dl")))
+
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
     termPostings.cache(); events.cache()
@@ -115,6 +152,11 @@ case class WikiIndex(
       .repartition(col("partition"))
       .sortWithinPartitions("language", "docId")
       .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/events")
+    docLengths
+      .repartition(col("partition"))
+      .sortWithinPartitions("language", "docId")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/doc_lengths")
+    corpusStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/corpus_stats")
   }
 }
 
@@ -133,6 +175,12 @@ object WikiIndex {
       catch { case _: org.apache.spark.sql.AnalysisException => None },
     storedTrigram =
       try Some(spark.read.parquet(s"$dir/trigram_index"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+    storedDocLengths =
+      try Some(spark.read.parquet(s"$dir/doc_lengths"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+    storedCorpusStats =
+      try Some(spark.read.parquet(s"$dir/corpus_stats"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
 

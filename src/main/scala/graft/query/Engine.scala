@@ -294,20 +294,17 @@ class WikiSearchEngine(
   /** BM25 ranked retrieval over this engine's own index (beyond the
     * reference, which returns unranked sets although its index already
     * stores everything BM25 needs): tf = TermWeight offsets length, df
-    * from the filtered postings, document length from the stored
-    * content (via `tokenizer`, which MUST be the tokenizer that BUILT
-    * the postings so tf and dl come from the same token stream), corpus
-    * stats as a one-row broadcast. Per-term contributions are summed in
-    * EXPLICIT term order so the float association is reproducible.
+    * from the filtered postings, document length and corpus stats from
+    * the index's MATERIALIZED `doc_lengths` / `corpus_stats` tables
+    * (precomputed at build — dl is definitionally the token count of
+    * the stream that built the postings, so tf and dl come from the
+    * same tokenizer by construction). Per-term contributions are summed
+    * in EXPLICIT term order so the float association is reproducible.
     *
     * `tieBreak` orders equal-score documents (and is the secondary sort
     * under the score): callers with numeric document ids pass the cast
     * column so ties match a numeric oracle; default is the stored
     * string docId.
-    *
-    * `tokenizer` defaults like `highlights`: `TextFunctions.tokenize`
-    * for the wiki XML path; pass `TextFunctions.tokenizeWs` on a
-    * documents-table engine.
     *
     * `auths` restricts BOTH the postings and the corpus statistics to
     * the authorized languages — an unauthorized document must neither
@@ -323,10 +320,9 @@ class WikiSearchEngine(
     */
   def rank(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       tieBreak: Column = col("docId"),
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
       auths: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bm25Scored(terms, k1, b, tokenizer, auths)
+    bm25Scored(terms, k1, b, auths)
       .select(row_number().over(
         Window.orderBy(col("score").desc, tieBreak, col("language"), col("partition")))
         .cast("bigint").as("rank"), col("docId"), col("language"), col("score"))
@@ -342,10 +338,9 @@ class WikiSearchEngine(
     */
   def rankTopK(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       tieBreak: Column = col("docId"),
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
       auths: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
-    bm25Scored(terms, k1, b, tokenizer, auths)
+    bm25Scored(terms, k1, b, auths)
       .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
       .limit(k)
       .select(col("docId"), col("language"), col("score"))
@@ -370,7 +365,6 @@ class WikiSearchEngine(
       afterLanguage: Option[String] = None, afterPartition: Option[Int] = None,
       k1: Double = 1.2, b: Double = 0.75,
       tieBreak: Column = col("docId"),
-      tokenizer: Column => Column = graft.functions.TextFunctions.tokenize,
       auths: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
     // lexicographic "strictly after", truncated to the keys provided
@@ -381,7 +375,7 @@ class WikiSearchEngine(
     val after = col("score") < lit(afterScore) ||
       (col("score") === lit(afterScore) &&
         (tieBreak > lit(afterTie) || (tieBreak === lit(afterTie) && langAfter)))
-    bm25Scored(terms, k1, b, tokenizer, auths)
+    bm25Scored(terms, k1, b, auths)
       .filter(after)
       .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
       .limit(k)
@@ -425,19 +419,26 @@ class WikiSearchEngine(
   }
 
   private def bm25Scored(terms: Seq[String], k1: Double, b: Double,
-      tokenizer: Column => Column, auths: Seq[String]): DataFrame = {
+      auths: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "rank() needs at least one term")
     // Lengths and postings join on the FULL document key (partition,
     // language, docId): a docId repeated across languages is a distinct
     // document and must neither duplicate-join its dl row nor merge
     // score contributions with its namesakes.
+    //
+    // dl and (N, avgdl) come from the index's MATERIALIZED statistics
+    // (`WikiIndex.docLengths` / `corpusStats` — precomputed at build,
+    // the reference's own posture per `TermWeight.proto:54-57`), NOT
+    // from re-tokenizing stored content: at corpus scale the latter is
+    // a full-corpus pass per ranked query. avgdl = Σdl / N over the
+    // authorized per-language stat rows; both operands are exact
+    // integer-valued doubles, so the quotient is bit-identical to the
+    // flat per-document average at any association order.
     val docKey = Seq("partition", "language", "docId")
-    val docLens = langAuth(auths)(index.documents).select(
-      col("partition"), col("language"), col("docId"),
-      size(tokenizer(unbase64(col("textB64")).cast("string")))
-        .cast("double").as("dl"))
-    val stats = docLens.agg(
-      count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val docLens = langAuth(auths)(index.docLengths)
+    val stats = langAuth(auths)(index.corpusStats).agg(
+      sum(col("n")).cast("double").as("n"),
+      (sum(col("sum_dl")) / sum(col("n"))).as("avgdl"))
     val tf = langAuth(auths)(index.termPostings)
       .filter(col("term").isin(terms: _*))
       .select(col("partition"), col("language"), col("docId"), col("term"),

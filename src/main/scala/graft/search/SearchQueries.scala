@@ -357,12 +357,11 @@ object SearchQueries {
          |  doc_id, score
          |FROM scored ORDER BY rank""".stripMargin) { (s, dir) =>
       // Single implementation: the ENGINE's BM25 (WikiSearchEngine.rank
-      // — dl from the stored content via the same tokenizer that built
-      // the postings). Numeric tie-break so equal-score ties match the
-      // oracle's numeric doc_id ordering.
+      // — dl and corpus stats from the index's materialized doc_lengths
+      // / corpus_stats tables). Numeric tie-break so equal-score ties
+      // match the oracle's numeric doc_id ordering.
       engine(s, dir).rank(Seq("spark", "join", "vector"),
-        tieBreak = col("docId").cast("bigint"),
-        tokenizer = graft.functions.TextFunctions.tokenizeWs)
+        tieBreak = col("docId").cast("bigint"))
         .select(col("rank"), col("docId").cast("bigint").as("doc_id"), col("score"))
         .orderBy("rank")
     },
@@ -447,8 +446,7 @@ object SearchQueries {
       // page (bounded window).
       val bmPage = callerEngine(s, dir)
         .rankTopK(Seq("spark", "join", "vector"), k = 50,
-          tieBreak = col("docId").cast("bigint"),
-          tokenizer = graft.functions.TextFunctions.tokenizeWs)
+          tieBreak = col("docId").cast("bigint"))
       val bm = bmPage.select(
         col("docId").cast("bigint").as("id"),
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -892,16 +890,14 @@ object SearchQueries {
       val eng   = engine(s, dir)
       val terms = Seq("spark", "join", "vector")
       val tie   = col("docId").cast("bigint")
-      val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.functions.TextFunctions.tokenizeWs
       // page 1's last row is the keyset boundary (what a serving edge
       // hands back to the client as the cursor); docId is a unique
       // numeric key here, so the two-key boundary is already total
-      val last = eng.rankTopK(terms, 10, tieBreak = tie, tokenizer = tok)
+      val last = eng.rankTopK(terms, 10, tieBreak = tie)
         .collect().last
       eng.rankPage(terms, 10,
           afterScore = last.getDouble(2), afterTie = last.getString(0).toLong,
-          tieBreak = tie, tokenizer = tok)
+          tieBreak = tie)
         .select(col("docId").cast("bigint").as("doc_id"), col("score"))
     }
   )

@@ -130,6 +130,7 @@ object Compaction {
     */
   def compactEngine(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, reverse}
     import LiveEngineMaintainer.{foldGlobal, maskDeleted, tombstoneSet, withVer}
     val parts = LiveEngineMaintainer.Parts
     val through = VersionedState.maxVersion(dir, parts)
@@ -137,32 +138,70 @@ object Compaction {
     def readPart(p: String) = spark.read.parquet(
       VersionedState.readPaths(dir, parts, Some(p), through): _*)
     val tombs = tombstoneSet(Some(readPart("tombstones")))
-    for (p <- parts) {
-      val unioned = readPart(p)
-      val folded = p match {
-        case "global"     => foldGlobal(withVer(unioned), tombs)
-        case "metadata"   => unioned.distinct()
-        case "tombstones" => unioned.limit(0) // applied above; base is clean
-        case _            => maskDeleted(withVer(unioned), tombs)
+    // The folded global feeds three parts (global, reverse, trigram) —
+    // cache it so the merge-on-read fold runs once, not per write. The
+    // reverse/trigram bases are REBUILT from the folded global rather
+    // than folded from their own deltas: same result for reverse (the
+    // fold commutes with the value reversal), and for trigram it is the
+    // right-to-be-forgotten eraser — a deleted document's vocabulary
+    // grams must not survive in the base. Both bases are written in
+    // `WikiIndex.save`'s sorted layout so prefix/gram probes prune.
+    val foldedGlobal = foldGlobal(withVer(readPart("global")), tombs).cache()
+    try {
+      for (p <- parts) {
+        val folded = p match {
+          case "global"   => foldedGlobal
+          case "reverse"  =>
+            foldedGlobal.withColumn("fieldValue", reverse(col("fieldValue")))
+              .repartition(col("fieldName")).sortWithinPartitions("fieldValue")
+          case "trigram"  =>
+            graft.ingest.WikiIndex.deriveTrigrams(foldedGlobal)
+              .repartition(col("fieldName")).sortWithinPartitions("gram")
+          case "metadata"   => readPart(p).distinct()
+          case "tombstones" => readPart(p).limit(0) // applied below; base is clean
+          case _            => maskDeleted(withVer(readPart(p)), tombs)
+        }
+        folded.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+          .parquet(s"$dir/c$through/$p")
       }
-      folded.write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        .parquet(s"$dir/c$through/$p")
-    }
+    } finally foldedGlobal.unpersist()
     if (deleteSubsumed) sweep(dir, parts, through)
     through
   }
 
   /** Auto-compaction policy gate for the maintainers (the Accumulo
     * dial: N minor flushes trigger a major). Runs `compact` iff the
-    * policy is on (`every > 0`) and the committed delta count has
-    * reached it; the check is one directory listing, paid per batch.
-    * Returns whether a compaction ran.
+    * policy is on (`every > 0`) and the count of PENDING deltas — those
+    * above the newest committed base, i.e. the read set's fold depth —
+    * has reached it; counting all committed v-dirs instead would let
+    * already-subsumed dirs (kept by a CLI `keep` run, or by this
+    * method's own grace window) trigger a full major every batch.
+    *
+    * The auto path runs WITH a one-cycle reader grace period: the new
+    * base is written without deleting what it subsumes
+    * (`compact(false)`), and only the dirs the PREVIOUS base subsumed
+    * are swept — so a live reader whose lazy plan still pins paths from
+    * the pre-compaction read set survives the batch turn that compacted
+    * under it, and subsumed dirs live exactly one compaction cycle.
+    * (The CLI retains both postures explicitly: default = eager delete,
+    * `keep`+`sweep` = operator-managed grace.)
+    *
+    * The check is one directory listing, paid per batch. Returns
+    * whether a compaction ran.
     */
-  def maybeCompact(every: Int, dir: String, parts: Seq[String])(compact: => Long): Boolean =
-    every > 0 && VersionedState.committed(dir, 'v', parts).size >= every && {
-      compact; true
+  def maybeCompact(every: Int, dir: String, parts: Seq[String])
+      (compact: Boolean => Long): Boolean = {
+    if (every <= 0) return false
+    val pending =
+      VersionedState.readSet(dir, parts, VersionedState.maxVersion(dir, parts))._2.size
+    pending >= every && {
+      val prevBase = VersionedState.committed(dir, 'c', parts).sorted.lastOption
+      compact(false)
+      prevBase.foreach(sweep(dir, parts, _))
+      true
     }
+  }
 
   /** Deferred sweep for grace-period deployments: delete everything the
     * NEWEST committed base subsumes. The compact-then-sweep-later
@@ -189,6 +228,8 @@ object Compaction {
     case "dedup"  => LiveNearDupMaintainer.Parts
     case "engine" => LiveEngineMaintainer.Parts
     case "ann"    => LiveAnnMaintainer.Parts
+    case other    => throw new IllegalArgumentException(
+      s"unknown store kind '$other': usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep]")
   }
 
   /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir> [keep|sweep]`

@@ -104,7 +104,7 @@ class LiveAnnMaintainer(
   // tombstone eraser for deleted vectors.
   private def maybeCompact(): Unit = {
     Compaction.maybeCompact(autoCompactEvery, dir, parts)(
-      Compaction.compactAnn(spark, dir))
+      Compaction.compactAnn(spark, dir, _))
     ()
   }
 

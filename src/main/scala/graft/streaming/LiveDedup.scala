@@ -163,13 +163,14 @@ class LiveNearDupMaintainer(
     maybeCompact()
   }
 
-  // Policy-driven major compaction (`Compaction.maybeCompact` dial);
-  // per-batch `verdicts/` history is untouched — only corpus state
-  // folds. Also the tombstone eraser: deleted docs' bytes outlive the
-  // delete by at most one compaction cycle.
+  // Policy-driven major compaction (`Compaction.maybeCompact` dial,
+  // with its one-cycle reader grace window); per-batch `verdicts/`
+  // history is untouched — only corpus state folds. Also the tombstone
+  // eraser: the base is clean at the first major after the delete, and
+  // the deltas holding the deleted bytes are swept one cycle later.
   private def maybeCompact(): Unit = {
     Compaction.maybeCompact(autoCompactEvery, dir, parts)(
-      Compaction.compactDedup(spark, dir))
+      Compaction.compactDedup(spark, dir, _))
     ()
   }
 

@@ -47,13 +47,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * column: a row's version is the `v<k>`/`c<k>` directory it was read
   * from (`input_file_name`), so deltas stay byte-identical to a batch
   * build's tables. (Store-format note: tombstones joined the commit
-  * protocol in round 8 — every version dir must carry all seven parts.)
+  * protocol in round 8; `doc_lengths`, `reverse` and `trigram` joined
+  * in round 9 — every version dir must carry all ten parts.)
   *
-  * The reverse index is `WikiIndex`'s derived projection over the
-  * merged global index (the persisted-sorted form is `save`'s batch
-  * optimization; a live store trades that scan-pruning for freshness —
-  * run `Compaction.compactEngine` + `WikiIndex.save` to graduate a
-  * live store to the bulk layout).
+  *   - `doc_lengths` — per-document BM25 token lengths, per-doc rows →
+  *     readers union + tombstone-mask like the other doc parts, so
+  *     ranked serving on a live store reads materialized statistics
+  *     (never re-tokenizes) and deletes drop a doc from dl/N/avgdl
+  *     through the same version-ordered rule as everywhere else.
+  *   - `reverse` / `trigram` — the suffix- and infix-probe access
+  *     paths, written as PER-BATCH PROJECTIONS of the batch's global
+  *     delta (reversed value / vocabulary grams). Readers fold
+  *     `reverse` through the same merge-on-read as `global` (it is the
+  *     same rows keyed by reversed value) and union+distinct `trigram`
+  *     (vocabulary-set semantics; rows carry no doc ids, so a
+  *     fully-deleted value is a harmless candidate superset until
+  *     compaction erases it). This closes the round-8 trade where a
+  *     live store answered suffix/infix queries by deriving
+  *     `reverse(fieldValue)` on the fly — an unprunable full-vocabulary
+  *     scan; now the prefix probe pushes into the delta scans exactly
+  *     as on a saved index.
   *
   * Write amplification per micro-batch is O(|batch|) for every part at
   * any accumulated size; read amplification is bounded by compaction
@@ -90,13 +103,41 @@ class LiveEngineMaintainer(
         globalIndex = foldGlobal(withVer(readUnion("global").get), tombs),
         metadata = readUnion("metadata").get.distinct(),
         termPostings = maskDeleted(withVer(readUnion("postings").get), tombs),
-        storedEvents = readUnion("events").map(e => maskDeleted(withVer(e), tombs)))
+        storedEvents = readUnion("events").map(e => maskDeleted(withVer(e), tombs)),
+        // reverse folds like global (same rows keyed by reversed value);
+        // trigram is a vocabulary SET (dedup on union). Older stores
+        // without these parts fall back to WikiIndex's derived forms.
+        storedReverse = readUnion("reverse").map(r => foldGlobal(withVer(r), tombs)),
+        storedTrigram = readUnion("trigram").map(_.distinct()),
+        storedDocLengths =
+          readUnion("doc_lengths").map(d => maskDeleted(withVer(d), tombs)))
     }
 
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(path)
+
+  /** The nine non-tombstone parts of one version's delta, all derived
+    * from the batch's own index build (the tombstone part differs
+    * between the ingest and delete paths, so callers write it). The
+    * `reverse`/`trigram` deltas are the SAME projections `WikiIndex.save`
+    * persists, taken over the batch's global delta — so a live store
+    * keeps the saved layout's pushed-prefix access paths at O(|batch|)
+    * write amplification.
+    */
+  private def writeIndexParts(ix: WikiIndex, batchId: Long): Unit = {
+    write(ix.docsFields, s"$dir/v$batchId/docs_fields")
+    write(ix.documents, s"$dir/v$batchId/documents")
+    write(ix.globalIndex, s"$dir/v$batchId/global")
+    write(ix.termPostings, s"$dir/v$batchId/postings")
+    write(ix.events, s"$dir/v$batchId/events")
+    write(ix.metadata, s"$dir/v$batchId/metadata")
+    write(ix.docLengths, s"$dir/v$batchId/doc_lengths")
+    write(ix.globalIndex.withColumn("fieldValue", reverse(col("fieldValue"))),
+      s"$dir/v$batchId/reverse")
+    write(WikiIndex.deriveTrigrams(ix.globalIndex), s"$dir/v$batchId/trigram")
+  }
 
   private def alreadyCommitted(batchId: Long): Boolean =
     batchId <= version ||
@@ -112,12 +153,7 @@ class LiveEngineMaintainer(
     else {
       val s = batch.sparkSession
       val ix = IndexBuilder.fromDocumentsTable(s, batch, numPartitions)
-      write(ix.docsFields, s"$dir/v$batchId/docs_fields")
-      write(ix.documents, s"$dir/v$batchId/documents")
-      write(ix.globalIndex, s"$dir/v$batchId/global")
-      write(ix.termPostings, s"$dir/v$batchId/postings")
-      write(ix.events, s"$dir/v$batchId/events")
-      write(ix.metadata, s"$dir/v$batchId/metadata")
+      writeIndexParts(ix, batchId)
       write(emptyTombstones(s), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
@@ -125,14 +161,17 @@ class LiveEngineMaintainer(
   }
 
   // Policy-driven major compaction (autoCompactEvery > 0): fold the
-  // store into one base once the committed delta count reaches the
-  // dial — bounded read amplification with no operator in the loop.
-  // Doubles as the tombstone eraser: every auto-compaction applies
-  // deletes physically, so a deleted doc's bytes outlive it by at most
-  // one compaction cycle.
+  // store into one base once the PENDING delta count (read-set fold
+  // depth) reaches the dial — bounded read amplification with no
+  // operator in the loop. The auto path runs with a one-cycle reader
+  // grace window (`Compaction.maybeCompact`): dirs the new base
+  // subsumes are swept at the NEXT major, so live readers survive a
+  // compaction under them. Doubles as the tombstone eraser: every
+  // auto-compaction applies deletes physically in the base; the
+  // deleted doc's delta bytes are swept one cycle later.
   private def maybeCompact(): Unit = {
     Compaction.maybeCompact(autoCompactEvery, dir, parts)(
-      Compaction.compactEngine(spark, dir))
+      Compaction.compactEngine(spark, dir, _))
     ()
   }
 
@@ -153,12 +192,7 @@ class LiveEngineMaintainer(
         .select("partition", "docId").distinct()
       val empty = IndexBuilder.fromDocumentsTable(
         s, s.createDataFrame(s.sparkContext.emptyRDD[Row], DocumentsSchema), numPartitions)
-      write(empty.docsFields, s"$dir/v$batchId/docs_fields")
-      write(empty.documents, s"$dir/v$batchId/documents")
-      write(empty.globalIndex, s"$dir/v$batchId/global")
-      write(empty.termPostings, s"$dir/v$batchId/postings")
-      write(empty.events, s"$dir/v$batchId/events")
-      write(empty.metadata, s"$dir/v$batchId/metadata")
+      writeIndexParts(empty, batchId)
       write(tomb, s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
@@ -183,7 +217,8 @@ object LiveEngineMaintainer {
     * part's `_SUCCESS` exists. Shared with `Compaction.compactEngine`.
     */
   val Parts: Seq[String] =
-    Seq("docs_fields", "documents", "global", "postings", "events", "metadata", "tombstones")
+    Seq("docs_fields", "documents", "global", "postings", "events", "metadata",
+      "doc_lengths", "reverse", "trigram", "tombstones")
 
   /** The harness `documents` schema — the delete path needs it to write
     * schema-preserved empty doc parts.

@@ -109,7 +109,7 @@ class LiveIndexMaintainer(
     // for one fold every N batches (Accumulo's blocking-major analogue;
     // size the dial to the corpus like its compaction ratio).
     Compaction.maybeCompact(autoCompactEvery, dir, Nil)(
-      Compaction.compactIndex(spark, dir))
+      Compaction.compactIndex(spark, dir, _))
     ()
   }
 }

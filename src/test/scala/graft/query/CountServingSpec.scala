@@ -96,4 +96,32 @@ class CountServingSpec extends SparkSuite {
       assert(df.count() == 1L)
     }
   }
+
+  test("fast count on a live store is tombstone-aware through delete-then-reingest") {
+    // The zero-job path counts from plan-time EXACT postings and never
+    // touches the event store — so the fold-scope uid drop
+    // (LiveEngineMaintainer.foldGlobal) is the ONLY thing standing
+    // between it and counting deleted docs. Pin the version-ordering
+    // rule on this path specifically: delete doc 1 (count drops), then
+    // RE-ingest it in a later batch (count restores — the tombstone
+    // must not outlive the later ingest).
+    import graft.streaming.LiveEngineMaintainer
+    def doc(id: Long, text: String) = (id, text, "en", "s1", text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-count").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    m.processBatch(Seq(doc(1L, "alpha beta"), doc(2L, "alpha gamma"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    def engNow = new WikiSearchEngine(spark, m.latestIndex.get)
+    val before = engNow.fastCount("TEXT == 'alpha'")
+    assert(before.contains(2L), s"pre-delete fast count: $before")
+    m.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 1L)
+    val deleted = engNow.fastCount("TEXT == 'alpha'")
+    assert(deleted.contains(1L), s"post-delete fast count: $deleted")
+    m.processBatch(Seq(doc(1L, "alpha zeta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 2L)
+    val resurrected = engNow.fastCount("TEXT == 'alpha'")
+    assert(resurrected.contains(2L), s"post-reingest fast count: $resurrected")
+    // and the fast path still agrees with the residual-verified run path
+    assert(engNow.run("TEXT == 'alpha'").count() == 2L)
+  }
 }

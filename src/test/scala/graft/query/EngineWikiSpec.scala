@@ -566,9 +566,9 @@ class EngineWikiSpec extends SparkSuite {
     val eng = new WikiSearchEngine(spark,
       IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
     val tok = graft.functions.TextFunctions.tokenizeWs _
-    val full = eng.rank(Seq("spark", "join"), tokenizer = tok)
+    val full = eng.rank(Seq("spark", "join"))
       .select("docId", "language", "score").collect().map(_.toSeq).toSeq
-    val top2 = eng.rankTopK(Seq("spark", "join"), 2, tokenizer = tok)
+    val top2 = eng.rankTopK(Seq("spark", "join"), 2)
     assert(top2.collect().map(_.toSeq).toSeq == full.take(2))
     // the serving plan must be the bounded sort+limit, not a global window
     val plan = top2.queryExecution.executedPlan.toString
@@ -589,7 +589,7 @@ class EngineWikiSpec extends SparkSuite {
     val tok = graft.functions.TextFunctions.tokenizeWs _
     val tie = org.apache.spark.sql.functions.col("docId").cast("bigint")
     val terms = Seq("spark", "join")
-    val all = eng.rankTopK(terms, 9, tieBreak = tie, tokenizer = tok)
+    val all = eng.rankTopK(terms, 9, tieBreak = tie)
       .collect().map(_.toSeq).toSeq
     // page after row k must equal rows k+1..k+3 of the full ranking, for
     // EVERY boundary — including boundaries inside a tie run
@@ -598,13 +598,13 @@ class EngineWikiSpec extends SparkSuite {
       val page = eng.rankPage(terms, 3,
           afterScore = last(2).asInstanceOf[Double],
           afterTie = last(0).asInstanceOf[String].toLong,
-          tieBreak = tie, tokenizer = tok)
+          tieBreak = tie)
         .collect().map(_.toSeq).toSeq
       assert(page == all.slice(k + 1, k + 4), s"page after rank ${k + 1}")
     }
     // page plan is still the bounded top-k — no window, no offset-style sort
     val plan = eng.rankPage(terms, 3, afterScore = all(2)(2).asInstanceOf[Double],
-        afterTie = all(2)(0).asInstanceOf[String].toLong, tieBreak = tie, tokenizer = tok)
+        afterTie = all(2)(0).asInstanceOf[String].toLong, tieBreak = tie)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k page plan:\n$plan")
     assert(!plan.contains("Window"), s"page must not plan a window:\n$plan")
@@ -612,7 +612,7 @@ class EngineWikiSpec extends SparkSuite {
     val lastRow = all.last
     assert(eng.rankPage(terms, 3, afterScore = lastRow(2).asInstanceOf[Double],
       afterTie = lastRow(0).asInstanceOf[String].toLong,
-      tieBreak = tie, tokenizer = tok).collect().isEmpty)
+      tieBreak = tie).collect().isEmpty)
   }
 
   test("auths restrict rank, fuzzyTerms, snippets, and near to authorized languages") {
@@ -625,7 +625,7 @@ class EngineWikiSpec extends SparkSuite {
       IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1))
     val tok = graft.functions.TextFunctions.tokenizeWs _
     // rank: the fr document must not appear, and must not influence stats
-    val ranked = eng.rankTopK(Seq("spark"), 10, tokenizer = tok, auths = Seq("en"))
+    val ranked = eng.rankTopK(Seq("spark"), 10, auths = Seq("en"))
       .collect().map(_.getString(1)).toSet
     assert(ranked == Set("en"))
     // fuzzy vocabulary: 'classified' exists only in the fr doc

@@ -393,6 +393,68 @@ class StreamingSpec extends SparkSuite {
       assert(ids(live2, q) == ids(ref2, q), s"post-compaction ingest: $q")
   }
 
+  test("live store serves suffix/infix from delta reverse/trigram parts with pushed prefixes, and BM25 from materialized doc lengths") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-paths").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    val batches = Seq(
+      Seq((1L, "alpha beta alpha", "en", "s1", 16),
+          (2L, "alpha delta", "en", "s1", 11)),
+      Seq((3L, "beta delta epsilon", "de", "s2", 18),
+          (4L, "gamma alpha beta", "en", "s2", 16)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      m.processBatch(b.toDF("doc_id", "text", "lang", "source", "n_chars"), i.toLong)
+    }
+    m.processDeletes(Seq(Tuple1(2L)).toDF("doc_id"), 2L)
+    val ix = m.latestIndex.get
+    // the live store must serve the STORED access-path layouts, not the
+    // round-8 derived projections: the suffix probe's prefix predicate
+    // reaches the reverse-part parquet scans as a pushed StringStartsWith
+    // (on a derived reverse(fieldValue) column nothing can push), and the
+    // trigram probe likewise pushes its gram filter
+    val revProbe = ix.reverseIndex.filter(
+      col("fieldName") === "TEXT" && col("fieldValue").startsWith("at"))
+    val revPlan = revProbe.queryExecution.executedPlan.toString
+    assert(revPlan.contains("StartsWith"),
+      s"live suffix probe must push StartsWith to the reverse parts:\n$revPlan")
+    val triPlan = ix.trigramIndex.filter(col("gram") === "lph")
+      .queryExecution.executedPlan.toString
+    assert(triPlan.contains("PushedFilters: [IsNotNull(gram), EqualTo(gram,lph)"),
+      s"live trigram probe must push the gram filter:\n$triPlan")
+    // equality vs a from-scratch batch build on the suffix/infix/ranked
+    // paths (the store carries a tombstone, so the masked fold is live)
+    val aliveDocs = (batches.flatten.filterNot(_._1 == 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ref  = new WikiSearchEngine(spark,
+      graft.ingest.IndexBuilder.fromDocumentsTable(spark, aliveDocs, 2))
+    val live = new WikiSearchEngine(spark, ix)
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    for (q <- Seq("TEXT =~ '.*lta'", "TEXT =~ '.*lph.*'", "TEXT =~ '.*psilon'"))
+      assert(ids(live, q) == ids(ref, q), q)
+    // doc_lengths part: masked union equals a batch rebuild's lengths
+    // exactly (the deleted doc contributes to neither), so ranked
+    // serving over the live store needs no tokenize and stays exact
+    def dl(i: graft.ingest.WikiIndex) = i.docLengths
+      .select("docId", "language", "dl").collect().map(_.toSeq).toSet
+    val dlLive = dl(ix)
+    assert(dlLive == dl(graft.ingest.IndexBuilder.fromDocumentsTable(spark, aliveDocs, 2)))
+    val tie = col("docId").cast("bigint")
+    assert(live.rank(Seq("alpha", "beta"), tieBreak = tie).collect().map(_.toSeq).toSeq ==
+      ref.rank(Seq("alpha", "beta"), tieBreak = tie).collect().map(_.toSeq).toSeq)
+    // ...and compaction preserves all of it (stored layouts rebuilt from
+    // the folded global, doc_lengths masked physically). The MANUAL
+    // eager compaction deletes the v-dirs `ix`/`live` are pinned to, so
+    // everything read from them was captured above — the reader-grace
+    // story for long-lived readers is the auto path's (see
+    // `Compaction.maybeCompact`) or the CLI keep+sweep protocol.
+    Compaction.compactEngine(spark, dir)
+    val cIx = new LiveEngineMaintainer(spark, dir, numPartitions = 2).latestIndex.get
+    for (q <- Seq("TEXT =~ '.*lta'", "TEXT =~ '.*lph.*'"))
+      assert(ids(new WikiSearchEngine(spark, cIx), q) == ids(ref, q), s"post-compaction: $q")
+    assert(dl(cIx) == dlLive)
+  }
+
   test("LiveEngineMaintainer: tombstone deletes mask version-ordered, count exactly, and erase physically at compaction") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-live-del").toString
@@ -584,14 +646,21 @@ class StreamingSpec extends SparkSuite {
       (5L, "epsilon alpha", "en", "s1", 13))
     docs.zipWithIndex.foreach { case (d, i) =>
       m.processBatch(Seq(d).toDF("doc_id", "text", "lang", "source", "n_chars"), i.toLong)
-      // the policy bounds pending deltas at every-1 after each batch
-      assert(VersionedState.committed(dir, 'v', Nil).size < 2,
+      // the policy bounds PENDING deltas (the read set's fold depth —
+      // deltas above the newest base) at every-1 after each batch;
+      // already-subsumed dirs kept by the grace window don't count
+      assert(VersionedState.readSet(dir, Nil, VersionedState.maxVersion(dir, Nil))._2.size < 2,
         s"pending deltas after batch $i")
     }
     def names = new java.io.File(dir).listFiles().map(_.getName).toSet
     // batches 0..4 at every=2: majors fired after batch 1 (→ c1) and
-    // batch 3 (→ c3, sweeping c1); batch 4's delta is pending
-    assert(names == Set("c3", "v4"), names.toString)
+    // batch 3 (→ c3). The auto path keeps what the NEW base subsumes for
+    // one reader-grace cycle and sweeps what the PREVIOUS base subsumed:
+    // the c1 major had no predecessor (v0/v1 kept), the c3 major swept
+    // them (subsumed by c1) while keeping v2/v3 and c1 itself; batch 4's
+    // delta is pending. Readers resolved against the pre-c3 read set
+    // (c1 + v2 + v3) still find every path alive.
+    assert(names == Set("c1", "v2", "v3", "c3", "v4"), names.toString)
     assert(m.latestVersion == 4L)
     val batchBuilt = graft.ingest.IndexBuilder.buildGlobalIndex(
       graft.ingest.IndexBuilder.documentIndexRows(
@@ -612,15 +681,30 @@ class StreamingSpec extends SparkSuite {
       (1L, "alpha beta", "en", "s1", 10),
       (2L, "beta gamma", "en", "s1", 10)).toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
     em.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 1L)
-    // delta count hit the dial at the delete batch → base c1, no deltas
+    // delta count hit the dial at the delete batch → base c1; the grace
+    // window keeps the subsumed v0/v1 for one cycle (first major has no
+    // predecessor base to sweep behind)
     val enames = new java.io.File(edir).listFiles().map(_.getName).toSet
-    assert(enames == Set("c1"), enames.toString)
+    assert(enames == Set("v0", "v1", "c1"), enames.toString)
     assert(spark.read.parquet(s"$edir/c1/documents")
       .select("docId").collect().map(_.getString(0)).toSet == Set("2"))
     assert(spark.read.parquet(s"$edir/c1/tombstones").count() == 0L)
     val live = new WikiSearchEngine(spark, em.latestIndex.get)
     assert(live.run("TEXT == 'beta'", Nil)
       .select("docId").collect().map(_.getString(0)).toSet == Set("2"))
+    // two more batches trigger the NEXT auto-major, whose grace sweep
+    // deletes what c1 subsumed — the deleted doc's bytes (v0) are
+    // physically gone at most one compaction cycle after the base that
+    // erased them from the fold
+    em.processBatch(Seq(
+      (3L, "gamma beta", "en", "s1", 10)).toDF("doc_id", "text", "lang", "source", "n_chars"), 2L)
+    em.processBatch(Seq(
+      (4L, "delta beta", "en", "s1", 10)).toDF("doc_id", "text", "lang", "source", "n_chars"), 3L)
+    val enames2 = new java.io.File(edir).listFiles().map(_.getName).toSet
+    assert(enames2 == Set("c1", "v2", "v3", "c3"), enames2.toString)
+    val live2 = new WikiSearchEngine(spark, em.latestIndex.get)
+    assert(live2.run("TEXT == 'beta'", Nil)
+      .select("docId").collect().map(_.getString(0)).toSet == Set("2", "3", "4"))
   }
 
   test("live store fuzz: random ingest/delete/compaction sequences serve like a batch build") {
@@ -678,8 +762,9 @@ class StreamingSpec extends SparkSuite {
             "doc_id", "text", "lang", "source", "n_chars"), batchId)
         }
         if (dial > 0)
-          assert(VersionedState.committed(dir, 'v', LiveEngineMaintainer.Parts)
-            .size < dial, s"seed=$seed dial=$dial batch=$batchId pending deltas")
+          assert(VersionedState.readSet(dir, LiveEngineMaintainer.Parts,
+            VersionedState.maxVersion(dir, LiveEngineMaintainer.Parts))._2.size < dial,
+            s"seed=$seed dial=$dial batch=$batchId pending deltas")
         else if (batchId == 3L) Compaction.compactEngine(spark, dir) // mid-sequence manual major
       }
       val expected = alive.keys.toSeq.sorted.map(docRow)
