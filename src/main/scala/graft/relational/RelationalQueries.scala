@@ -697,9 +697,23 @@ object RelationalQueries {
     // instead BOTH sides derive lo/frac in pure integer math (permille,
     // memory-hazard rule: no float ceil/rank arithmetic) and evaluate
     // the ONE lerp `v_lo + (v_hi − v_lo)·frac/1000` in the same
-    // operation order, so the doubles are bit-identical. Same
-    // per-group-window scale posture as q26 (skewed groups → the
-    // histogram escape hatch documented there).
+    // operation order, so the doubles are bit-identical.
+    //
+    // Plan shape (the "histogram escape hatch" q26 documents, made the
+    // primary plan): ranking a whole group under one window task holds
+    // the group's entire slice in one partition — ~20 M rows per task
+    // at 100× — to pick ≤2 rows of it. Instead: (1) one map-side-
+    // combined histogram over fixed-width value buckets (floor(v/W) is
+    // monotone, so bucket order IS value order), with cumulative counts
+    // over the HISTOGRAM (|G|·buckets rows, not the fact table);
+    // (2) locate the ≤2 bracketing ranks' buckets per (group, p);
+    // (3) rank ONLY those buckets' rows (global rank = bucket's
+    // cumulative predecessor count + within-bucket row_number — exact
+    // because every value in an earlier bucket is ≤ every value here).
+    // The only windows are over the histogram and over ~n/buckets-row
+    // bucket slices; the fact table is never globally sorted. The two
+    // order statistics this selects are EXACTLY the full sort's, so the
+    // lerp — and the oracle hash — are unchanged.
     NamedQuery(
       "q30_quantile_cont",
       """WITH ps AS (SELECT unnest([250, 500, 750]) AS p),
@@ -723,23 +737,49 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val ranked = base
-        .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("v")))
-      // Target ranks first, from a groups×quantiles catalog (|G|·|P|
-      // rows): the corpus is then FILTERED against the ≤2 bracketing
-      // ranks per (group, p) through one broadcast join — never
-      // replicated |P|× the way a crossJoin-then-filter would, and the
-      // per-group count comes from a partial agg, not a second
-      // whole-partition window frame.
-      val ps = s.createDataFrame(
-        Seq(Tuple1(250L), Tuple1(500L), Tuple1(750L))).toDF("p")
-      val targets = base.groupBy("g").agg(count(lit(1)).as("n"))
-        .crossJoin(ps)
-        .withColumn("lo", expr("(p * (n - 1)) div 1000 + 1"))
-        .withColumn("frac", expr("(p * (n - 1)) % 1000"))
-        .select(col("g"), col("p"), col("lo"), col("frac"),
-          explode(array(col("lo"), col("lo") + 1)).as("rn"))
-      ranked.join(broadcast(targets), Seq("g", "rn"))
+      // Pass 1: fixed-width histogram (W=100 ⇒ ~1k buckets over the
+      // price domain; width trades histogram size against bracketing-
+      // bucket slice size, exactness depends on neither), collected
+      // driver-side — |G|·buckets rows, a CONSTANT of the value domain,
+      // not the corpus (the same ≤buckets prefix-sum posture as
+      // Curation.qualityGate). Prefix sums, target ranks and bracketing
+      // buckets resolve in plain integer arithmetic here; chaining them
+      // as DataFrames instead costs ~8 extra AQE stage round-trips on
+      // the latency path to move ~3k rows.
+      val bucketed = base.withColumn("b", floor(col("v") / lit(100.0)).cast("long"))
+      val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // per (group, p, targetRank): the bucket covering the rank and the
+      // count of rows in earlier buckets (a lo+1 past the group's end
+      // lands in no bucket and drops — the final coalesce's case)
+      val tbs = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cumEnd = sorted.scanLeft(0L)(_ + _._3).tail
+        val n = cumEnd.last
+        Seq(250L, 500L, 750L).flatMap { p =>
+          val lo   = (p * (n - 1)) / 1000 + 1
+          val frac = (p * (n - 1)) % 1000
+          Seq(lo, lo + 1).filter(rn => rn >= 1 && rn <= n).map { rn =>
+            val i = cumEnd.indexWhere(_ >= rn)
+            (g, p, lo, frac, rn, sorted(i)._2, if (i == 0) 0L else cumEnd(i - 1))
+          }
+        }
+      }
+      val tbDf = s.createDataFrame(tbs.map(t => (t._1, t._2, t._3, t._4, t._5)))
+        .toDF("g", "p", "lo", "frac", "rn")
+      val needed = s.createDataFrame(tbs.map(t => (t._1, t._6, t._7)).distinct)
+        .toDF("g", "b", "cumBefore")
+      // Pass 2: rank ONLY the bracketing buckets' rows (global rank =
+      // bucket's cumulative predecessor count + within-bucket
+      // row_number — exact because floor(v/W) is monotone in v, so
+      // every value in an earlier bucket sorts before every value
+      // here). The only window runs over ~n/buckets-row slices; the
+      // fact table is never globally sorted, and the two order
+      // statistics selected are EXACTLY the full sort's.
+      val ranked = bucketed.join(broadcast(needed), Seq("g", "b"))
+        .withColumn("rn", col("cumBefore") +
+          row_number().over(Window.partitionBy("g", "b").orderBy("v")))
+      ranked.join(broadcast(tbDf), Seq("g", "rn"))
         .groupBy("g", "p")
         .agg(
           min(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
