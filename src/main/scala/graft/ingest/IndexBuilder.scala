@@ -23,7 +23,19 @@ case class WikiIndex(
     storedReverse: Option[DataFrame] = None, // loaded reverse index, if persisted
     storedTrigram: Option[DataFrame] = None, // loaded trigram index, if persisted
     storedDocLengths: Option[DataFrame] = None, // loaded per-doc lengths, if persisted
-    storedCorpusStats: Option[DataFrame] = None // loaded per-language stats, if persisted
+    storedCorpusStats: Option[DataFrame] = None, // loaded per-language stats, if persisted
+    /** Positional postings for NON-TEXT tokenized fields, when the build
+      * declared any (`IndexBuilder` `offsetsFields`): (fieldName, term,
+      * language, partition, docId, tf, offsets). TEXT's postings remain
+      * the dedicated `termPostings` table (the overwhelmingly hot field
+      * keeps its lean schema and partitioned-sorted layout); this table
+      * serves `f:near`/`f:phrase`/`f:onear` on the declared extra
+      * fields — the offsets machinery was always field-generic, only
+      * the ingest wiring was TEXT-only (reference parity:
+      * `WikipediaMapper.java:155-168` stores TermWeight for article
+      * text only).
+      */
+    fieldPostings: Option[DataFrame] = None
 ) {
 
   /** The pivoted per-document event view — one row per doc with
@@ -157,6 +169,10 @@ case class WikiIndex(
       .sortWithinPartitions("language", "docId")
       .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/doc_lengths")
     corpusStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/corpus_stats")
+    fieldPostings.foreach(_
+      .repartition(col("partition"))
+      .sortWithinPartitions("fieldName", "term", "docId")
+      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/field_postings"))
   }
 }
 
@@ -181,6 +197,9 @@ object WikiIndex {
       catch { case _: org.apache.spark.sql.AnalysisException => None },
     storedCorpusStats =
       try Some(spark.read.parquet(s"$dir/corpus_stats"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+    fieldPostings =
+      try Some(spark.read.parquet(s"$dir/field_postings"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
 
@@ -209,8 +228,19 @@ object IndexBuilder {
     * reference's `id % numPartitions` document partitioner
     * (`WikipediaMapper.java:114-117`) — kept as an explicit column so
     * joins between index and docs co-partition.
+    *
+    * `offsetsFields` declares EVENT fields (e.g. COMMENTS) that should
+    * additionally store positional postings, making them `f:near` /
+    * `f:onear` / `f:phrase`-capable like TEXT (beyond the reference,
+    * which stores TermWeight offsets for article text only —
+    * `WikipediaMapper.java:155-168`). Each declared field is tokenized
+    * with the SAME tokenizer as TEXT (so query literals normalize
+    * identically) and recorded in metadata as a `kind = "p"` row — the
+    * engine discovers positional capability from the catalog, never by
+    * probing the table.
     */
-  def fromArticles(spark: SparkSession, articles: Dataset[Article], numPartitions: Int): WikiIndex = {
+  def fromArticles(spark: SparkSession, articles: Dataset[Article], numPartitions: Int,
+      offsetsFields: Set[String] = Set.empty): WikiIndex = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val base = articles.toDF
@@ -264,7 +294,8 @@ object IndexBuilder {
         ("TITLE", "i", NoOpNormalizer),
         ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
       val langs = articles.select("language").distinct().as[String].collect()
-      val static = langs.toSeq.flatMap(l => (e ++ i).map { case (f, k, n) => (f, k, l, n) })
+      val p = offsetsFields.toSeq.sorted.map(f => (f, "p", null: String))
+      val static = langs.toSeq.flatMap(l => (e ++ i ++ p).map { case (f, k, n) => (f, k, l, n) })
         .toDF("fieldName", "kind", "language", "normalizer")
         .withColumn("frequency", lit(null).cast("bigint"))
       static.unionByName(
@@ -276,7 +307,15 @@ object IndexBuilder {
       base.select(col("partition"), col("language"), col("docId"),
         TextFunctions.tokenize(col("text")).as("tokens")))
 
-    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
+    val fieldPostings =
+      if (offsetsFields.isEmpty) None
+      else Some(buildFieldPostings(
+        docsFields.filter(col("fieldName").isin(offsetsFields.toSeq: _*))
+          .select(col("fieldName"), col("partition"), col("language"), col("docId"),
+            TextFunctions.tokenize(col("fieldValue")).as("tokens"))))
+
+    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings,
+      fieldPostings = fieldPostings)
   }
 
   /** Build from the driver's synthetic `documents` table
@@ -420,6 +459,21 @@ object IndexBuilder {
       .select(col("partition"), col("language"), col("docId"), col("nTokens"),
         posexplode(col("tokens")).as(Seq("pos", "term")))
       .groupBy("term", "language", "partition", "docId")
+      .agg(
+        (count(lit(1)) / first(col("nTokens"))).cast("float").as("tf"),
+        array_sort(collect_list(col("pos"))).as("offsets"))
+
+  /** `buildTermPostings` with `fieldName` carried through the grouping —
+    * the positional postings for declared non-TEXT tokenized fields
+    * (`WikiIndex.fieldPostings`). Same shuffle shape, keyed by
+    * (field, term): a hot term in one field never skews another's.
+    */
+  def buildFieldPostings(fieldTokens: DataFrame): DataFrame =
+    fieldTokens
+      .withColumn("nTokens", size(col("tokens")))
+      .select(col("fieldName"), col("partition"), col("language"), col("docId"),
+        col("nTokens"), posexplode(col("tokens")).as(Seq("pos", "term")))
+      .groupBy("fieldName", "term", "language", "partition", "docId")
       .agg(
         (count(lit(1)) / first(col("nTokens"))).cast("float").as("tf"),
         array_sort(collect_list(col("pos"))).as("offsets"))

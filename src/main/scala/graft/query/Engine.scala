@@ -135,6 +135,27 @@ class WikiSearchEngine(
   private lazy val allDocs: DataFrame =
     index.documents.select("partition", "language", "docId")
 
+  /** Fields with stored positional offsets — TEXT (the dedicated
+    * `termPostings` table) plus every field the build declared via
+    * `offsetsFields` (metadata `kind = "p"` rows → `fieldPostings`).
+    * This is the `f:near`/`f:onear`/`f:phrase` capability set; the
+    * catalog is the source of truth, never a probe of the table.
+    */
+  private lazy val positionalFields: Set[String] =
+    index.metadata.filter(col("kind") === "p")
+      .select("fieldName").distinct().collect().map(_.getString(0)).toSet + "TEXT"
+
+  /** The positional postings source for one field. Non-TEXT fields read
+    * the shared `fieldPostings` table filtered to the field — the
+    * equality predicate pushes to its fieldName-sorted parquet scan.
+    */
+  private def postingsFor(field: String): DataFrame =
+    if (field == "TEXT") index.termPostings
+    else index.fieldPostings
+      .map(_.filter(col("fieldName") === field).drop("fieldName"))
+      .getOrElse(throw new IllegalStateException(
+        s"metadata declares positional field '$field' but the index has no field_postings table"))
+
   // ---- public API ---------------------------------------------------------
 
   /** Run a query; returns (partition, language, docId, fields, DOCUMENT). */
@@ -652,10 +673,11 @@ class WikiSearchEngine(
     * drop out of the inner joins before any content is touched.
     */
   private def phraseStarts(
-      phrase: Seq[String], auth: DataFrame => DataFrame): DataFrame = {
+      phrase: Seq[String], auth: DataFrame => DataFrame,
+      field: String = "TEXT"): DataFrame = {
     val keys = Seq("partition", "language", "docId")
     val shifted = phrase.zipWithIndex.map { case (t, i) =>
-      auth(index.termPostings).filter(col("term") === t)
+      auth(postingsFor(field)).filter(col("term") === t)
         .select(keys.map(col) :+
           transform(col("offsets"), x => x - i).as(s"o$i"): _*)
     }
@@ -668,8 +690,9 @@ class WikiSearchEngine(
 
   /** The phrase document-key set (full key, for plan composition). */
   private def phraseDocKeys(
-      phrase: Seq[String], auth: DataFrame => DataFrame): DataFrame =
-    phraseStarts(phrase, auth)
+      phrase: Seq[String], auth: DataFrame => DataFrame,
+      field: String = "TEXT"): DataFrame =
+    phraseStarts(phrase, auth, field)
       .select(col("partition"), col("language"), col("docId"))
 
   /** NEAR/k proximity: documents where `a` and `b` occur within `k`
@@ -723,12 +746,12 @@ class WikiSearchEngine(
     */
   private def nearDocKeys(
       terms: Seq[String], k: Int, auth: DataFrame => DataFrame,
-      ordered: Boolean = false): DataFrame = {
+      ordered: Boolean = false, field: String = "TEXT"): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
     require(terms.size >= 2, s"near needs at least two terms: $terms")
     val keys = Seq("partition", "language", "docId")
     val posts = terms.zipWithIndex.map { case (t, i) =>
-      auth(index.termPostings).filter(col("term") === t)
+      auth(postingsFor(field)).filter(col("term") === t)
         .select(keys.map(col) :+ col("offsets").as(s"o$i"): _*)
     }
     val joined = posts.reduce(_.join(_, keys))
@@ -873,12 +896,12 @@ class WikiSearchEngine(
           case ScanLeaf(tag, _, fi) =>
             sb.append(s"${indent}RANGE/WILDCARD index scan card=${stats.get(tag).map(_.card).getOrElse(0L)}")
               .append(if (fi.isDefined) " (fi-verified)" else "").append('\n')
-          case NearLeaf(_, ts, k, ordered) =>
+          case NearLeaf(_, fld, ts, k, ordered) =>
             sb.append(s"${indent}${if (ordered) "ONEAR" else "NEAR"}" +
-              s"(${ts.mkString(" ")}, k=$k) — stored-offset " +
+              s"($fld: ${ts.mkString(" ")}, k=$k) — stored-offset " +
               "postings join (exact, index-enforced)\n")
-          case PhraseLeaf(_, ts) =>
-            sb.append(s"${indent}PHRASE(${ts.mkString(" ")}) — stored-offset " +
+          case PhraseLeaf(_, fld, ts) =>
+            sb.append(s"${indent}PHRASE($fld: ${ts.mkString(" ")}) — stored-offset " +
               "adjacency join (exact, index-enforced)\n")
           case EmptyLeaf => sb.append(s"${indent}EMPTY (term absent from index)\n")
           case OrNode(cs) =>
@@ -956,13 +979,13 @@ class WikiSearchEngine(
     * is rejected under OR/NOT (`validateNearPlacement`).
     */
   private case class NearLeaf(
-      tag: Int, terms: Seq[String], k: Int, ordered: Boolean) extends PlanNode
+      tag: Int, field: String, terms: Seq[String], k: Int, ordered: Boolean) extends PlanNode
   /** `f:phrase(TEXT, 'a b ...')` — ordered adjacency from the same
     * stored offsets (the `phraseStarts` set algebra). Index-ENFORCED
     * like NearLeaf, for the same reason: the pivoted event view holds
     * distinct terms, not positions, so no residual can re-verify order.
     */
-  private case class PhraseLeaf(tag: Int, terms: Seq[String]) extends PlanNode
+  private case class PhraseLeaf(tag: Int, field: String, terms: Seq[String]) extends PlanNode
   /** Distributed index-scan leaf (prefix/suffix/range — can match
     * unboundedly many terms). `fiVerify` carries the exact fi-analogue
     * lookup of the SAME predicate when the field is unevaluated, so
@@ -983,11 +1006,11 @@ class WikiSearchEngine(
     def scanLeaf(ix: DataFrame, fiVerify: Option[DataFrame]): ScanLeaf = {
       val l = ScanLeaf(nextTag, ix, fiVerify); nextTag += 1; leaves += l; l
     }
-    def nearLeaf(terms: Seq[String], k: Int, ordered: Boolean): NearLeaf = {
-      val l = NearLeaf(nextTag, terms, k, ordered); nextTag += 1; leaves += l; l
+    def nearLeaf(field: String, terms: Seq[String], k: Int, ordered: Boolean): NearLeaf = {
+      val l = NearLeaf(nextTag, field, terms, k, ordered); nextTag += 1; leaves += l; l
     }
-    def phraseLeaf(terms: Seq[String]): PhraseLeaf = {
-      val l = PhraseLeaf(nextTag, terms); nextTag += 1; leaves += l; l
+    def phraseLeaf(field: String, terms: Seq[String]): PhraseLeaf = {
+      val l = PhraseLeaf(nextTag, field, terms); nextTag += 1; leaves += l; l
     }
   }
 
@@ -1172,11 +1195,11 @@ class WikiSearchEngine(
     */
   private[query] val fuzzyVocabRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** `f:near(TEXT, a, b, k)` → proximity plan leaf. Terms normalize like
-    * TEXT equality literals (same index, same normalizer); only TEXT is
-    * accepted — it is the one field whose postings store offsets (the
-    * reference likewise stores TermWeight offsets for article text only,
-    * `WikipediaMapper.java:243-260`).
+  /** `f:near(FIELD, …)` → proximity plan leaf, for any field with
+    * stored positional offsets: TEXT always (the reference stores
+    * TermWeight offsets for article text only,
+    * `WikipediaMapper.java:243-260`), plus any field the build declared
+    * via `offsetsFields` (beyond-reference; metadata kind "p").
     */
   /** `f:near` / `f:onear` argument forms — all become the same window
     * leaf (onear sets the ordered flag):
@@ -1207,10 +1230,11 @@ class WikiSearchEngine(
       s"$fn takes (field, k, term...)" +
         (if (ordered) "" else " or (field, term, term, k)") +
         s": $fn(${f.args.mkString(", ")})")
-    val field0 = f.args.head
-    if (field0.toUpperCase != "TEXT")
+    val field0 = f.args.head.toUpperCase
+    if (!positionalFields.contains(field0))
       throw new IllegalArgumentException(
-        s"$fn is answered from stored TEXT offsets; field '$field0' has none")
+        s"$fn is answered from stored positional offsets; field '${f.args.head}' has none " +
+          "(declare it via IndexBuilder offsetsFields at build time)")
     val (k, terms) =
       if (f.args(1).forall(c => c.isDigit || c == '-') && f.args(1).nonEmpty)
         (toK(f.args(1)), f.args.drop(2))
@@ -1220,8 +1244,17 @@ class WikiSearchEngine(
         (toK(f.args.last), f.args.slice(1, 3))
       }
     require(terms.size >= 2, s"$fn needs at least two terms: $fn(${f.args.mkString(", ")})")
-    an.nearLeaf(terms.map(normalizeLit("TEXT", _)), k, ordered)
+    an.nearLeaf(field0, terms.map(normalizeLit(posNormField(field0), _)), k, ordered)
   }
+
+  /** Literal normalization field for a positional leaf: declared
+    * `offsetsFields` tokenize with the SAME tokenizer as TEXT, so their
+    * query literals must normalize exactly like TEXT literals (a
+    * positional field need not itself be an indexed field — its terms
+    * never probe the global index).
+    */
+  private def posNormField(field: String): String =
+    if (indexedFields.contains(field)) field else "TEXT"
 
   /** `f:phrase(TEXT, 'a b ...')` → ordered-adjacency plan leaf. The
     * phrase splits on whitespace and each token normalizes like a TEXT
@@ -1231,15 +1264,17 @@ class WikiSearchEngine(
   private def phraseNode(f: FnTerm, an: Analysis): PlanNode = {
     require(f.args.size == 2,
       s"f:phrase takes (field, phrase): f:phrase(${f.args.mkString(", ")})")
-    val Seq(field0, phrase) = f.args
-    if (field0.toUpperCase != "TEXT")
+    val Seq(rawField, phrase) = f.args
+    val field0 = rawField.toUpperCase
+    if (!positionalFields.contains(field0))
       throw new IllegalArgumentException(
-        s"f:phrase is answered from stored TEXT offsets; field '$field0' has none")
+        s"f:phrase is answered from stored positional offsets; field '$rawField' has none " +
+          "(declare it via IndexBuilder offsetsFields at build time)")
     val terms = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      .map(normalizeLit("TEXT", _))
+      .map(normalizeLit(posNormField(field0), _))
     require(terms.size >= 2,
-      s"f:phrase needs at least two tokens (use TEXT == '...' for one): '$phrase'")
-    an.phraseLeaf(terms)
+      s"f:phrase needs at least two tokens (use $field0 == '...' for one): '$phrase'")
+    an.phraseLeaf(field0, terms)
   }
 
   /** f:near and f:phrase are index-ENFORCED (their residuals compile to
@@ -1610,16 +1645,16 @@ class WikiSearchEngine(
       DistCand(toCandidates(ix, auth, fiVerify.getOrElse(allDocs)),
         stats.get(tag).map(_.card).getOrElse(0L))
 
-    case NearLeaf(_, ts, k, ordered) =>
+    case NearLeaf(_, fld, ts, k, ordered) =>
       // Exact by construction (stored offsets, no lossy form exists for
       // postings). Card is unknown without running the join — MaxValue
       // keeps the min()-folds in intersectAll indifferent to it, and the
       // AND path below never applies the min-card superset rule to a
       // near-bearing conjunction anyway.
-      DistCand(nearDocKeys(ts, k, auth, ordered), Long.MaxValue)
+      DistCand(nearDocKeys(ts, k, auth, ordered, fld), Long.MaxValue)
 
-    case PhraseLeaf(_, ts) => // same contract as NearLeaf
-      DistCand(phraseDocKeys(ts, auth), Long.MaxValue)
+    case PhraseLeaf(_, fld, ts) => // same contract as NearLeaf
+      DistCand(phraseDocKeys(ts, auth, fld), Long.MaxValue)
 
     case OrNode(cs) =>
       val ms   = cs.map(materialize(_, stats, auth, auths))

@@ -125,13 +125,13 @@ class HttpShimSpec extends SparkSuite {
     val pq = "query=" + java.net.URLEncoder.encode("f:phrase(TEXT, 'an abacus')", UTF_8)
     val (ps, _, pbody) = get(s"/query?$pq&auths=enwiki", accept = Some("*/*"))
     assert(ps == 200 && pbody.contains("""<document id="655""""), pbody.take(200))
-    assert(get(s"/explain?$pq")._3.contains("PHRASE(an abacus)"))
+    assert(get(s"/explain?$pq")._3.contains("PHRASE(TEXT: an abacus)"))
     // round-8 forms through the same edge: k-first ordered window and
     // distance-2 fuzzy ('abicas' is Lev 2 from 'abacus')
     val oq = "query=" + java.net.URLEncoder.encode("f:onear(TEXT, 5, 'an', 'abacus')", UTF_8)
     val (os, _, obody) = get(s"/query?$oq&auths=enwiki", accept = Some("*/*"))
     assert(os == 200 && obody.contains("""<document id="655""""), obody.take(200))
-    assert(get(s"/explain?$oq")._3.contains("ONEAR(an abacus, k=5)"))
+    assert(get(s"/explain?$oq")._3.contains("ONEAR(TEXT: an abacus, k=5)"))
     val f2 = "query=" + java.net.URLEncoder.encode("f:fuzzy(TEXT, 'abicas', 2)", UTF_8)
     val (fs2, _, fbody2) = get(s"/query?$f2&auths=enwiki", accept = Some("*/*"))
     assert(fs2 == 200 && fbody2.contains("""<document id="655""""), fbody2.take(200))

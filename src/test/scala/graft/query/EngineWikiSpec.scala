@@ -428,7 +428,7 @@ class EngineWikiSpec extends SparkSuite {
     assert(ids("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 4)") == Set("3", "4"))
     // explain shows the stored-offset leaf, no execution
     val report = eng.explainAccess("SOURCE == 't' and f:near(TEXT, 'spark', 'join', 3)")
-    assert(report.contains("NEAR(spark join, k=3)"), report)
+    assert(report.contains("NEAR(TEXT: spark join, k=3)"), report)
     // unsound placements are rejected loudly, run AND explain
     for (bad <- Seq(
         "TEXT == 'spark' or f:near(TEXT, 'spark', 'join', 3)",
@@ -472,7 +472,7 @@ class EngineWikiSpec extends SparkSuite {
       eng.run("TEXT == 'x' or f:onear(TEXT, 3, 'sort', 'merge', 'join')"))
       .getMessage.contains("conjunctively"))
     assert(eng.explainAccess("f:onear(TEXT, 3, 'sort', 'merge', 'join')")
-      .contains("ONEAR(sort merge join, k=3)"))
+      .contains("ONEAR(TEXT: sort merge join, k=3)"))
     // onear has no legacy pair form — k must come second
     assert(intercept[IllegalArgumentException](
       eng.run("f:onear(TEXT, 'sort', 'merge', 3)")).getMessage
@@ -507,7 +507,7 @@ class EngineWikiSpec extends SparkSuite {
       .getMessage.contains("conjunctively"))
     // explain renders the n-way leaf
     assert(eng.explainAccess("f:near(TEXT, 3, 'sort', 'merge', 'join')")
-      .contains("NEAR(sort merge join, k=3)"))
+      .contains("NEAR(TEXT: sort merge join, k=3)"))
     // fewer than two terms is a client error
     assert(intercept[IllegalArgumentException](
       eng.run("f:near(TEXT, 3, 'sort')")).getMessage.contains("two terms"))
@@ -536,7 +536,7 @@ class EngineWikiSpec extends SparkSuite {
     assert(ids("SOURCE == 't' and f:phrase(TEXT, 'spark join')") == Set("4", "5"))
     // explain shows the stored-offset adjacency leaf, no execution
     val report = eng.explainAccess("SOURCE == 't' and f:phrase(TEXT, 'spark join')")
-    assert(report.contains("PHRASE(spark join)"), report)
+    assert(report.contains("PHRASE(TEXT: spark join)"), report)
     // unsound placements are rejected loudly
     for (bad <- Seq(
         "TEXT == 'spark' or f:phrase(TEXT, 'spark join')",
@@ -664,6 +664,42 @@ class EngineWikiSpec extends SparkSuite {
     // n-descending then value ordering
     val ns = rows.map(_.getAs[Long]("n")).toSeq
     assert(ns == ns.sortBy(-_))
+  }
+
+  test("offsetsFields: f:near/f:onear/f:phrase serve a declared non-TEXT field from its stored offsets") {
+    import spark.implicits._
+    val arts = Seq(
+      Article(1, "One", 1L, "fast red fox jumps high", "alpha beta gamma", "enwiki"),
+      Article(2, "Two", 1L, "red something fox", "alpha delta", "enwiki"),
+      Article(3, "Three", 1L, "fox red", "beta gamma", "enwiki"),
+      Article(4, "Four", 1L, "red only here", "gamma delta", "enwiki")).toDS()
+    val eng = new WikiSearchEngine(spark,
+      IndexBuilder.fromArticles(spark, arts, numPartitions = 1,
+        offsetsFields = Set("COMMENTS")).cacheAll())
+    def ids(q: String) =
+      eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // adjacency: 'red fox' adjacent only in doc 1 ('red something fox'
+    // is 2 apart in doc 2, reversed in doc 3)
+    assert(ids("f:phrase(COMMENTS, 'red fox')") == Set("1"))
+    // window 2 either order: docs 1 (adjacent), 2 (distance 2), 3 (reversed)
+    assert(ids("f:near(COMMENTS, 2, 'red', 'fox')") == Set("1", "2", "3"))
+    // ordered: red BEFORE fox within 2 → docs 1, 2 only
+    assert(ids("f:onear(COMMENTS, 2, 'red', 'fox')") == Set("1", "2"))
+    // composes conjunctively with the TEXT index like any near leaf
+    assert(ids("TEXT == 'alpha' and f:near(COMMENTS, 2, 'red', 'fox')") == Set("1", "2"))
+    // TEXT offsets still serve TEXT; an undeclared field still fails loudly
+    assert(ids("f:phrase(TEXT, 'alpha beta')") == Set("1"))
+    val err = intercept[IllegalArgumentException](eng.run("f:near(TITLE, 2, 'a', 'b')"))
+    assert(err.getMessage.contains("positional offsets"))
+    // the explain surface names the field
+    assert(eng.explainAccess("f:near(COMMENTS, 2, 'red', 'fox')")
+      .contains("NEAR(COMMENTS: red fox, k=2)"))
+    // persistence: the field_postings table round-trips through save/load
+    val dir = java.nio.file.Files.createTempDirectory("graft-fieldpost").toString
+    IndexBuilder.fromArticles(spark, arts, 1, offsetsFields = Set("COMMENTS")).save(dir)
+    val loaded = new WikiSearchEngine(spark, graft.ingest.WikiIndex.load(spark, dir))
+    assert(loaded.run("f:onear(COMMENTS, 2, 'red', 'fox')")
+      .select("docId").collect().map(_.getString(0)).toSet == Set("1", "2"))
   }
 
   test("indexStats: counts agree with the fixture corpus") {
