@@ -28,7 +28,7 @@ object Plans {
       "cu_pack" -> "context packing: distributed prefix-scan (pid-keyed window, no single-partition global sort)",
       "q24_asof_join" -> "AS-OF join as union-tag + one window pass: both sides shuffle once on user_id, no per-partner explosion",
       "q25_range_join" -> "no-equi-key interval join bucketized to a bucket equi-join (two probes per row, then exact range prune)",
-      "ws_bm25" -> "BM25 ranked retrieval: postings filtered to query terms, broadcast df/corpus stats, one full-document-key length join",
+      "ws_bm25" -> "BM25 ranked retrieval: postings filtered to query terms, broadcast df + corpus stats from the MATERIALIZED corpus_stats table, one full-document-key join to the materialized doc_lengths table — NO documents-table tokenize anywhere in the plan",
       "cu_quality_gate" -> "exact corpus-quantile threshold from a bounded integer-permille histogram (no global sort), broadcast back",
       "sim_pq_topk" -> "PQ ANN: ADC over m-byte codes with broadcast query tables, exact rerank of the shortlist only",
       "sim_ivfpq_topk" -> "IVF-PQ: probed cells prune candidates, codes cheapen the scan, exact rerank on the shortlist",
@@ -37,7 +37,7 @@ object Plans {
       "q27_cube" -> "CUBE over all grouping sets: Expand (4 replicas) into ONE partial-aggregable hash agg — a single shuffle for all levels",
       "q29_distinct_window" -> "running DISTINCT count: collect_set over a RANGE frame — one shuffle on user_id, no self-join",
       "dd_keep_best" -> "canonical selection over near-dup clusters: struct-argmax aggregation (partial-aggregable, no per-component window sort)",
-      "q30_quantile_cont" -> "PERCENTILE_CONT: bracketing ranks from a tiny catalog, corpus filtered via ONE broadcast join — no |quantiles|x replication",
+      "q30_quantile_cont" -> "PERCENTILE_CONT: histogram-bracketed two-pass selection — driver-local bucket catalog, fact table filtered to the bracketing buckets via ONE broadcast join, window only over bucket slices (never the fact table)",
       "ta_top_ngrams" -> "boilerplate mining: shingle df agg (map-side combined) + TakeOrderedAndProject top-k",
       "ws_fuzzy" -> "typo-tolerant lookup: ONE vocabulary-sized postings agg, codegen'd deletion-neighborhood explode, broadcast join + exact levenshtein verify",
       "ta_lm_score" -> "LM-familiarity filter: trigram df agg (map-side combined) + equi-join back on the SAME shingle key, broadcast corpus count",
@@ -49,7 +49,7 @@ object Plans {
       "ws_onear_q" -> "ordered f:onear: the same n-way postings join with a chained strictly-increasing window predicate (SpanNear-in-order)",
       "ws_fuzzy2_q" -> "distance-2 f:fuzzy: nested SymSpell deletion neighborhoods expand the vocabulary candidates; residual re-verifies with threshold levenshtein at d=2",
       "ws_index_incremental" -> "incremental index maintenance: base+delta fragments folded through ONE co-keyed UidList merge aggregation (merge-on-read — the delta-based maintainer's read path)",
-      "ws_page_q" -> "keyset pagination: the boundary predicate filters BEFORE a bounded TakeOrderedAndProject — page N costs page 1, no OFFSET skip-sort, no window",
+      "ws_page_q" -> "keyset pagination: the boundary predicate filters BEFORE a bounded TakeOrderedAndProject — page N costs page 1, no OFFSET skip-sort, no window; both BM25 passes read materialized doc_lengths/corpus_stats",
       "ws_count_q" -> "count-only serving, index-only fast path: the count is resolved from plan-time postings, so the PLAN is a one-row LocalRelation — the event store is never in it",
       "cu_temp" -> "temperature-balanced sampling: bounded per-source quota aggregate, then ONE codegen'd narrow filter (hash gate) over the corpus — no join, no shuffle on the data path",
       "cu_budget" -> "per-source token budget: distributed prefix-scan on monotone hash buckets — per-(source,bucket) token totals, below-bucket window over bounded rows, one boundary bucket sorts ~1/buckets of its source; no per-source global sort",

@@ -531,9 +531,19 @@ object Similarity {
     */
   def buildPq(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
       trainN: Int = 2048): PqIndex = {
+    val books = trainPq(emb, m, k, iters, trainN)
+    PqIndex(books, encodePq(books, emb))
+  }
+
+  /** Encode `emb` under FIXED codebooks — the deterministic-per-vector
+    * half of `buildPq` (the `assignIvf` analogue): encoding shard-by-
+    * shard under frozen books is row-identical to encoding the union,
+    * which is what makes incremental PQ maintenance exact
+    * (`LiveAnnMaintainer` with `pqM > 0`).
+    */
+  def encodePq(books: Array[Array[Array[Double]]], emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val books = trainPq(emb, m, k, iters, trainN)
     val subDim = books.head.head.length
     val bc = spark.sparkContext.broadcast(books)
     val encodeUdf = udf((v: Seq[Float]) => {
@@ -541,8 +551,8 @@ object Similarity {
       Array.tabulate(bc.value.length)(mi =>
         nearestCode(subvec(a, mi, subDim), bc.value(mi)))
     })
-    PqIndex(books, emb.select(col("vec_id"), col("embedding"),
-      encodeUdf(col("embedding")).as("code")))
+    emb.select(col("vec_id"), col("embedding"),
+      encodeUdf(col("embedding")).as("code"))
   }
 
   /** ADC (asymmetric-distance) top-k over a PQ index with exact rerank:

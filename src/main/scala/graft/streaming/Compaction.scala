@@ -102,7 +102,7 @@ object Compaction {
     for (p <- parts) {
       val unioned = readPart(p)
       val folded = p match {
-        case "assigned" =>
+        case "assigned" | "codes" => // per-vector rows — erase deleted physically
           VersionedState.maskDeleted(VersionedState.withVer(unioned), tombs, "vec_id")
         case "tombstones" => unioned.limit(0) // applied above; base is clean
         case _            => unioned

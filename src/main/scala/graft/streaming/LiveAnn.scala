@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.pipeline.Similarity
-import graft.pipeline.Similarity.IvfIndex
+import graft.pipeline.Similarity.{IvfIndex, PqIndex}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -27,13 +27,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * version's `assigned` part is that batch's delta; readers union
   * base+deltas (purely additive — no fold), `Compaction.compactAnn`
   * concatenates version ranges.
+  *
+  * `pqM > 0` additionally maintains a LIVE IVF-PQ serving path: product
+  * quantizer codebooks train once on the first batch (frozen at
+  * `<dir>/pq_books`, like the centroids), every batch's `codes` part is
+  * that batch's `Similarity.encodePq` delta (deterministic per vector
+  * under frozen books — incremental encoding is row-identical to
+  * encoding the union), and `latestPq` + `latestIndex` feed
+  * `Similarity.ivfPqTopK` directly. With `pqM == 0` the `codes` part is
+  * written schema-preserved empty (uniform commit protocol) and
+  * `latestPq` is None. Tombstones mask codes exactly like assignments.
   */
 class LiveAnnMaintainer(
     spark: SparkSession,
     dir: String,
     cells: Int = 16,
     iters: Int = 2,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0,
+    pqM: Int = 0,
+    pqK: Int = 16) {
 
   private val parts = LiveAnnMaintainer.Parts
 
@@ -49,6 +61,17 @@ class LiveAnnMaintainer(
       .sortBy(_._1).map(_._2))
   }
 
+  /** The frozen PQ codebooks (`books(m)(c)` = codeword c of subspace m),
+    * if PQ is on and trained.
+    */
+  def pqBooks: Option[Array[Array[Array[Double]]]] = {
+    if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) return None
+    val rows = spark.read.parquet(s"$dir/pq_books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Some(rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)))
+  }
+
   /** The queryable IVF index at the latest committed version — feed it
     * to `Similarity.ivfTopKWith`. Tombstoned vectors are masked
     * version-ordered (the engine store's delete posture, keyed on
@@ -56,17 +79,29 @@ class LiveAnnMaintainer(
     */
   def latestIndex: Option[IvfIndex] =
     centroids.flatMap { cents =>
-      val ps = VersionedState.readPaths(dir, parts, Some("assigned"), version)
-      if (ps.isEmpty) None
-      else {
-        val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
-        val tombs = VersionedState.tombstoneSet(
-          if (tombPs.isEmpty) None else Some(spark.read.parquet(tombPs: _*)), "vec_id")
-        Some(IvfIndex(cents,
-          VersionedState.maskDeleted(
-            VersionedState.withVer(spark.read.parquet(ps: _*)), tombs, "vec_id")))
-      }
+      maskedPart("assigned").map(IvfIndex(cents, _))
     }
+
+  /** The queryable PQ index at the latest committed version (None until
+    * PQ is on and the first batch trained the books) — compose with
+    * `latestIndex` into `Similarity.ivfPqTopK` for live IVF-PQ serving.
+    */
+  def latestPq: Option[PqIndex] =
+    pqBooks.flatMap { books =>
+      maskedPart("codes").map(PqIndex(books, _))
+    }
+
+  private def maskedPart(part: String): Option[DataFrame] = {
+    val ps = VersionedState.readPaths(dir, parts, Some(part), version)
+    if (ps.isEmpty) None
+    else {
+      val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
+      val tombs = VersionedState.tombstoneSet(
+        if (tombPs.isEmpty) None else Some(spark.read.parquet(tombPs: _*)), "vec_id")
+      Some(VersionedState.maskDeleted(
+        VersionedState.withVer(spark.read.parquet(ps: _*)), tombs, "vec_id"))
+    }
+  }
 
   /** One micro-batch of embeddings (vec_id, embedding). The first
     * committed batch trains the codebook; every batch (including the
@@ -89,10 +124,24 @@ class LiveAnnMaintainer(
           .parquet(s"$dir/centroids")
         trained
       }
-      Similarity.assignIvf(cents, batch)
-        .write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        .parquet(s"$dir/v$batchId/assigned")
+      write(Similarity.assignIvf(cents, batch), s"$dir/v$batchId/assigned")
+      val codesDelta =
+        if (pqM <= 0) LiveAnnMaintainer.emptyCodes(spark)
+        else {
+          val books = pqBooks.getOrElse {
+            val trained = Similarity.trainPq(batch, pqM, pqK, iters)
+            import spark.implicits._
+            trained.zipWithIndex.flatMap { case (book, mi) =>
+              book.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
+            }.toSeq.toDF("m", "code", "codeword")
+              .coalesce(1).write.mode("overwrite")
+              .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+              .parquet(s"$dir/pq_books")
+            trained
+          }
+          Similarity.encodePq(books, batch)
+        }
+      write(codesDelta, s"$dir/v$batchId/codes")
       write(LiveAnnMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
@@ -124,6 +173,7 @@ class LiveAnnMaintainer(
       version = math.max(version, batchId)
     else {
       write(LiveAnnMaintainer.emptyAssigned(spark), s"$dir/v$batchId/assigned")
+      write(LiveAnnMaintainer.emptyCodes(spark), s"$dir/v$batchId/codes")
       write(deletes.select("vec_id").distinct(), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
     }
@@ -144,10 +194,13 @@ class LiveAnnMaintainer(
 }
 
 object LiveAnnMaintainer {
-  /** Assignment deltas + delete markers per version; the codebook is
-    * store-level state, not versioned (frozen by design).
+  /** Assignment + PQ-code deltas + delete markers per version (`codes`
+    * is schema-preserved empty when PQ is off — uniform commit
+    * protocol); the codebooks are store-level state, not versioned
+    * (frozen by design). Store-format note: `codes` joined the protocol
+    * in round 9.
     */
-  val Parts: Seq[String] = Seq("assigned", "tombstones")
+  val Parts: Seq[String] = Seq("assigned", "codes", "tombstones")
 
   private[streaming] def emptyTombstones(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -166,5 +219,15 @@ object LiveAnnMaintainer {
         StructField("embedding", ArrayType(FloatType)),
         StructField("cell", IntegerType),
         StructField("nrm", DoubleType))))
+  }
+
+  /** Schema-preserved empty `codes` delta (PQ off, and the delete path). */
+  private[streaming] def emptyCodes(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("code", ArrayType(IntegerType)))))
   }
 }

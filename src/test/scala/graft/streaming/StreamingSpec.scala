@@ -564,6 +564,49 @@ class StreamingSpec extends SparkSuite {
     assert(topk(recovered.latestIndex.get) == topk(ref2))
   }
 
+  test("LiveAnnMaintainer: live IVF-PQ — incremental codes under frozen books serve like a batch encode, deletes mask codes too") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-ivfpq").toString
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val vecs = (0L until 30L).map(i => (i, vec()))
+    val m = new LiveAnnMaintainer(spark, dir, cells = 4, iters = 2, pqM = 4, pqK = 4)
+    vecs.grouped(10).zipWithIndex.foreach { case (b, i) =>
+      m.processBatch(b.toDF("vec_id", "embedding"), i.toLong)
+    }
+    // frozen artifacts + one-shot encode/assign of the union corpus:
+    // row-identical by per-vector determinism, so IVF-PQ serving over
+    // the live store must equal the batch composition exactly
+    val cents = m.centroids.get
+    val books = m.pqBooks.get
+    val union = vecs.toDF("vec_id", "embedding")
+    def refIdx(emb: org.apache.spark.sql.DataFrame) = (
+      Similarity.IvfIndex(cents, Similarity.assignIvf(cents, emb)),
+      Similarity.PqIndex(books, Similarity.encodePq(books, emb)))
+    val queries = (1000L until 1003L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    def serve(ivf: Similarity.IvfIndex, pq: Similarity.PqIndex) =
+      Similarity.ivfPqTopK(ivf, pq, queries, k = 3, nprobe = 2, shortlist = 8)
+        .collect().map(_.toSeq).toSeq
+    val (refIvf, refPq) = refIdx(union)
+    val want = serve(refIvf, refPq)
+    assert(serve(m.latestIndex.get, m.latestPq.get) == want && want.nonEmpty)
+    // a delete masks the vector out of BOTH assignments and codes...
+    m.processDeletes(Seq(Tuple1(3L)).toDF("vec_id"), 3L)
+    assert(!m.latestPq.get.codes.select("vec_id")
+      .collect().map(_.getLong(0)).contains(3L))
+    val (dIvf, dPq) = refIdx(vecs.filterNot(_._1 == 3L).toDF("vec_id", "embedding"))
+    val wantDel = serve(dIvf, dPq)
+    assert(serve(m.latestIndex.get, m.latestPq.get) == wantDel)
+    // ...and compaction erases it physically from the codes base while
+    // preserving serving (books are store-level state, untouched)
+    assert(Compaction.compactAnn(spark, dir) == 3L)
+    val rec = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
+    assert(spark.read.parquet(s"$dir/c3/codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      vecs.map(_._1).toSet - 3L)
+    assert(serve(rec.latestIndex.get, rec.latestPq.get) == wantDel)
+  }
+
   test("LiveAnnMaintainer: vector tombstones mask version-ordered and erase at compaction") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-live-ann-del").toString
