@@ -449,9 +449,14 @@ object IndexBuilder {
         col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
   }
 
-  /** (…, tokens: array<string>) → per-(term, doc) postings with positions
-    * and normalized TF (`TermWeight.proto:54-57`). Pure built-ins:
-    * posexplode + collect_list + sort, no UDAF needed on this path.
+  /** (…, tokens: array<string>) → per-(term, doc) postings with positions,
+    * normalized TF, and the document's token length (`TermWeight.proto:
+    * 54-57` — the reference likewise denormalizes the length into the
+    * posting via normalizedTermFrequency). Carrying `dl` on every
+    * posting row costs 8 bytes/row and buys ranked serving a zero-join
+    * plan: BM25 reads ONLY the query terms' postings — no corpus-sized
+    * doc-length join per query. Pure built-ins: posexplode +
+    * collect_list + sort, no UDAF needed on this path.
     */
   def buildTermPostings(docsTokens: DataFrame): DataFrame =
     docsTokens
@@ -461,7 +466,8 @@ object IndexBuilder {
       .groupBy("term", "language", "partition", "docId")
       .agg(
         (count(lit(1)) / first(col("nTokens"))).cast("float").as("tf"),
-        array_sort(collect_list(col("pos"))).as("offsets"))
+        array_sort(collect_list(col("pos"))).as("offsets"),
+        first(col("nTokens")).cast("double").as("dl"))
 
   /** `buildTermPostings` with `fieldName` carried through the grouping —
     * the positional postings for declared non-TEXT tokenized fields

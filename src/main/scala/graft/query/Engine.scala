@@ -447,36 +447,69 @@ class WikiSearchEngine(
     // document and must neither duplicate-join its dl row nor merge
     // score contributions with its namesakes.
     //
-    // dl and (N, avgdl) come from the index's MATERIALIZED statistics
-    // (`WikiIndex.docLengths` / `corpusStats` — precomputed at build,
-    // the reference's own posture per `TermWeight.proto:54-57`), NOT
-    // from re-tokenizing stored content: at corpus scale the latter is
-    // a full-corpus pass per ranked query. avgdl = Σdl / N over the
-    // authorized per-language stat rows; both operands are exact
-    // integer-valued doubles, so the quotient is bit-identical to the
-    // flat per-document average at any association order.
+    // dl and (N, avgdl) come from the index's MATERIALIZED statistics,
+    // the reference's own posture (`TermWeight.proto:54-57` denormalizes
+    // the document length into every posting) — NOT from re-tokenizing
+    // stored content, which at corpus scale is a full-corpus pass per
+    // ranked query. dl rides ON the posting row (stored at build; the
+    // `doc_lengths` table remains the analytic/stats surface), so
+    // scoring touches ONLY the query terms' postings — no corpus-sized
+    // doc-length join either. (N, avgdl) fold driver-side from the
+    // catalog-sized per-language stats and enter the plan as LITERALS —
+    // avgdl = Σdl / N over exact integer-valued doubles, so the
+    // quotient is bit-identical to the flat per-document average at any
+    // association order, and the per-call stats aggregation job +
+    // broadcast exchange disappear from the serving latency path.
+    // (Pre-round-9 stores whose postings lack the dl column fall back
+    // to joining the doc_lengths table — same values, one extra join.)
     val docKey = Seq("partition", "language", "docId")
-    val docLens = langAuth(auths)(index.docLengths)
-    val stats = langAuth(auths)(index.corpusStats).agg(
-      sum(col("n")).cast("double").as("n"),
-      (sum(col("sum_dl")) / sum(col("n"))).as("avgdl"))
-    val tf = langAuth(auths)(index.termPostings)
+    val (nDocs, avgdl) = corpusStatsFor(auths)
+    val hasDl = index.termPostings.columns.contains("dl")
+    val tfBase = langAuth(auths)(index.termPostings)
       .filter(col("term").isin(terms: _*))
-      .select(col("partition"), col("language"), col("docId"), col("term"),
+    val tf =
+      if (hasDl) tfBase.select(
+        col("partition"), col("language"), col("docId"), col("term"),
+        size(col("offsets")).cast("double").as("tf"), col("dl"))
+      else tfBase.select(
+        col("partition"), col("language"), col("docId"), col("term"),
         size(col("offsets")).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(df), "term")
-      .join(docLens, docKey)
-      .crossJoin(broadcast(stats))
+    val withDf = tf.join(broadcast(df), "term")
+    val contrib = (if (hasDl) withDf
+      else withDf.join(langAuth(auths)(index.docLengths), docKey))
       .select(col("partition"), col("language"), col("docId"), col("term"),
-        (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+        (log(lit(1) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
           * (col("tf") * (k1 + 1))
-          / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl"))))
+          / (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / lit(avgdl))))
           .as("c"))
     contrib.groupBy(docKey.map(col): _*).agg(
       round(terms.map(t => coalesce(max(when(col("term") === t, col("c"))), lit(0)))
         .reduce(_ + _), 4).as("score"))
+  }
+
+  /** Driver-side cache of (N, avgdl) per auths set: the per-language
+    * stats table is catalog-sized (≤ #languages rows) and the engine is
+    * bound to an immutable index snapshot, so the fold is collected
+    * once per distinct auths set and inlined into every subsequent
+    * ranked plan as literals (the termCache discipline — get/put, no
+    * lock held across the collect; a racing duplicate is idempotent).
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], (Double, Double)]()
+
+  private def corpusStatsFor(auths: Seq[String]): (Double, Double) = {
+    val key = auths.sorted
+    Option(statsCache.get(key)).getOrElse {
+      val r = langAuth(auths)(index.corpusStats)
+        .agg(sum(col("n")).cast("double"), sum(col("sum_dl")))
+        .collect().head
+      val n = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val sumDl = Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val stats = (n, if (n == 0) 1.0 else sumDl / n)
+      statsCache.put(key, stats)
+      stats
+    }
   }
 
   /** The one visibility rule (language = Accumulo column visibility in
