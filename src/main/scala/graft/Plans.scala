@@ -28,7 +28,7 @@ object Plans {
       "cu_pack" -> "context packing: distributed prefix-scan (pid-keyed window, no single-partition global sort)",
       "q24_asof_join" -> "AS-OF join as union-tag + one window pass: both sides shuffle once on user_id, no per-partner explosion",
       "q25_range_join" -> "no-equi-key interval join bucketized to a bucket equi-join (two probes per row, then exact range prune)",
-      "ws_bm25" -> "BM25 ranked retrieval: postings filtered to query terms, broadcast df + corpus stats from the MATERIALIZED corpus_stats table, one full-document-key join to the materialized doc_lengths table — NO documents-table tokenize anywhere in the plan",
+      "ws_bm25" -> "BM25 ranked retrieval, postings-only: dl rides on the posting row, (N, avgdl) are driver-folded literals — one pushed term-IN postings scan + broadcast df join + hit-set groupBy; NO corpus-sized join, NO documents-table scan anywhere in the plan",
       "cu_quality_gate" -> "exact corpus-quantile threshold from a bounded integer-permille histogram (no global sort), broadcast back",
       "sim_pq_topk" -> "PQ ANN: ADC over m-byte codes with broadcast query tables, exact rerank of the shortlist only",
       "sim_ivfpq_topk" -> "IVF-PQ: probed cells prune candidates, codes cheapen the scan, exact rerank on the shortlist",
