@@ -241,6 +241,8 @@ object IndexBuilder {
     */
   def fromArticles(spark: SparkSession, articles: Dataset[Article], numPartitions: Int,
       offsetsFields: Set[String] = Set.empty): WikiIndex = {
+    // field names are stored uppercase; accept any casing in the declaration
+    val offsetsUp = offsetsFields.map(_.toUpperCase)
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val base = articles.toDF
@@ -294,7 +296,7 @@ object IndexBuilder {
         ("TITLE", "i", NoOpNormalizer),
         ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
       val langs = articles.select("language").distinct().as[String].collect()
-      val p = offsetsFields.toSeq.sorted.map(f => (f, "p", null: String))
+      val p = offsetsUp.toSeq.sorted.map(f => (f, "p", null: String))
       val static = langs.toSeq.flatMap(l => (e ++ i ++ p).map { case (f, k, n) => (f, k, l, n) })
         .toDF("fieldName", "kind", "language", "normalizer")
         .withColumn("frequency", lit(null).cast("bigint"))
@@ -308,9 +310,9 @@ object IndexBuilder {
         TextFunctions.tokenize(col("text")).as("tokens")))
 
     val fieldPostings =
-      if (offsetsFields.isEmpty) None
+      if (offsetsUp.isEmpty) None
       else Some(buildFieldPostings(
-        docsFields.filter(col("fieldName").isin(offsetsFields.toSeq: _*))
+        docsFields.filter(col("fieldName").isin(offsetsUp.toSeq: _*))
           .select(col("fieldName"), col("partition"), col("language"), col("docId"),
             TextFunctions.tokenize(col("fieldValue")).as("tokens"))))
 

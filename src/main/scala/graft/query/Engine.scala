@@ -148,13 +148,17 @@ class WikiSearchEngine(
   /** The positional postings source for one field. Non-TEXT fields read
     * the shared `fieldPostings` table filtered to the field — the
     * equality predicate pushes to its fieldName-sorted parquet scan.
+    * A declared field whose table is absent (a legal corpus where every
+    * declared value was null/empty saves an empty dataset, which
+    * `load` cannot schema-infer) serves as an empty postings source —
+    * empty results, never a corrupt-index error; `termPostings.limit(0)`
+    * carries the column set the proximity joins read.
     */
   private def postingsFor(field: String): DataFrame =
     if (field == "TEXT") index.termPostings
     else index.fieldPostings
       .map(_.filter(col("fieldName") === field).drop("fieldName"))
-      .getOrElse(throw new IllegalStateException(
-        s"metadata declares positional field '$field' but the index has no field_postings table"))
+      .getOrElse(index.termPostings.limit(0))
 
   // ---- public API ---------------------------------------------------------
 
@@ -1277,17 +1281,10 @@ class WikiSearchEngine(
         (toK(f.args.last), f.args.slice(1, 3))
       }
     require(terms.size >= 2, s"$fn needs at least two terms: $fn(${f.args.mkString(", ")})")
-    an.nearLeaf(field0, terms.map(normalizeLit(posNormField(field0), _)), k, ordered)
+    // literals normalize like TEXT literals — positional tokens are the
+    // TEXT tokenizer's output for every declared field (see phraseNode)
+    an.nearLeaf(field0, terms.map(normalizeLit("TEXT", _)), k, ordered)
   }
-
-  /** Literal normalization field for a positional leaf: declared
-    * `offsetsFields` tokenize with the SAME tokenizer as TEXT, so their
-    * query literals must normalize exactly like TEXT literals (a
-    * positional field need not itself be an indexed field — its terms
-    * never probe the global index).
-    */
-  private def posNormField(field: String): String =
-    if (indexedFields.contains(field)) field else "TEXT"
 
   /** `f:phrase(TEXT, 'a b ...')` → ordered-adjacency plan leaf. The
     * phrase splits on whitespace and each token normalizes like a TEXT
@@ -1303,8 +1300,14 @@ class WikiSearchEngine(
       throw new IllegalArgumentException(
         s"f:phrase is answered from stored positional offsets; field '$rawField' has none " +
           "(declare it via IndexBuilder offsetsFields at build time)")
+    // positional tokens are ALWAYS the TEXT tokenizer's output
+    // (IndexBuilder tokenizes declared offsets fields with the same
+    // tokenizer as TEXT), so positional literals normalize exactly like
+    // TEXT literals regardless of the field's own index normalizer — a
+    // NoOp-indexed field's raw-cased literal would never match the
+    // lowercased token stream.
     val terms = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      .map(normalizeLit(posNormField(field0), _))
+      .map(normalizeLit("TEXT", _))
     require(terms.size >= 2,
       s"f:phrase needs at least two tokens (use $field0 == '...' for one): '$phrase'")
     an.phraseLeaf(field0, terms)

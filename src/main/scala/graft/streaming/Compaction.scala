@@ -89,29 +89,46 @@ object Compaction {
     */
   def compactAnn(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
-    val parts = LiveAnnMaintainer.Parts
-    val through = VersionedState.maxVersion(dir, parts)
+    // committed-version detection keys on the CORE parts (a round-8
+    // store has no codes part anywhere); the codes base is REBUILT from
+    // the masked assignments whenever PQ books exist — encodePq is
+    // deterministic per vector, so the rebuild is row-identical to
+    // folding the code deltas AND it covers vectors ingested before PQ
+    // was enabled: compaction is the migration that graduates any store
+    // to full IVF-PQ coverage. No books ⇒ schema-preserved empty base.
+    val core = LiveAnnMaintainer.CoreParts
+    val through = VersionedState.maxVersion(dir, core)
     if (through < 0) return -1L
     def readPart(p: String) = spark.read.parquet(
-      VersionedState.readPaths(dir, parts, Some(p), through): _*)
+      VersionedState.readPaths(dir, core, Some(p), through): _*)
     val tombs = VersionedState.tombstoneSet(
-      VersionedState.readPaths(dir, parts, Some("tombstones"), through) match {
+      VersionedState.readPaths(dir, core, Some("tombstones"), through) match {
         case Nil => None
         case _   => Some(readPart("tombstones"))
       }, "vec_id")
-    for (p <- parts) {
-      val unioned = readPart(p)
+    val books: Option[Array[Array[Array[Double]]]] =
+      if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
+      else Some(spark.read.parquet(s"$dir/pq_books")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3)))
+    val maskedAssigned = VersionedState.maskDeleted(
+      VersionedState.withVer(readPart("assigned")), tombs, "vec_id")
+    for (p <- LiveAnnMaintainer.Parts) {
       val folded = p match {
-        case "assigned" | "codes" => // per-vector rows — erase deleted physically
-          VersionedState.maskDeleted(VersionedState.withVer(unioned), tombs, "vec_id")
-        case "tombstones" => unioned.limit(0) // applied above; base is clean
-        case _            => unioned
+        case "assigned" => maskedAssigned // per-vector rows — erase deleted physically
+        case "codes" => books match {
+          case Some(b) => graft.pipeline.Similarity.encodePq(
+            b, maskedAssigned.select("vec_id", "embedding"))
+          case None => LiveAnnMaintainer.emptyCodes(spark)
+        }
+        case "tombstones" => readPart(p).limit(0) // applied above; base is clean
+        case other        => readPart(other)
       }
       folded.write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
         .parquet(s"$dir/c$through/$p")
     }
-    if (deleteSubsumed) sweep(dir, parts, through)
+    if (deleteSubsumed) sweep(dir, core, through)
     through
   }
 
@@ -130,13 +147,18 @@ object Compaction {
     */
   def compactEngine(spark: SparkSession, dir: String,
       deleteSubsumed: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{col, reverse}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, reverse, size, sum}
     import LiveEngineMaintainer.{foldGlobal, maskDeleted, tombstoneSet, withVer}
-    val parts = LiveEngineMaintainer.Parts
-    val through = VersionedState.maxVersion(dir, parts)
+    // committed-version detection keys on the CORE parts: a round-8
+    // store (no derived parts anywhere) compacts fine — this method
+    // never READS the derived parts at all, it rebuilds all three from
+    // core data, so compaction doubles as the migration that graduates
+    // any old store to the full round-9 layout.
+    val core = LiveEngineMaintainer.CoreParts
+    val through = VersionedState.maxVersion(dir, core)
     if (through < 0) return -1L
     def readPart(p: String) = spark.read.parquet(
-      VersionedState.readPaths(dir, parts, Some(p), through): _*)
+      VersionedState.readPaths(dir, core, Some(p), through): _*)
     val tombs = tombstoneSet(Some(readPart("tombstones")))
     // The folded global feeds three parts (global, reverse, trigram) —
     // cache it so the merge-on-read fold runs once, not per write. The
@@ -148,7 +170,7 @@ object Compaction {
     // `WikiIndex.save`'s sorted layout so prefix/gram probes prune.
     val foldedGlobal = foldGlobal(withVer(readPart("global")), tombs).cache()
     try {
-      for (p <- parts) {
+      for (p <- LiveEngineMaintainer.Parts) {
         val folded = p match {
           case "global"   => foldedGlobal
           case "reverse"  =>
@@ -157,6 +179,18 @@ object Compaction {
           case "trigram"  =>
             graft.ingest.WikiIndex.deriveTrigrams(foldedGlobal)
               .repartition(col("fieldName")).sortWithinPartitions("gram")
+          case "doc_lengths" =>
+            // WikiIndex.docLengths' derivation over the masked core
+            // tables (dl = Σ|offsets| per doc; docless-token docs 0)
+            maskDeleted(withVer(readPart("documents")), tombs)
+              .select("partition", "language", "docId")
+              .join(
+                maskDeleted(withVer(readPart("postings")), tombs)
+                  .groupBy("partition", "language", "docId")
+                  .agg(sum(size(col("offsets"))).cast("double").as("dl")),
+                Seq("partition", "language", "docId"), "left")
+              .select(col("partition"), col("language"), col("docId"),
+                coalesce(col("dl"), lit(0.0)).as("dl"))
           case "metadata"   => readPart(p).distinct()
           case "tombstones" => readPart(p).limit(0) // applied below; base is clean
           case _            => maskDeleted(withVer(readPart(p)), tombs)
@@ -166,7 +200,7 @@ object Compaction {
           .parquet(s"$dir/c$through/$p")
       }
     } finally foldedGlobal.unpersist()
-    if (deleteSubsumed) sweep(dir, parts, through)
+    if (deleteSubsumed) sweep(dir, core, through)
     through
   }
 

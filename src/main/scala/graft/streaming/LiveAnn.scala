@@ -47,7 +47,12 @@ class LiveAnnMaintainer(
     pqM: Int = 0,
     pqK: Int = 16) {
 
-  private val parts = LiveAnnMaintainer.Parts
+  // Commit protocol keys on the CORE parts (assigned, tombstones); the
+  // `codes` part is optional at read — a round-8 store (no codes part
+  // anywhere) serves flat IVF untouched, and `compactAnn` rebuilds the
+  // codes base from the masked assignments whenever books exist, so one
+  // compaction graduates any store to full IVF-PQ coverage.
+  private val parts = LiveAnnMaintainer.CoreParts
 
   @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
 
@@ -62,15 +67,24 @@ class LiveAnnMaintainer(
   }
 
   /** The frozen PQ codebooks (`books(m)(c)` = codeword c of subspace m),
-    * if PQ is on and trained.
+    * if PQ is on and trained. Frozen by design, so the parquet read +
+    * collect happens once per maintainer and memoizes — not once per
+    * micro-batch on the ingest latency path.
     */
-  def pqBooks: Option[Array[Array[Array[Double]]]] = {
-    if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) return None
-    val rows = spark.read.parquet(s"$dir/pq_books")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    Some(rows.groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3)))
-  }
+  @volatile private var cachedBooks: Option[Array[Array[Array[Double]]]] = None
+
+  def pqBooks: Option[Array[Array[Array[Double]]]] =
+    cachedBooks.orElse {
+      if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
+      else {
+        val rows = spark.read.parquet(s"$dir/pq_books")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val books = rows.groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+        cachedBooks = Some(books)
+        cachedBooks
+      }
+    }
 
   /** The queryable IVF index at the latest committed version — feed it
     * to `Similarity.ivfTopKWith`. Tombstoned vectors are masked
@@ -82,18 +96,23 @@ class LiveAnnMaintainer(
       maskedPart("assigned").map(IvfIndex(cents, _))
     }
 
-  /** The queryable PQ index at the latest committed version (None until
-    * PQ is on and the first batch trained the books) — compose with
-    * `latestIndex` into `Similarity.ivfPqTopK` for live IVF-PQ serving.
+  /** The queryable PQ index at the latest committed version — compose
+    * with `latestIndex` into `Similarity.ivfPqTopK` for live IVF-PQ
+    * serving. None until PQ trained its books, and None when any
+    * read-set dir lacks the codes part (a partially-covered union would
+    * silently exclude those versions' vectors from ANN results — serve
+    * flat IVF until `compactAnn` rebuilds full coverage instead).
     */
   def latestPq: Option[PqIndex] =
     pqBooks.flatMap { books =>
-      maskedPart("codes").map(PqIndex(books, _))
+      maskedPart("codes", requireAll = true).map(PqIndex(books, _))
     }
 
-  private def maskedPart(part: String): Option[DataFrame] = {
+  private def maskedPart(part: String, requireAll: Boolean = false): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), version)
-    if (ps.isEmpty) None
+    if (ps.isEmpty ||
+        (requireAll && !ps.forall(p => new java.io.File(s"$p/_SUCCESS").exists())))
+      None
     else {
       val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
       val tombs = VersionedState.tombstoneSet(
@@ -127,8 +146,14 @@ class LiveAnnMaintainer(
       write(Similarity.assignIvf(cents, batch), s"$dir/v$batchId/assigned")
       val codesDelta =
         if (pqM <= 0) LiveAnnMaintainer.emptyCodes(spark)
-        else {
-          val books = pqBooks.getOrElse {
+        else pqBooks match {
+          case Some(books) => Similarity.encodePq(books, batch)
+          case None =>
+            // First PQ batch: train the books AND backfill codes for
+            // every vector already live in the store (pqM enabled on an
+            // existing flat-IVF store must not leave pre-enable vectors
+            // invisible to IVF-PQ serving) — this one delta is O(store),
+            // paid once at enable; every later delta is O(|batch|).
             val trained = Similarity.trainPq(batch, pqM, pqK, iters)
             import spark.implicits._
             trained.zipWithIndex.flatMap { case (book, mi) =>
@@ -137,9 +162,13 @@ class LiveAnnMaintainer(
               .coalesce(1).write.mode("overwrite")
               .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
               .parquet(s"$dir/pq_books")
-            trained
-          }
-          Similarity.encodePq(books, batch)
+            cachedBooks = Some(trained)
+            val fresh = batch.select("vec_id", "embedding")
+            val prior = maskedPart("assigned") // read set BEFORE this version commits
+              .map(_.select("vec_id", "embedding")
+                .join(fresh.select("vec_id"), Seq("vec_id"), "left_anti"))
+            Similarity.encodePq(trained,
+              prior.map(_.unionByName(fresh)).getOrElse(fresh))
         }
       write(codesDelta, s"$dir/v$batchId/codes")
       write(LiveAnnMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
@@ -194,11 +223,14 @@ class LiveAnnMaintainer(
 }
 
 object LiveAnnMaintainer {
-  /** Assignment + PQ-code deltas + delete markers per version (`codes`
-    * is schema-preserved empty when PQ is off — uniform commit
-    * protocol); the codebooks are store-level state, not versioned
-    * (frozen by design). Store-format note: `codes` joined the protocol
-    * in round 9.
+  /** Core parts — commit detection keys on these; the codebooks are
+    * store-level state, not versioned (frozen by design).
+    */
+  val CoreParts: Seq[String] = Seq("assigned", "tombstones")
+
+  /** Full per-version part set: core + the PQ `codes` delta (round-9
+    * addition — schema-preserved empty when PQ is off, optional at
+    * read for round-8 stores).
     */
   val Parts: Seq[String] = Seq("assigned", "codes", "tombstones")
 

@@ -80,7 +80,15 @@ class LiveEngineMaintainer(
 
   import LiveEngineMaintainer._
 
-  private val parts = Parts
+  // Commit protocol keys on the CORE parts only: a version is committed
+  // when every core part's _SUCCESS exists. The three DERIVED parts
+  // (doc_lengths/reverse/trigram — projections of core data, round-9
+  // additions) are written with every new delta but are OPTIONAL at
+  // read: a round-8 store (or a crash window between core commit and a
+  // derived write) serves through WikiIndex's derived fallbacks instead
+  // of becoming invisible, and the next `compactEngine` graduates the
+  // store to the full layout (it rebuilds all three from core data).
+  private val parts = CoreParts
 
   @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
 
@@ -89,6 +97,18 @@ class LiveEngineMaintainer(
   private def readUnion(part: String): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), version)
     if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
+  }
+
+  /** A derived part's union, present only when EVERY dir in the read
+    * set carries it — a partially-covered derived part must not serve
+    * (its union would silently miss the uncovered versions' rows);
+    * None falls back to the WikiIndex derived projection, which is
+    * always complete.
+    */
+  private def derivedUnion(part: String): Option[DataFrame] = {
+    val ps = VersionedState.readPaths(dir, parts, Some(part), version)
+    if (ps.isEmpty || !ps.forall(p => new java.io.File(s"$p/_SUCCESS").exists())) None
+    else Some(spark.read.parquet(ps: _*))
   }
 
   /** The full queryable store at the latest committed version — feed it
@@ -105,12 +125,13 @@ class LiveEngineMaintainer(
         termPostings = maskDeleted(withVer(readUnion("postings").get), tombs),
         storedEvents = readUnion("events").map(e => maskDeleted(withVer(e), tombs)),
         // reverse folds like global (same rows keyed by reversed value);
-        // trigram is a vocabulary SET (dedup on union). Older stores
-        // without these parts fall back to WikiIndex's derived forms.
-        storedReverse = readUnion("reverse").map(r => foldGlobal(withVer(r), tombs)),
-        storedTrigram = readUnion("trigram").map(_.distinct()),
+        // trigram is a vocabulary SET (dedup on union). A store where
+        // any read-set dir lacks these parts (round-8 format, or a
+        // crash window) falls back to WikiIndex's derived forms.
+        storedReverse = derivedUnion("reverse").map(r => foldGlobal(withVer(r), tombs)),
+        storedTrigram = derivedUnion("trigram").map(_.distinct()),
         storedDocLengths =
-          readUnion("doc_lengths").map(d => maskDeleted(withVer(d), tombs)))
+          derivedUnion("doc_lengths").map(d => maskDeleted(withVer(d), tombs)))
     }
 
   private def write(df: DataFrame, path: String): Unit =
@@ -213,12 +234,22 @@ class LiveEngineMaintainer(
 }
 
 object LiveEngineMaintainer {
-  /** One subdir per engine table; a version commits only when every
-    * part's `_SUCCESS` exists. Shared with `Compaction.compactEngine`.
+  /** Core parts — one subdir per engine table; a version commits only
+    * when every CORE part's `_SUCCESS` exists. Shared with
+    * `Compaction.compactEngine`.
     */
-  val Parts: Seq[String] =
+  val CoreParts: Seq[String] =
     Seq("docs_fields", "documents", "global", "postings", "events", "metadata",
-      "doc_lengths", "reverse", "trigram", "tombstones")
+      "tombstones")
+
+  /** Derived parts — projections of core data written with every new
+    * delta, optional at read (see the class doc): per-doc BM25 lengths
+    * and the reversed-value / vocabulary-gram access-path layouts.
+    */
+  val DerivedParts: Seq[String] = Seq("doc_lengths", "reverse", "trigram")
+
+  /** Every part a fully-equipped version dir carries. */
+  val Parts: Seq[String] = CoreParts ++ DerivedParts
 
   /** The harness `documents` schema — the delete path needs it to write
     * schema-preserved empty doc parts.

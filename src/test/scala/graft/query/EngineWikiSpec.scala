@@ -700,6 +700,23 @@ class EngineWikiSpec extends SparkSuite {
     val loaded = new WikiSearchEngine(spark, graft.ingest.WikiIndex.load(spark, dir))
     assert(loaded.run("f:onear(COMMENTS, 2, 'red', 'fox')")
       .select("docId").collect().map(_.getString(0)).toSet == Set("1", "2"))
+    // declaration casing is normalized (field names store uppercase),
+    // and positional literals normalize like TEXT literals — the tokens
+    // are the TEXT tokenizer's (lowercasing) output regardless of the
+    // field's own index normalizer, so a cased query literal must match
+    val eng2 = new WikiSearchEngine(spark,
+      IndexBuilder.fromArticles(spark, arts, 1, offsetsFields = Set("comments")))
+    assert(eng2.run("f:phrase(COMMENTS, 'Red FOX')")
+      .select("docId").collect().map(_.getString(0)).toSet == Set("1"))
+    // a declared field whose every value is null saves an EMPTY postings
+    // dataset; after load it must serve empty results, not throw
+    val nullArts = Seq(
+      Article(1, "One", 1L, null, "alpha beta", "enwiki"),
+      Article(2, "Two", 1L, null, "beta gamma", "enwiki")).toDS()
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-fieldpost-null").toString
+    IndexBuilder.fromArticles(spark, nullArts, 1, offsetsFields = Set("COMMENTS")).save(dir2)
+    val loaded2 = new WikiSearchEngine(spark, graft.ingest.WikiIndex.load(spark, dir2))
+    assert(loaded2.run("f:near(COMMENTS, 2, 'red', 'fox')").collect().isEmpty)
   }
 
   test("indexStats: counts agree with the fixture corpus") {

@@ -455,6 +455,91 @@ class StreamingSpec extends SparkSuite {
     assert(dl(cIx) == dlLive)
   }
 
+  test("round-8 stores (no derived parts) stay servable and one compaction graduates them") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-r8-migrate").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 16),
+      (2L, "alpha delta", "en", "s1", 11),
+      (3L, "beta epsilon", "de", "s2", 12))
+    val m0 = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    docs.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      m0.processBatch(b.toDF("doc_id", "text", "lang", "source", "n_chars"), i.toLong)
+    }
+    // simulate the round-8 on-disk format: strip the derived parts
+    for (v <- new java.io.File(dir).listFiles(); p <- LiveEngineMaintainer.DerivedParts)
+      VersionedState.deleteRecursively(new java.io.File(v, p))
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(m.latestVersion == 1L, "core-part commit detection must see the old store")
+    val ix = m.latestIndex.get
+    // derived parts absent everywhere → the WikiIndex derived fallbacks
+    assert(ix.storedDocLengths.isEmpty && ix.storedReverse.isEmpty &&
+      ix.storedTrigram.isEmpty)
+    val ref = new WikiSearchEngine(spark, graft.ingest.IndexBuilder.fromDocumentsTable(
+      spark, docs.toDF("doc_id", "text", "lang", "source", "n_chars"), 2))
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    val live = new WikiSearchEngine(spark, ix)
+    for (q <- Seq("TEXT =~ '.*lta'", "TEXT =~ '.*lph.*'", "TEXT == 'alpha'"))
+      assert(ids(live, q) == ids(ref, q), s"degraded (derived-fallback) serving: $q")
+    val tie = col("docId").cast("bigint")
+    assert(live.rank(Seq("alpha"), tieBreak = tie).collect().map(_.toSeq).toSeq ==
+      ref.rank(Seq("alpha"), tieBreak = tie).collect().map(_.toSeq).toSeq)
+    // one compaction rebuilds every derived part from core data — the
+    // store graduates to the full pruned layout
+    assert(Compaction.compactEngine(spark, dir) == 1L)
+    for (p <- LiveEngineMaintainer.Parts)
+      assert(new java.io.File(s"$dir/c1/$p/_SUCCESS").exists(), s"graduated part $p")
+    val gIx = new LiveEngineMaintainer(spark, dir, numPartitions = 2).latestIndex.get
+    assert(gIx.storedDocLengths.isDefined && gIx.storedReverse.isDefined &&
+      gIx.storedTrigram.isDefined)
+    val graduated = new WikiSearchEngine(spark, gIx)
+    for (q <- Seq("TEXT =~ '.*lta'", "TEXT =~ '.*lph.*'"))
+      assert(ids(graduated, q) == ids(ref, q), s"graduated serving: $q")
+  }
+
+  test("LiveAnnMaintainer: enabling pqM on an existing flat store backfills codes; codes-less stores serve flat and graduate at compaction") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-enable").toString
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val pre  = (0L until 20L).map(i => (i, vec()))
+    val post = (20L until 30L).map(i => (i, vec()))
+    // phase 1: flat store (pqM = 0) — codes parts are schema-preserved empty
+    val flat = new LiveAnnMaintainer(spark, dir, cells = 4, iters = 2)
+    flat.processBatch(pre.toDF("vec_id", "embedding"), 0L)
+    assert(flat.latestPq.isEmpty)
+    // phase 2: operator enables PQ — the first PQ batch trains books AND
+    // backfills codes for every pre-enable vector in its delta
+    val m = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
+    m.processBatch(post.toDF("vec_id", "embedding"), 1L)
+    val pq = m.latestPq.get
+    assert(pq.codes.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (pre ++ post).map(_._1).toSet, "pre-enable vectors must be coded")
+    val books = m.pqBooks.get
+    val queries = (1000L until 1003L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    def serve(ivf: Similarity.IvfIndex, p: Similarity.PqIndex) =
+      Similarity.ivfPqTopK(ivf, p, queries, k = 3, nprobe = 2, shortlist = 8)
+        .collect().map(_.toSeq).toSeq
+    val union = (pre ++ post).toDF("vec_id", "embedding")
+    val want = serve(
+      Similarity.IvfIndex(m.centroids.get, Similarity.assignIvf(m.centroids.get, union)),
+      Similarity.PqIndex(books, Similarity.encodePq(books, union)))
+    assert(serve(m.latestIndex.get, m.latestPq.get) == want && want.nonEmpty)
+    // phase 3: a store whose codes part is missing in SOME read-set dir
+    // (simulated round-8 dir) must not serve a silently-partial PQ view —
+    // flat IVF still serves — and compactAnn rebuilds full coverage
+    VersionedState.deleteRecursively(new java.io.File(s"$dir/v1/codes"))
+    val degraded = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
+    assert(degraded.latestPq.isEmpty, "partial codes coverage must not serve")
+    assert(degraded.latestIndex.isDefined)
+    assert(Compaction.compactAnn(spark, dir) == 1L)
+    val rec = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
+    assert(rec.latestPq.get.codes.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (pre ++ post).map(_._1).toSet, "compaction rebuilds codes from masked assignments")
+    assert(serve(rec.latestIndex.get, rec.latestPq.get) == want)
+  }
+
   test("LiveEngineMaintainer: tombstone deletes mask version-ordered, count exactly, and erase physically at compaction") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-live-del").toString
