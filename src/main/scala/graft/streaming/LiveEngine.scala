@@ -94,8 +94,8 @@ class LiveEngineMaintainer(
 
   def latestVersion: Long = version
 
-  private def readUnion(part: String): Option[DataFrame] = {
-    val ps = VersionedState.readPaths(dir, parts, Some(part), version)
+  private def readUnion(part: String, upTo: Long): Option[DataFrame] = {
+    val ps = VersionedState.readPaths(dir, parts, Some(part), upTo)
     if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
   }
 
@@ -105,8 +105,8 @@ class LiveEngineMaintainer(
     * None falls back to the WikiIndex derived projection, which is
     * always complete.
     */
-  private def derivedUnion(part: String): Option[DataFrame] = {
-    val ps = VersionedState.readPaths(dir, parts, Some(part), version)
+  private def derivedUnion(part: String, upTo: Long): Option[DataFrame] = {
+    val ps = VersionedState.readPaths(dir, parts, Some(part), upTo)
     if (ps.isEmpty || !ps.forall(p => new java.io.File(s"$p/_SUCCESS").exists())) None
     else Some(spark.read.parquet(ps: _*))
   }
@@ -114,24 +114,35 @@ class LiveEngineMaintainer(
   /** The full queryable store at the latest committed version — feed it
     * straight to `new WikiSearchEngine(spark, m.latestIndex.get)`.
     */
-  def latestIndex: Option[WikiIndex] =
-    readUnion("docs_fields").map { df =>
-      val tombs = tombstoneSet(readUnion("tombstones"))
+  def latestIndex: Option[WikiIndex] = indexAt(version)
+
+  /** LSM TIME TRAVEL: the store exactly as of committed version `upTo`
+    * — a consistent historical snapshot (ingests AND deletes after
+    * `upTo` are invisible: the tombstone mask only sees markers in the
+    * snapshot's own read set), servable by a `WikiSearchEngine` while
+    * ingest continues. Reach is bounded by retention: a version whose
+    * deltas were subsumed AND swept by a later compaction resolves to
+    * no read set (None) — the standard LSM trade; pair with the
+    * `keep`/grace sweep protocols to retain history windows.
+    */
+  def indexAt(upTo: Long): Option[WikiIndex] =
+    readUnion("docs_fields", upTo).map { df =>
+      val tombs = tombstoneSet(readUnion("tombstones", upTo))
       WikiIndex(
         docsFields = maskDeleted(withVer(df), tombs),
-        documents = maskDeleted(withVer(readUnion("documents").get), tombs),
-        globalIndex = foldGlobal(withVer(readUnion("global").get), tombs),
-        metadata = readUnion("metadata").get.distinct(),
-        termPostings = maskDeleted(withVer(readUnion("postings").get), tombs),
-        storedEvents = readUnion("events").map(e => maskDeleted(withVer(e), tombs)),
+        documents = maskDeleted(withVer(readUnion("documents", upTo).get), tombs),
+        globalIndex = foldGlobal(withVer(readUnion("global", upTo).get), tombs),
+        metadata = readUnion("metadata", upTo).get.distinct(),
+        termPostings = maskDeleted(withVer(readUnion("postings", upTo).get), tombs),
+        storedEvents = readUnion("events", upTo).map(e => maskDeleted(withVer(e), tombs)),
         // reverse folds like global (same rows keyed by reversed value);
         // trigram is a vocabulary SET (dedup on union). A store where
         // any read-set dir lacks these parts (round-8 format, or a
         // crash window) falls back to WikiIndex's derived forms.
-        storedReverse = derivedUnion("reverse").map(r => foldGlobal(withVer(r), tombs)),
-        storedTrigram = derivedUnion("trigram").map(_.distinct()),
+        storedReverse = derivedUnion("reverse", upTo).map(r => foldGlobal(withVer(r), tombs)),
+        storedTrigram = derivedUnion("trigram", upTo).map(_.distinct()),
         storedDocLengths =
-          derivedUnion("doc_lengths").map(d => maskDeleted(withVer(d), tombs)))
+          derivedUnion("doc_lengths", upTo).map(d => maskDeleted(withVer(d), tombs)))
     }
 
   private def write(df: DataFrame, path: String): Unit =

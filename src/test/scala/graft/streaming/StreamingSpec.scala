@@ -455,6 +455,34 @@ class StreamingSpec extends SparkSuite {
     assert(dl(cIx) == dlLive)
   }
 
+  test("indexAt: LSM time travel serves consistent historical snapshots while ingest and deletes continue") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-time-travel").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    m.processBatch(df(Seq((1L, "alpha beta", "en", "s1", 10))), 0L)
+    m.processBatch(df(Seq((2L, "alpha gamma", "en", "s1", 11))), 1L)
+    m.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 2L)
+    m.processBatch(df(Seq((3L, "alpha delta", "en", "s1", 11))), 3L)
+    def ids(ix: graft.ingest.WikiIndex) =
+      new WikiSearchEngine(spark, ix).run("TEXT == 'alpha'")
+        .select("docId").collect().map(_.getString(0)).toSet
+    // each snapshot sees exactly the state as of its version: later
+    // ingests AND the later delete are invisible to earlier snapshots
+    assert(ids(m.indexAt(0L).get) == Set("1"))
+    assert(ids(m.indexAt(1L).get) == Set("1", "2"), "pre-delete snapshot keeps doc 1")
+    assert(ids(m.indexAt(2L).get) == Set("2"))
+    assert(ids(m.indexAt(3L).get) == Set("2", "3"))
+    assert(ids(m.latestIndex.get) == Set("2", "3"))
+    // retention bounds the reach: after an eager compaction subsumes and
+    // sweeps v0..v3, a pre-base version has no read set left
+    Compaction.compactEngine(spark, dir)
+    val rec = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(rec.indexAt(1L).isEmpty, "time travel below the swept base is gone")
+    assert(ids(rec.indexAt(3L).get) == Set("2", "3"), "the base itself still serves")
+  }
+
   test("round-8 stores (no derived parts) stay servable and one compaction graduates them") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-r8-migrate").toString
