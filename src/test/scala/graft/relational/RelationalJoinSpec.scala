@@ -166,4 +166,46 @@ class RelationalJoinSpec extends SparkSuite {
       assert(gotDw == expectDw, s"distinct-window trial $trial")
     }
   }
+
+  test("q30 bucketed continuous quantiles: randomized equivalence vs full-sort reference") {
+    // The bucketed two-pass plan (histogram → bracketing buckets →
+    // within-bucket ranking) must select EXACTLY the full sort's order
+    // statistics. Random trials are deliberately adversarial for the
+    // bucketing: half the values sit on exact bucket boundaries
+    // (multiples of the W=100 width, incl. repeated ties), so target
+    // ranks land on bucket edges and lo/lo+1 straddle buckets; group
+    // sizes vary so frac=0 and lo+1 > n both occur.
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 3) {
+      val flags = Vector("A", "N", "R")
+      val rows = (0 until 300 + rnd.nextInt(100)).map { _ =>
+        val v =
+          if (rnd.nextBoolean()) (rnd.nextInt(30) * 100).toDouble // bucket boundary
+          else rnd.nextInt(3000) + rnd.nextInt(100) / 100.0
+        (flags(rnd.nextInt(3)), v)
+      } :+ ("A", 0.0) // a group guaranteed non-empty with a zero value
+      val d = java.nio.file.Files.createTempDirectory(s"graft_q30_rand$trial").toString
+      rows.toDF("l_returnflag", "l_extendedprice")
+        .coalesce(2).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      // naive reference: full sort per group, identical integer lo/frac
+      // derivation and identical lerp composition (bit-for-bit)
+      val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, es) =>
+        val vs = es.map(_._2).sorted
+        val n = vs.size.toLong
+        Seq(250L, 500L, 750L).map { p =>
+          val lo = (p * (n - 1)) / 1000 + 1
+          val frac = (p * (n - 1)) % 1000
+          val vLo = vs((lo - 1).toInt)
+          val vHi = if (lo < n) vs(lo.toInt) else vLo
+          val qc = BigDecimal(vLo + (vHi - vLo) * frac / 1000.0)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (g, p, qc)
+        }
+      }
+      val got = RelationalQueries.all.find(_.name == "q30_quantile_cont").get
+        .fn(spark, d).as[(String, Long, Double)].collect().toSeq
+      assert(got == expect, s"q30 trial $trial")
+    }
+  }
 }
