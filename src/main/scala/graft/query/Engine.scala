@@ -429,15 +429,16 @@ class WikiSearchEngine(
     require(k > 0, s"k must be > 0: $k")
     val posts = langAuth(auths)(index.termPostings)
     val srcTerms = posts.filter(col("docId") === docId).select("term").distinct()
-    val nDf = langAuth(auths)(index.documents)
-      .agg(count(lit(1)).cast("long").as("n"))
+    // N from the materialized per-language corpus stats (driver-cached
+    // literal, same source as BM25's) — not a documents-table count per
+    // call, which at corpus scale is a full file-listing+footer pass
+    val n = corpusStatsFor(auths)._1.toLong
     val tf = posts.join(broadcast(srcTerms), "term")
     val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(nDf))
       .filter(col("docId") =!= docId)
       .groupBy("partition", "language", "docId")
-      .agg(sum(col("n") - col("df")).cast("long").as("score"))
+      .agg(sum(lit(n) - col("df")).cast("long").as("score"))
       .orderBy(col("score").desc, tieBreak, col("language"), col("partition"))
       .limit(k)
       .select(col("docId"), col("language"), col("score"))
