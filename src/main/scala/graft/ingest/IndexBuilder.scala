@@ -169,10 +169,20 @@ case class WikiIndex(
       .sortWithinPartitions("language", "docId")
       .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/doc_lengths")
     corpusStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/corpus_stats")
-    fieldPostings.foreach(_
-      .repartition(col("partition"))
-      .sortWithinPartitions("fieldName", "term", "docId")
-      .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/field_postings"))
+    fieldPostings.foreach { fp =>
+      // a row-empty dataset written with partitionBy carries NO
+      // schema-bearing file, so load would drop the table while the
+      // metadata catalog still declares kind-p fields — write a single
+      // schema-carrying empty file instead (legal corpus: every
+      // declared value was null), keeping the loud missing-table error
+      // reserved for genuine loss/corruption
+      if (fp.isEmpty)
+        fp.coalesce(1).write.mode("overwrite").parquet(s"$dir/field_postings")
+      else fp
+        .repartition(col("partition"))
+        .sortWithinPartitions("fieldName", "term", "docId")
+        .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/field_postings")
+    }
   }
 }
 

@@ -148,17 +148,17 @@ class WikiSearchEngine(
   /** The positional postings source for one field. Non-TEXT fields read
     * the shared `fieldPostings` table filtered to the field — the
     * equality predicate pushes to its fieldName-sorted parquet scan.
-    * A declared field whose table is absent (a legal corpus where every
-    * declared value was null/empty saves an empty dataset, which
-    * `load` cannot schema-infer) serves as an empty postings source —
-    * empty results, never a corrupt-index error; `termPostings.limit(0)`
-    * carries the column set the proximity joins read.
+    * Missing table + declared kind-p field is genuine loss/corruption
+    * and fails LOUDLY (a legal all-null corpus round-trips an empty
+    * table through save/load — the save path writes a schema-carrying
+    * empty file for exactly this reason).
     */
   private def postingsFor(field: String): DataFrame =
     if (field == "TEXT") index.termPostings
     else index.fieldPostings
       .map(_.filter(col("fieldName") === field).drop("fieldName"))
-      .getOrElse(index.termPostings.limit(0))
+      .getOrElse(throw new IllegalStateException(
+        s"metadata declares positional field '$field' but the index has no field_postings table"))
 
   // ---- public API ---------------------------------------------------------
 

@@ -106,28 +106,29 @@ object Compaction {
         case Nil => None
         case _   => Some(readPart("tombstones"))
       }, "vec_id")
-    val books: Option[Array[Array[Array[Double]]]] =
-      if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
-      else Some(spark.read.parquet(s"$dir/pq_books")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        .groupBy(_._1).toArray.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3)))
+    val books = LiveAnnMaintainer.readBooks(spark, dir)
+    // the masked assignment union feeds BOTH the assigned base and the
+    // codes re-encode — cache it so the store's largest table is read
+    // and tombstone-masked once (the foldedGlobal discipline)
     val maskedAssigned = VersionedState.maskDeleted(
-      VersionedState.withVer(readPart("assigned")), tombs, "vec_id")
-    for (p <- LiveAnnMaintainer.Parts) {
-      val folded = p match {
-        case "assigned" => maskedAssigned // per-vector rows — erase deleted physically
-        case "codes" => books match {
-          case Some(b) => graft.pipeline.Similarity.encodePq(
-            b, maskedAssigned.select("vec_id", "embedding"))
-          case None => LiveAnnMaintainer.emptyCodes(spark)
+      VersionedState.withVer(readPart("assigned")), tombs, "vec_id").cache()
+    try {
+      for (p <- LiveAnnMaintainer.Parts) {
+        val folded = p match {
+          case "assigned" => maskedAssigned // per-vector rows — erase deleted physically
+          case "codes" => books match {
+            case Some(b) => graft.pipeline.Similarity.encodePq(
+              b, maskedAssigned.select("vec_id", "embedding"))
+            case None => LiveAnnMaintainer.emptyCodes(spark)
+          }
+          case "tombstones" => readPart(p).limit(0) // applied above; base is clean
+          case other        => readPart(other)
         }
-        case "tombstones" => readPart(p).limit(0) // applied above; base is clean
-        case other        => readPart(other)
+        folded.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+          .parquet(s"$dir/c$through/$p")
       }
-      folded.write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        .parquet(s"$dir/c$through/$p")
-    }
+    } finally maskedAssigned.unpersist()
     if (deleteSubsumed) sweep(dir, core, through)
     through
   }
@@ -169,6 +170,11 @@ object Compaction {
     // grams must not survive in the base. Both bases are written in
     // `WikiIndex.save`'s sorted layout so prefix/gram probes prune.
     val foldedGlobal = foldGlobal(withVer(readPart("global")), tombs).cache()
+    // documents/postings each feed their own base part AND the
+    // doc_lengths derivation — cache the masked frames so the two
+    // corpus-sized per-doc tables are read and tombstone-masked once
+    val maskedDocs  = maskDeleted(withVer(readPart("documents")), tombs).cache()
+    val maskedPosts = maskDeleted(withVer(readPart("postings")), tombs).cache()
     try {
       for (p <- LiveEngineMaintainer.Parts) {
         val folded = p match {
@@ -179,13 +185,15 @@ object Compaction {
           case "trigram"  =>
             graft.ingest.WikiIndex.deriveTrigrams(foldedGlobal)
               .repartition(col("fieldName")).sortWithinPartitions("gram")
+          case "documents" => maskedDocs
+          case "postings"  => maskedPosts
           case "doc_lengths" =>
             // WikiIndex.docLengths' derivation over the masked core
             // tables (dl = Σ|offsets| per doc; docless-token docs 0)
-            maskDeleted(withVer(readPart("documents")), tombs)
+            maskedDocs
               .select("partition", "language", "docId")
               .join(
-                maskDeleted(withVer(readPart("postings")), tombs)
+                maskedPosts
                   .groupBy("partition", "language", "docId")
                   .agg(sum(size(col("offsets"))).cast("double").as("dl")),
                 Seq("partition", "language", "docId"), "left")
@@ -199,7 +207,9 @@ object Compaction {
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(s"$dir/c$through/$p")
       }
-    } finally foldedGlobal.unpersist()
+    } finally {
+      foldedGlobal.unpersist(); maskedDocs.unpersist(); maskedPosts.unpersist()
+    }
     if (deleteSubsumed) sweep(dir, core, through)
     through
   }
@@ -257,11 +267,15 @@ object Compaction {
     doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
   }
 
+  /** Part lists for CLI commit-detection and sweeping — the CORE sets
+    * for the stores that grew optional derived parts, so the sweep verb
+    * sees (and reclaims) round-8 dirs that carry only core parts.
+    */
   private def partsOf(kind: String): Seq[String] = kind match {
     case "index"  => Nil
     case "dedup"  => LiveNearDupMaintainer.Parts
-    case "engine" => LiveEngineMaintainer.Parts
-    case "ann"    => LiveAnnMaintainer.Parts
+    case "engine" => LiveEngineMaintainer.CoreParts
+    case "ann"    => LiveAnnMaintainer.CoreParts
     case other    => throw new IllegalArgumentException(
       s"unknown store kind '$other': usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep]")
   }

@@ -75,15 +75,9 @@ class LiveAnnMaintainer(
 
   def pqBooks: Option[Array[Array[Array[Double]]]] =
     cachedBooks.orElse {
-      if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
-      else {
-        val rows = spark.read.parquet(s"$dir/pq_books")
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        val books = rows.groupBy(_._1).toArray.sortBy(_._1)
-          .map(_._2.sortBy(_._2).map(_._3))
-        cachedBooks = Some(books)
-        cachedBooks
-      }
+      val books = LiveAnnMaintainer.readBooks(spark, dir)
+      if (books.isDefined) cachedBooks = books
+      books
     }
 
   /** The queryable IVF index at the latest committed version — feed it
@@ -107,6 +101,28 @@ class LiveAnnMaintainer(
     pqBooks.flatMap { books =>
       maskedPart("codes", requireAll = true).map(PqIndex(books, _))
     }
+
+  /** vec_ids already carrying a LIVE code in the existing codes parts
+    * (a round-8 dir simply has no codes path — skipped, not an error):
+    * the coverage-reconciliation probe for the first-PQ-batch backfill.
+    * The probe is tombstone-MASKED, version-ordered: a vector deleted
+    * and later re-ingested has only a stale pre-tombstone code row,
+    * which must not suppress its backfill (its live assignment row has
+    * no live code).
+    */
+  private def codedVecIds: DataFrame = {
+    val ps = VersionedState.readPaths(dir, parts, Some("codes"), version)
+      .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+    if (ps.isEmpty) LiveAnnMaintainer.emptyCodes(spark).select("vec_id")
+    else {
+      val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
+      val tombs = VersionedState.tombstoneSet(
+        if (tombPs.isEmpty) None else Some(spark.read.parquet(tombPs: _*)), "vec_id")
+      VersionedState.maskDeleted(
+        VersionedState.withVer(spark.read.parquet(ps: _*)), tombs, "vec_id")
+        .select("vec_id")
+    }
+  }
 
   private def maskedPart(part: String, requireAll: Boolean = false): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), version)
@@ -146,14 +162,16 @@ class LiveAnnMaintainer(
       write(Similarity.assignIvf(cents, batch), s"$dir/v$batchId/assigned")
       val codesDelta =
         if (pqM <= 0) LiveAnnMaintainer.emptyCodes(spark)
-        else pqBooks match {
-          case Some(books) => Similarity.encodePq(books, batch)
-          case None =>
-            // First PQ batch: train the books AND backfill codes for
-            // every vector already live in the store (pqM enabled on an
-            // existing flat-IVF store must not leave pre-enable vectors
-            // invisible to IVF-PQ serving) — this one delta is O(store),
-            // paid once at enable; every later delta is O(|batch|).
+        else {
+          // Coverage reconciliation is keyed on "first PQ batch of THIS
+          // maintainer instance" (cachedBooks empty), NOT on pq_books
+          // absence: a crash-replay of the enabling batch finds the
+          // books already on disk, and offline-trained books never see
+          // a train step at all — both must still backfill, or
+          // pre-enable vectors stay invisible to IVF-PQ serving. Steady
+          // state (books cached in-memory) encodes only the batch.
+          val firstPqBatch = cachedBooks.isEmpty
+          val books = pqBooks.getOrElse {
             val trained = Similarity.trainPq(batch, pqM, pqK, iters)
             import spark.implicits._
             trained.zipWithIndex.flatMap { case (book, mi) =>
@@ -163,12 +181,23 @@ class LiveAnnMaintainer(
               .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
               .parquet(s"$dir/pq_books")
             cachedBooks = Some(trained)
-            val fresh = batch.select("vec_id", "embedding")
-            val prior = maskedPart("assigned") // read set BEFORE this version commits
-              .map(_.select("vec_id", "embedding")
-                .join(fresh.select("vec_id"), Seq("vec_id"), "left_anti"))
-            Similarity.encodePq(trained,
-              prior.map(_.unionByName(fresh)).getOrElse(fresh))
+            trained
+          }
+          val fresh = batch.select("vec_id", "embedding")
+          if (!firstPqBatch) Similarity.encodePq(books, fresh)
+          else {
+            // one anti-join of vec_id columns per maintainer lifetime:
+            // encode the batch plus every live vector not yet coded
+            // (read set BEFORE this version commits). O(store) once at
+            // enable/restart; a fully-covered store contributes nothing.
+            val uncoded = maskedPart("assigned").map { asg =>
+              asg.select("vec_id", "embedding")
+                .join(codedVecIds, Seq("vec_id"), "left_anti")
+                .join(fresh.select("vec_id"), Seq("vec_id"), "left_anti")
+            }
+            Similarity.encodePq(books,
+              uncoded.map(_.unionByName(fresh)).getOrElse(fresh))
+          }
         }
       write(codesDelta, s"$dir/v$batchId/codes")
       write(LiveAnnMaintainer.emptyTombstones(spark), s"$dir/v$batchId/tombstones")
@@ -227,6 +256,20 @@ object LiveAnnMaintainer {
     * store-level state, not versioned (frozen by design).
     */
   val CoreParts: Seq[String] = Seq("assigned", "tombstones")
+
+  /** The frozen PQ codebooks at `<dir>/pq_books`, decoded to
+    * `books(m)(c)` — ONE loader shared by the maintainer and
+    * `Compaction.compactAnn` so the layout cannot drift between them.
+    */
+  def readBooks(spark: SparkSession, dir: String): Option[Array[Array[Array[Double]]]] = {
+    if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
+    else {
+      val rows = spark.read.parquet(s"$dir/pq_books")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      Some(rows.groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)))
+    }
+  }
 
   /** Full per-version part set: core + the PQ `codes` delta (round-9
     * addition — schema-preserved empty when PQ is off, optional at

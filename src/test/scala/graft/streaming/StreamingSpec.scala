@@ -554,18 +554,47 @@ class StreamingSpec extends SparkSuite {
       Similarity.IvfIndex(m.centroids.get, Similarity.assignIvf(m.centroids.get, union)),
       Similarity.PqIndex(books, Similarity.encodePq(books, union)))
     assert(serve(m.latestIndex.get, m.latestPq.get) == want && want.nonEmpty)
-    // phase 3: a store whose codes part is missing in SOME read-set dir
+    // phase 3: a vector deleted then re-ingested through a NON-PQ
+    // maintainer has a live assignment but only a stale pre-tombstone
+    // code row; the next maintainer restart's coverage reconciliation
+    // must backfill it (the probe is tombstone-masked, version-ordered)
+    m.processDeletes(Seq(Tuple1(3L)).toDF("vec_id"), 2L)
+    new LiveAnnMaintainer(spark, dir, cells = 4) // pqM = 0: empty codes delta
+      .processBatch(Seq((3L, vec())).toDF("vec_id", "embedding"), 3L)
+    val m2 = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
+    m2.processBatch(Seq((30L, vec())).toDF("vec_id", "embedding"), 4L)
+    val liveCoded = m2.latestPq.get.codes.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveCoded == (pre ++ post).map(_._1).toSet + 30L,
+      "re-ingested vec 3 must be re-coded by the masked coverage probe")
+    // phase 4: a store whose codes part is missing in SOME read-set dir
     // (simulated round-8 dir) must not serve a silently-partial PQ view —
     // flat IVF still serves — and compactAnn rebuilds full coverage
     VersionedState.deleteRecursively(new java.io.File(s"$dir/v1/codes"))
     val degraded = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
     assert(degraded.latestPq.isEmpty, "partial codes coverage must not serve")
     assert(degraded.latestIndex.isDefined)
-    assert(Compaction.compactAnn(spark, dir) == 1L)
+    assert(Compaction.compactAnn(spark, dir) == 4L)
     val rec = new LiveAnnMaintainer(spark, dir, cells = 4, pqM = 4, pqK = 4)
     assert(rec.latestPq.get.codes.select("vec_id").collect().map(_.getLong(0)).toSet ==
-      (pre ++ post).map(_._1).toSet, "compaction rebuilds codes from masked assignments")
-    assert(serve(rec.latestIndex.get, rec.latestPq.get) == want)
+      (pre ++ post).map(_._1).toSet + 30L,
+      "compaction rebuilds codes from masked assignments")
+    // phase 5: OFFLINE-trained books installed before any PQ batch — the
+    // first PQ batch must still reconcile coverage (the backfill trigger
+    // is first-PQ-batch-of-this-maintainer, not pq_books absence)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-offline").toString
+    new LiveAnnMaintainer(spark, dir2, cells = 4)
+      .processBatch(pre.toDF("vec_id", "embedding"), 0L)
+    books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
+    }.toSeq.toDF("m", "code", "codeword")
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir2/pq_books")
+    val off = new LiveAnnMaintainer(spark, dir2, cells = 4, pqM = 4, pqK = 4)
+    off.processBatch(post.toDF("vec_id", "embedding"), 1L)
+    assert(off.latestPq.get.codes.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (pre ++ post).map(_._1).toSet, "offline-books first batch must backfill")
   }
 
   test("LiveEngineMaintainer: tombstone deletes mask version-ordered, count exactly, and erase physically at compaction") {
