@@ -45,7 +45,22 @@ case class EngineConfig(
       * so unselective that the full-scan residual is the better plan
       * (and the plan-time collect stays bounded by construction).
       */
-    regexExpandMax: Int = 256)
+    regexExpandMax: Int = 256,
+    /** Query-time synonym expansion (beyond the reference — its
+      * multi-normalizer OR-expansion generalized to arbitrary
+      * equivalence sets, the Lucene SynonymFilter serving shape):
+      * normalized literal → additional equivalent terms. Applied as an
+      * AST rewrite BEFORE planning and residual compilation, so the
+      * index path and the residual see the SAME expanded expression and
+      * cannot disagree — `field == 'v'` becomes the OR over the set,
+      * `field != 'v'` the AND of exclusions (keeping `!=` consistent
+      * with `not(==)`). Keys are matched on the field-normalized form.
+      */
+    synonyms: Map[String, Seq[String]] = Map.empty,
+    /** Fields the synonym table applies to (expansion on an ID-like
+      * field is rarely intended).
+      */
+    synonymFields: Set[String] = Set("TEXT"))
 
 /** The query engine: parse → plan (access path, SURVEY.md §4.1) →
   * execute (index semi/anti-join DAG or full scan) → pivot + residual
@@ -169,7 +184,7 @@ class WikiSearchEngine(
       throw new IllegalArgumentException(
         s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
     validateNearPlacement(ast0, conjunctive = true)
-    val ast = rewriteBareTerms(ast0)
+    val ast = rewriteQuery(ast0)
 
     val authFilter = langAuth(auths)
 
@@ -285,7 +300,7 @@ class WikiSearchEngine(
       throw new IllegalArgumentException(
         s"all-negation queries are invalid (FieldIndexQueryReWriter.removeNegationViolations): $query")
     validateNearPlacement(ast0, conjunctive = true)
-    val ast = rewriteBareTerms(ast0)
+    val ast = rewriteQuery(ast0)
     if (config.unevaluatedFields.nonEmpty || !exactCountable(ast)) return None
     val analysis = new Analysis
     analyze(ast, analysis).flatMap { tree =>
@@ -894,7 +909,7 @@ class WikiSearchEngine(
     * bare-term rewrites.
     */
   private[query] def indexAnswerable(query: String): Boolean = {
-    val ast = rewriteBareTerms(QueryParser.parse(query))
+    val ast = rewriteQuery(QueryParser.parse(query))
     analyze(ast, new Analysis).isDefined
   }
 
@@ -913,7 +928,7 @@ class WikiSearchEngine(
       return s"REJECTED: all-negation query: $query"
     try validateNearPlacement(ast0, conjunctive = true)
     catch { case e: IllegalArgumentException => return s"REJECTED: ${e.getMessage}" }
-    val ast = rewriteBareTerms(ast0)
+    val ast = rewriteQuery(ast0)
     analyze(ast, new Analysis) match {
       case None =>
         "FULL SCAN: no index-answerable subtree; the residual predicate evaluates every event"
@@ -995,6 +1010,42 @@ class WikiSearchEngine(
     case Not(c)  => Not(rewriteBareTerms(c))
     case other   => other
   }
+
+  /** The full pre-planning rewrite chain: bare terms fielded first (so
+    * a bare synonym-bearing term expands too), then synonym expansion.
+    * Every query entry point (`run`, `countDocs`/`fastCount`,
+    * `explainAccess`) goes through THIS, so the plan and the residual
+    * always compile the same rewritten expression.
+    */
+  private def rewriteQuery(e: QExpr): QExpr =
+    rewriteSynonyms(rewriteBareTerms(e))
+
+  /** Synonym expansion (see `EngineConfig.synonyms`). EQ → OR over the
+    * equivalence set; NE → AND of exclusions (so `!= v` and `not(== v)`
+    * stay semantically identical after expansion). Lookup key is the
+    * field-normalized literal; the expanded terms re-normalize through
+    * the ordinary literal path downstream.
+    */
+  private def rewriteSynonyms(e: QExpr): QExpr =
+    if (config.synonyms.isEmpty) e
+    else e match {
+      case t @ Term(f, Op.EQ, v) if config.synonymFields.contains(f) =>
+        config.synonyms.get(normalizeLit(f, v)) match {
+          case Some(alts) if alts.nonEmpty =>
+            Or(t +: alts.map(a => Term(f, Op.EQ, a)))
+          case _ => t
+        }
+      case t @ Term(f, Op.NE, v) if config.synonymFields.contains(f) =>
+        config.synonyms.get(normalizeLit(f, v)) match {
+          case Some(alts) if alts.nonEmpty =>
+            And(t +: alts.map(a => Term(f, Op.NE, a)))
+          case _ => t
+        }
+      case And(cs) => And(cs.map(rewriteSynonyms))
+      case Or(cs)  => Or(cs.map(rewriteSynonyms))
+      case Not(c)  => Not(rewriteSynonyms(c))
+      case other   => other
+    }
 
   // ---- phase A: analyze the AST into a symbolic plan tree ----------------
   //

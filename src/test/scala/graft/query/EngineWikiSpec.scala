@@ -719,6 +719,41 @@ class EngineWikiSpec extends SparkSuite {
     assert(loaded2.run("f:near(COMMENTS, 2, 'red', 'fox')").collect().isEmpty)
   }
 
+  test("synonym expansion: EQ widens to the equivalence set, NE/not stay consistent, fast count still engages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the car is fast", "en", "s", 15L),
+      (2L, "an auto appeared", "en", "s", 16L),
+      (3L, "one automobile here", "en", "s", 19L),
+      (4L, "a bicycle instead", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1).cacheAll()
+    val eng = new WikiSearchEngine(spark, ix,
+      graft.query.EngineConfig(synonyms = Map("car" -> Seq("auto", "automobile"))))
+    def ids(q: String) =
+      eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // EQ widens over the set; non-synonym terms and other directions
+    // are untouched ('auto' itself has no entry)
+    assert(ids("TEXT == 'car'") == Set("1", "2", "3"))
+    assert(ids("TEXT == 'auto'") == Set("2"))
+    assert(ids("TEXT == 'bicycle'") == Set("4"))
+    // != and not(==) agree: both exclude the WHOLE equivalence set
+    assert(ids("TEXT == 'fast' or TEXT == 'bicycle' or TEXT == 'appeared'") == Set("1", "2", "4"))
+    assert(ids("(TEXT == 'fast' or TEXT == 'bicycle' or TEXT == 'appeared') and TEXT != 'car'") == Set("4"))
+    assert(ids("(TEXT == 'fast' or TEXT == 'bicycle' or TEXT == 'appeared') and not(TEXT == 'car')") == Set("4"))
+    // the expansion is an all-EQ OR — the zero-job count fast path still
+    // engages and agrees with the residual-verified run
+    val fast = eng.fastCount("TEXT == 'car'")
+    assert(fast.contains(3L), s"fast count over expanded OR: $fast")
+    // the plan surface shows the expansion (access-path transparency)
+    val report = eng.explainAccess("TEXT == 'car'")
+    assert(report.contains("OR"), report)
+    // an engine WITHOUT the table behaves as before
+    val plain = new WikiSearchEngine(spark, ix)
+    assert(plain.run("TEXT == 'car'").select("docId")
+      .collect().map(_.getString(0)).toSet == Set("1"))
+  }
+
   test("indexStats: counts agree with the fixture corpus") {
     val r = engine.indexStats(Seq("enwiki")).collect()
     assert(r.length == 1)
