@@ -67,4 +67,27 @@ class EngineConcurrencySpec extends SparkSuite {
     val expected = runAll(eng)
     assert(concurrent(eng, rounds = 3) == expected)
   }
+
+  test("concurrent ranked serving agrees with sequential (statsCache under mixed auths)") {
+    // bm25's driver-folded (N, avgdl) literals memoize per auths set —
+    // concurrent first-touch from 8 threads across THREE auth keys races
+    // the cache population; every copy must agree with sequential truth
+    val eng = new WikiSearchEngine(spark, ix)
+    val calls: Seq[() => Seq[Any]] = Seq(
+      () => eng.rankTopK(Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq,
+      () => eng.rankTopK(Seq("gamma"), 5, auths = Seq("en")).collect().map(_.toSeq).toSeq,
+      () => eng.rankTopK(Seq("delta"), 5, auths = Seq("en", "de")).collect().map(_.toSeq).toSeq,
+      () => eng.moreLikeThis("3", 5).collect().map(_.toSeq).toSeq)
+    val expected = calls.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 4).flatMap(_ => calls.zipWithIndex.map {
+        case (c, i) => Future(i -> c())
+      })
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      for ((i, got) <- results)
+        assert(got == expected(i), s"ranked call $i diverged under concurrency")
+    } finally pool.shutdown()
+  }
 }
