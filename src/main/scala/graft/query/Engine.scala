@@ -282,9 +282,14 @@ class WikiSearchEngine(
     */
   private def exactCountable(e: QExpr): Boolean = e match {
     case t: Term => (t.op == Op.EQ || t.op == Op.NE) && indexedFields.contains(t.field)
-    case Or(cs) => cs.forall {
-      case t: Term if Op.isNegative(t.op) => false // NE under OR can't anti-join
-      case c                              => exactCountable(c)
+    case Or(cs) => cs.forall { c =>
+      // an ALL-negative branch (a bare NE, or an And of only NEs — e.g.
+      // a synonym-expanded exclusion) can't anti-join under OR: analyze
+      // returns None for it and the enclosing conjunction would drop
+      // the branch into a candidate superset — sound for run(), an
+      // overcount here. A MIXED And (positive + NE) stays countable:
+      // analyze anti-joins its negatives inside the branch.
+      !QExpr.allNegated(c) && exactCountable(c)
     }
     case And(cs) => cs.forall(exactCountable)
     case _       => false // Not/FnTerm/FnCmp/BareTerm/range/regex shapes
@@ -1041,8 +1046,22 @@ class WikiSearchEngine(
             And(t +: alts.map(a => Term(f, Op.NE, a)))
           case _ => t
         }
-      case And(cs) => And(cs.map(rewriteSynonyms))
-      case Or(cs)  => Or(cs.map(rewriteSynonyms))
+      case And(cs) =>
+        // re-flatten: the parser normalizes nested AND/OR away, and the
+        // planner depends on that shape — an NE expansion must splice
+        // its exclusion conjuncts DIRECTLY into the enclosing And, or
+        // analyze() would neither anti-join them (negatives come from
+        // direct Term children) nor index-answer the all-negative
+        // wrapper (silently dropping the exclusion from the plan)
+        And(cs.map(rewriteSynonyms).flatMap {
+          case And(gs) => gs
+          case o       => Seq(o)
+        })
+      case Or(cs) =>
+        Or(cs.map(rewriteSynonyms).flatMap {
+          case Or(gs) => gs
+          case o      => Seq(o)
+        })
       case Not(c)  => Not(rewriteSynonyms(c))
       case other   => other
     }

@@ -66,6 +66,23 @@ class CountServingSpec extends SparkSuite {
     }
   }
 
+  test("fast path declines an all-negative AND branch under OR (pre-existing overcount shape)") {
+    // `a or (x != p and y != q)`: the inner And has no positive conjunct,
+    // so analyze() cannot index-answer it and the enclosing plan would
+    // drop the branch into a candidate superset — sound for run(),
+    // an overcount for an index-only count. exactCountable must reject
+    // ALL-negative branches under OR, not just direct NE terms.
+    val q = "TEXT == 'rare' or (TEXT != 'tiny' and TEXT != 'rare')"
+    assert(eng.fastCount(q).isEmpty, "all-negative OR branch must decline")
+    assert(cnt(eng.countDocs(q)) == eng.run(q).count(), "fallback stays exact")
+    // a MIXED branch (positive + NE) anti-joins inside the branch and
+    // stays fast-countable
+    val mixed = "TEXT == 'rare' or (TEXT == 'tiny' and TEXT != 'rare')"
+    val fast = eng.fastCount(mixed)
+    assert(fast.isDefined, "mixed positive+NE branch stays countable")
+    assert(fast.get == eng.run(mixed).count())
+  }
+
   test("fast path respects auths (language visibility)") {
     for (auths <- Seq(Seq("en"), Seq("de"), Seq("en", "de"))) {
       val fast = eng.fastCount("TEXT == 'rare'", auths)

@@ -71,18 +71,21 @@ class EngineConcurrencySpec extends SparkSuite {
   test("concurrent ranked serving agrees with sequential (statsCache under mixed auths)") {
     // bm25's driver-folded (N, avgdl) literals memoize per auths set —
     // concurrent first-touch from 8 threads across THREE auth keys races
-    // the cache population; every copy must agree with sequential truth
+    // the cache population; every copy must agree with sequential truth.
+    // `expected` comes from a SEPARATE engine so the shared engine's
+    // caches (stats/term/trigram) are COLD when the 8 threads start —
+    // warming them sequentially would reduce the race to cache hits.
     val eng = new WikiSearchEngine(spark, ix)
-    val calls: Seq[() => Seq[Any]] = Seq(
-      () => eng.rankTopK(Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq,
-      () => eng.rankTopK(Seq("gamma"), 5, auths = Seq("en")).collect().map(_.toSeq).toSeq,
-      () => eng.rankTopK(Seq("delta"), 5, auths = Seq("en", "de")).collect().map(_.toSeq).toSeq,
-      () => eng.moreLikeThis("3", 5).collect().map(_.toSeq).toSeq)
-    val expected = calls.map(_())
+    def calls(e: WikiSearchEngine): Seq[() => Seq[Any]] = Seq(
+      () => e.rankTopK(Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq,
+      () => e.rankTopK(Seq("gamma"), 5, auths = Seq("en")).collect().map(_.toSeq).toSeq,
+      () => e.rankTopK(Seq("delta"), 5, auths = Seq("en", "de")).collect().map(_.toSeq).toSeq,
+      () => e.moreLikeThis("3", 5).collect().map(_.toSeq).toSeq)
+    val expected = calls(new WikiSearchEngine(spark, ix)).map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = (0 until 4).flatMap(_ => calls.zipWithIndex.map {
+      val futures = (0 until 4).flatMap(_ => calls(eng).zipWithIndex.map {
         case (c, i) => Future(i -> c())
       })
       val results = Await.result(Future.sequence(futures), Duration.Inf)

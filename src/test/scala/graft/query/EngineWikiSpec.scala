@@ -745,6 +745,18 @@ class EngineWikiSpec extends SparkSuite {
     // engages and agrees with the residual-verified run
     val fast = eng.fastCount("TEXT == 'car'")
     assert(fast.contains(3L), s"fast count over expanded OR: $fast")
+    // an expanded NE splices its exclusions into the enclosing AND
+    // (direct anti-join children, not a nested all-negative wrapper) —
+    // the fast count stays EXACT: doc 1 ('the car is fast') is excluded
+    val fastNe = eng.fastCount("TEXT == 'fast' and TEXT != 'car'")
+    assert(fastNe.contains(0L), s"fast count with expanded NE: $fastNe")
+    assert(eng.run("TEXT == 'fast' and TEXT != 'car'").count() == 0L)
+    // an expanded NE under OR becomes an all-negative And branch the
+    // plan cannot anti-join — the fast path must DECLINE (a dropped
+    // branch would overcount), and the fallback count stays exact
+    val q = "(TEXT == 'bicycle' or TEXT != 'car') and TEXT == 'fast'"
+    assert(eng.fastCount(q).isEmpty, "all-negative OR branch must decline the fast path")
+    assert(eng.countDocs(q).collect().head.getLong(0) == eng.run(q).count())
     // the plan surface shows the expansion (access-path transparency)
     val report = eng.explainAccess("TEXT == 'car'")
     assert(report.contains("OR"), report)
