@@ -338,8 +338,13 @@ class EngineEquivalenceSpec extends SparkSuite {
         case _ => eqLeaf()
       }
     var engaged = 0
-    (1 to 40).foreach { i =>
-      val q = eqExpr(1 + rnd.nextInt(2))
+    // depth up to 3 and 80 trials: deep nesting is what produces the
+    // shapes the exactCountable guard exists for — all-negative And
+    // branches under OR buried inside a conjunction (the round-9
+    // overcount fix's habitat); the always-on exactness assert below is
+    // the property that catches a wrongly-claimed shape
+    (1 to 80).foreach { i =>
+      val q = eqExpr(1 + rnd.nextInt(3))
       try {
         val want = scanIds(q, Nil).size.toLong
         // NE under OR falls back by design; anything else must engage
@@ -356,6 +361,6 @@ class EngineEquivalenceSpec extends SparkSuite {
         case _: IllegalArgumentException => () // all-negation rejected by design
       }
     }
-    assert(engaged >= 20, s"fast path engaged only $engaged/40 times")
+    assert(engaged >= 40, s"fast path engaged only $engaged/80 times")
   }
 }
