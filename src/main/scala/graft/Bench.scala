@@ -45,6 +45,7 @@ object Bench {
     "ws_count_q"           -> "ws_ct",
     "ws_page_q"            -> "ws_pg",
     "ws_infix_q"           -> "ws_ix",
+    "ws_syn_q"             -> "ws_sy",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",

@@ -83,6 +83,25 @@ object SearchQueries {
   def callerEngine(s: SparkSession, dir: String): WikiSearchEngine =
     callerCache.getOrElseUpdate(dir, engineOn(s, dir))
 
+  /** An engine with a QUERY-TIME SYNONYM table over the standard saved
+    * index (`EngineConfig.synonyms` — the `ws_syn_q` surface): 'spark'
+    * widens to {spark, vector} and a '!= hash' exclusion widens to
+    * {hash, merge}, so one entry exercises BOTH expansion directions
+    * (EQ→OR splice, NE→AND splice) through the whole planner + residual
+    * stack against a declarative oracle. Memoized per dir like the
+    * other engine variants; bound to the cached index's serving session.
+    */
+  private val synCache = TrieMap.empty[String, WikiSearchEngine]
+  def synonymEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    synCache.getOrElseUpdate(dir, {
+      engine(s, dir) // ensure the index is built and cached
+      val ix = cache(dir)._1
+      new WikiSearchEngine(ix.metadata.sparkSession, ix,
+        graft.query.EngineConfig(synonyms = Map(
+          "spark" -> Seq("vector"),
+          "hash"  -> Seq("merge"))))
+    })
+
   /** An engine served from a LIVE store: the documents table streamed
     * through `LiveEngineMaintainer` in three micro-batches, queried via
     * the maintainer's merge-on-read view (deltas deliberately left
@@ -184,6 +203,21 @@ object SearchQueries {
     q("ws_q9_mixed",
       "(SOURCE == 'src1' or SOURCE == 'src2') and TEXT == 'query'",
       s"(source = 'src1' OR source = 'src2') AND list_contains($toks, 'query')"),
+
+    // beyond-reference: query-time synonym expansion — EQ widens to the
+    // equivalence set (OR splice), NE widens to the AND of exclusions;
+    // the oracle states the expanded semantics declaratively
+    NamedQuery(
+      "ws_syn_q",
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE (list_contains($toks, 'spark') OR list_contains($toks, 'vector'))
+         |  AND list_contains($toks, 'join')
+         |  AND NOT list_contains($toks, 'hash')
+         |  AND NOT list_contains($toks, 'merge')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(synonymEngine(s, dir).run(
+        "TEXT == 'spark' and TEXT == 'join' and TEXT != 'hash'"))
+    },
 
     // unfielded bare term → index-driven field discovery
     q("ws_q10_unfielded",
