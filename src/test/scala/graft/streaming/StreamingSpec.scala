@@ -455,6 +455,42 @@ class StreamingSpec extends SparkSuite {
     assert(dl(cIx) == dlLive)
   }
 
+  test("a partially-written version (crash window) is invisible to readers and cleanly overwritten on replay") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-partial-commit").toString
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    m.processBatch(Seq((1L, "alpha beta", "en", "s1", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    // simulate a crash mid-write of v1: some core parts present, the
+    // commit-completing tombstones part missing
+    Seq((99L, "ghost doc", "en", "s1", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("ghost")
+    val ghost = graft.ingest.IndexBuilder.fromDocumentsTable(
+      spark, spark.table("ghost"), 2)
+    ghost.documents.write
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/v1/documents")
+    ghost.globalIndex.write
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/v1/global")
+    // the uncommitted version must be invisible — to the version pointer,
+    // the read set, and query results
+    val m2 = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(m2.latestVersion == 0L, "partial v1 must not count as committed")
+    val live = new WikiSearchEngine(spark, m2.latestIndex.get)
+    assert(live.run("TEXT == 'ghost'").collect().isEmpty)
+    // replay of batch 1 overwrites the partial dir and commits cleanly
+    m2.processBatch(Seq((2L, "alpha gamma", "en", "s1", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 1L)
+    assert(m2.latestVersion == 1L)
+    val after = new WikiSearchEngine(spark, m2.latestIndex.get)
+    assert(after.run("TEXT == 'alpha'")
+      .select("docId").collect().map(_.getString(0)).toSet == Set("1", "2"))
+    assert(after.run("TEXT == 'ghost'").collect().isEmpty,
+      "the crash window's ghost rows must not survive the replay overwrite")
+  }
+
   test("indexAt: LSM time travel serves consistent historical snapshots while ingest and deletes continue") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-time-travel").toString
