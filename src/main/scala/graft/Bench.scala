@@ -108,6 +108,7 @@ object Bench {
     "cu_shuffle"           -> "c_sh",
     "cu_temp"              -> "c_tp",
     "cu_budget"            -> "c_bu",
+    "cu_manifest"          -> "c_mf",
     "mm_binary_meta"       -> "m_bm",
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")

@@ -55,6 +55,57 @@ object Curation {
           .otherwise(lit("test")))
   }
 
+  val ManifestSalt = 0x3a1fe57L
+
+  /** Deterministic per-split DATASET MANIFEST — the reproducibility
+    * surface a training pipeline records with every run and checks
+    * before the next ("is this split exactly the corpus I trained
+    * on?"): per split, (n_docs, n_tokens, sum_chars, sig) where `sig`
+    * is an ORDER-INDEPENDENT membership-and-size fingerprint
+    *
+    *   sig = Σ_docs  mix64(doc_id ⊕ ManifestSalt) · (1 + n_chars)   (mod 2⁶⁴)
+    *
+    * A commutative/associative integer sum is partition-order
+    * invariant and partial-aggregable, so the whole manifest is ONE
+    * map-side-combined groupBy on the split label — no sort, no
+    * content shuffle, at any corpus size. Any membership change,
+    * count change, or per-doc length drift moves the signature; it is
+    * NOT a content hash (two same-length texts under the same id
+    * collide by design — pair with `Dedup.exactGroups`' text grouping
+    * when byte-level attestation is needed).
+    *
+    * ANSI-safe modular arithmetic: per-doc terms split into 32-bit
+    * halves whose BIGINT sums cannot overflow; the halves recombine
+    * mod 2⁶⁴ in one post-aggregation UDF (Java wrap-around), and the
+    * oracle re-derives the identical value in HUGEINT.
+    */
+  def manifest(docs: DataFrame,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    val termUdf = udf { (id: Long, nChars: Long) =>
+      val t = graft.pipeline.Dedup.mix64(id ^ ManifestSalt) * (1L + nChars)
+      (t >>> 32, t & 0xFFFFFFFFL)
+    }
+    val combineUdf = udf { (hiSum: Long, loSum: Long) => (hiSum << 32) + loSum }
+    val b = bucketUdf(SplitSalt)(col("doc_id"))
+    docs
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPermille, lit("train"))
+          .when(col("bucket") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), col("n_chars"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("n_tok"),
+        termUdf(col("doc_id"), col("n_chars")).as("t"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        combineUdf(sum(col("t._1")), sum(col("t._2"))).as("sig"))
+      .orderBy("split")
+  }
+
   /** Deterministic corpus shuffle — the training-order permutation:
     * `pos` ∈ [0, N) orders documents by (salted splitmix64(doc_id),
     * doc_id), a reproducible pseudorandom shuffle derived from the

@@ -1322,6 +1322,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic per-split dataset manifest — the reproducibility
+    // attestation a training run records (counts + an order-independent
+    // membership/size signature): sig = Σ mix64(doc_id ⊕ salt)·(1+n_chars)
+    // mod 2⁶⁴. The oracle re-derives the full hash chain, the modular
+    // product/sum in HUGEINT, and the signed-BIGINT mapping — so the
+    // engine's ANSI-safe hi/lo-half summation is proven equal to the
+    // straight modular arithmetic.
+    NamedQuery(
+      "cu_manifest",
+      s"""WITH ${hashCtes(Curation.ManifestSalt, ", n_chars, text")},
+         | ${bucketCtes(Curation.SplitSalt)},
+         | d AS (SELECT hf.doc_id,
+         |         CASE WHEN bk.bucket < 800 THEN 'train'
+         |              WHEN bk.bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         |         hf.n_chars,
+         |         CAST(len($toks) AS BIGINT) AS n_tok,
+         |         (CAST(hf.h AS HUGEINT) * (1 + hf.n_chars))
+         |           % 18446744073709551616 AS t
+         |       FROM hf JOIN bk ON hf.doc_id = bk.doc_id),
+         | a AS (SELECT split, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         |         sum(n_chars) AS sum_chars,
+         |         sum(t) % 18446744073709551616 AS m
+         |       FROM d GROUP BY split)
+         |SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sum_chars AS BIGINT) AS sum_chars,
+         |  CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+         |            ELSE m END AS BIGINT) AS sig
+         |FROM a ORDER BY split""".stripMargin) { (s, dir) =>
+      Curation.manifest(Tables.load(s, dir, "documents"))
+    },
+
     // Temperature-balanced sampling (α = 1/2): per-source quotas from
     // isqrt(token) weights, applied as an independent permille gate.
     // The oracle re-derives the quota arithmetic (integer after the

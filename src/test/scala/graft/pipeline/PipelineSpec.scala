@@ -948,4 +948,29 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("manifest: signature is partition-order invariant, and moves on membership/size drift") {
+    def corpus(rows: Seq[(Long, String)]) =
+      rows.map { case (id, text) => (id, text, "en", "s1", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = (1L to 120L).map(i => (i, s"doc $i ${"w " * (i % 7).toInt}".trim))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Curation.manifest(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val m1 = sigs(corpus(base).repartition(1))
+    // the modular sum is commutative/associative — any partitioning and
+    // any row order yield the identical manifest
+    assert(sigs(corpus(scala.util.Random.shuffle(base)).repartition(13)) == m1)
+    assert(m1.map(_._1) == Seq("test", "train", "val")) // one row per split
+    // dropping a doc moves its split's signature AND counts
+    val dropped = sigs(corpus(base.filterNot(_._1 == 7L)))
+    assert(dropped != m1)
+    // same membership, one doc's length changed → counts of docs equal,
+    // signature differs (size drift is visible)
+    val grown = sigs(corpus(base.map { case (id, t) =>
+      if (id == 7L) (id, t + " extra") else (id, t) }))
+    assert(grown.map(x => (x._1, x._2)) == m1.map(x => (x._1, x._2)))
+    assert(grown != m1)
+  }
 }
