@@ -74,3 +74,19 @@ class TermWeightAggregator extends Aggregator[TermWeight, TermWeight, TermWeight
   def bufferEncoder: Encoder[TermWeight] = Encoders.product[TermWeight]
   def outputEncoder: Encoder[TermWeight] = Encoders.product[TermWeight]
 }
+
+/** Wrap-around (mod 2⁶⁴) Long sum. JVM `+` wraps by definition — ANSI
+  * mode governs Catalyst expression evaluation, not Scala code inside
+  * an Aggregator — so this is the overflow-proof way to fold a modular
+  * signature (Curation.manifest) at any group size: associative,
+  * commutative, partial-aggregable, and bit-identical to the oracle's
+  * HUGEINT `sum % 2⁶⁴`.
+  */
+class WrapSumAggregator extends Aggregator[Long, Long, Long] {
+  def zero: Long = 0L
+  def reduce(b: Long, in: Long): Long = b + in
+  def merge(b1: Long, b2: Long): Long = b1 + b2
+  def finish(b: Long): Long = b
+  def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

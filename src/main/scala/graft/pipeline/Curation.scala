@@ -38,6 +38,15 @@ object Curation {
   val TempSalt = 0x7e3a9e55L
   val TokenBudgetSalt = 0xbead1e5L
 
+  /** The train/val/test label for a bucket column — ONE definition of
+    * the boundary rule, shared by `assignSplit` and `manifest` (and
+    * mirrored by their oracles' CASE chains).
+    */
+  private def splitCol(bucket: Column, trainPermille: Int, valPermille: Int): Column =
+    when(bucket < trainPermille, lit("train"))
+      .when(bucket < trainPermille + valPermille, lit("val"))
+      .otherwise(lit("test"))
+
   /** Deterministic train/val/test assignment: bucket = splitmix64
     * (doc_id) mod 1000; [0, trainPermille) → train, then val, rest →
     * test. Zero shuffles — a narrow projection the optimizer pipelines
@@ -49,10 +58,7 @@ object Curation {
       docs: DataFrame, trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     val b = bucketUdf(SplitSalt)(col("doc_id"))
     docs.select(col("doc_id"), b.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainPermille, lit("train"))
-          .when(col("bucket") < trainPermille + valPermille, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitCol(col("bucket"), trainPermille, valPermille))
   }
 
   val ManifestSalt = 0x3a1fe57L
@@ -74,35 +80,31 @@ object Curation {
     * collide by design — pair with `Dedup.exactGroups`' text grouping
     * when byte-level attestation is needed).
     *
-    * ANSI-safe modular arithmetic: per-doc terms split into 32-bit
-    * halves whose BIGINT sums cannot overflow; the halves recombine
-    * mod 2⁶⁴ in one post-aggregation UDF (Java wrap-around), and the
-    * oracle re-derives the identical value in HUGEINT.
+    * ANSI-safe modular arithmetic AT ANY SCALE: the mod-2⁶⁴ sum runs
+    * inside a typed Aggregator whose JVM `+` wraps by definition —
+    * ANSI mode governs SQL expression evaluation, not Scala code in an
+    * Aggregator — so no intermediate ever overflows a checked SQL sum
+    * no matter how many docs a split holds; the oracle re-derives the
+    * identical value in HUGEINT modular arithmetic.
     */
   def manifest(docs: DataFrame,
       trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     val termUdf = udf { (id: Long, nChars: Long) =>
-      val t = graft.pipeline.Dedup.mix64(id ^ ManifestSalt) * (1L + nChars)
-      (t >>> 32, t & 0xFFFFFFFFL)
+      graft.pipeline.Dedup.mix64(id ^ ManifestSalt) * (1L + nChars)
     }
-    val combineUdf = udf { (hiSum: Long, loSum: Long) => (hiSum << 32) + loSum }
-    val b = bucketUdf(SplitSalt)(col("doc_id"))
+    val wrapSum = udaf(new graft.functions.WrapSumAggregator())
     docs
-      .withColumn("bucket", b)
-      .withColumn("split",
-        when(col("bucket") < trainPermille, lit("train"))
-          .when(col("bucket") < trainPermille + valPermille, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("bucket", bucketUdf(SplitSalt)(col("doc_id")))
+      .withColumn("split", splitCol(col("bucket"), trainPermille, valPermille))
       .select(col("split"), col("n_chars"),
-        size(filter(split(col("text"), " "), x => length(x) > 0))
-          .cast("long").as("n_tok"),
+        size(Dedup.toks(col("text"))).cast("long").as("n_tok"),
         termUdf(col("doc_id"), col("n_chars")).as("t"))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chars")).as("sum_chars"),
-        combineUdf(sum(col("t._1")), sum(col("t._2"))).as("sig"))
+        wrapSum(col("t")).as("sig"))
       .orderBy("split")
   }
 

@@ -961,7 +961,7 @@ class PipelineSpec extends SparkSuite {
     val m1 = sigs(corpus(base).repartition(1))
     // the modular sum is commutative/associative — any partitioning and
     // any row order yield the identical manifest
-    assert(sigs(corpus(scala.util.Random.shuffle(base)).repartition(13)) == m1)
+    assert(sigs(corpus(new scala.util.Random(7).shuffle(base)).repartition(13)) == m1)
     assert(m1.map(_._1) == Seq("test", "train", "val")) // one row per split
     // dropping a doc moves its split's signature AND counts
     val dropped = sigs(corpus(base.filterNot(_._1 == 7L)))

@@ -349,7 +349,7 @@ class EngineEquivalenceSpec extends SparkSuite {
         val want = scanIds(q, Nil).size.toLong
         // NE under OR falls back by design; anything else must engage
         val fast = eng.fastCount(q)
-        val neUnderOr = q.contains("or") && q.contains("!=")
+        val neUnderOr = q.contains(" or ") && q.contains("!=") // operator token, not a vocab substring
         if (!neUnderOr)
           assert(fast.isDefined, s"expected fast path for EQ/NE query #$i: $q")
         fast.foreach { n =>
