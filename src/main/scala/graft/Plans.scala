@@ -55,7 +55,7 @@ object Plans {
       "cu_budget" -> "per-source token budget: distributed prefix-scan on monotone hash buckets — per-(source,bucket) token totals, below-bucket window over bounded rows, one boundary bucket sorts ~1/buckets of its source; no per-source global sort",
       "sim_ivf_filtered" -> "filtered ANN: the allowed-set semi-join pre-filters the corpus BEFORE scoring, composed with probed-cell pruning — the rerank set shrinks with predicate selectivity, never post-filtered ranked results",
       "ws_infix_q" -> "trigram-accelerated opaque regex: gram IN-list probe of the gram-sorted vocabulary projection + exact plan-time verify plans each infix pattern as a multi-form EQ leaf — the event store is reached only through the candidate IN predicate, never full-scanned",
-      "ws_mlt_q" -> "more-like-this: source terms broadcast into the postings filter, integer rarity-weighted sum per candidate, bounded TakeOrderedAndProject — no driver collect, no window",
+      "ws_mlt_q" -> "more-like-this: source terms broadcast into the postings filter, integer rarity-weighted sum per candidate with N as a driver-cached corpus-stats literal (no documents-table count), bounded TakeOrderedAndProject — no window",
       "ws_hist_q" -> "hit-set histogram: one narrow projection over the residual-verified hits, exact integer-parameter bucketing, <=buckets-row aggregation",
       "q33_rank_family" -> "five rank functions over ONE shared window spec: a single Window operator — one shuffle + one sort serve rank/dense_rank/ntile/percent_rank/cume_dist together",
       "ws_hybrid" -> "hybrid retrieval: two bounded top-50 pages (TakeOrdered BM25 + broadcast-query cosine) full-outer-joined on id; the RRF fold and final rank cover <=100 rows — nothing corpus-scaled",
