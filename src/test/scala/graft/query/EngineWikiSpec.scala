@@ -719,6 +719,26 @@ class EngineWikiSpec extends SparkSuite {
     assert(loaded2.run("f:near(COMMENTS, 2, 'red', 'fox')").collect().isEmpty)
   }
 
+  test("BM25 on a pre-round-9 store (postings without dl) falls back to the doc_lengths join with identical scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark", "en", "s", 16L),
+      (2L, "spark a b c d e f g h", "en", "s", 21L),
+      (3L, "join x", "en", "s", 6L),
+      (4L, "spark join", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)
+    // simulate a store written before dl joined the postings schema
+    val legacy = ix.copy(termPostings = ix.termPostings.drop("dl"))
+    val tie = org.apache.spark.sql.functions.col("docId").cast("bigint")
+    val want = new WikiSearchEngine(spark, ix)
+      .rank(Seq("spark", "join"), tieBreak = tie).collect().map(_.toSeq).toSeq
+    val got = new WikiSearchEngine(spark, legacy)
+      .rank(Seq("spark", "join"), tieBreak = tie).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty,
+      "the doc_lengths-join fallback must score identically to the denormalized path")
+  }
+
   test("synonym expansion: EQ widens to the equivalence set, NE/not stay consistent, fast count still engages") {
     import spark.implicits._
     val docs = Seq(
