@@ -18,7 +18,7 @@ case class WikiIndex(
     documents: DataFrame,    // (partition, language, docId, textB64)
     globalIndex: DataFrame,  // (fieldValue, fieldName, partition, language, count, uids, ignore)
     metadata: DataFrame,     // (fieldName, kind, language, normalizer)
-    termPostings: DataFrame, // (term, language, partition, docId, tf, offsets)
+    termPostings: DataFrame, // (term, language, partition, docId, tf, offsets[, dl — round 9+])
     storedEvents: Option[DataFrame] = None, // loaded event view, if persisted
     storedReverse: Option[DataFrame] = None, // loaded reverse index, if persisted
     storedTrigram: Option[DataFrame] = None, // loaded trigram index, if persisted
