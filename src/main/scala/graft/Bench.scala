@@ -46,6 +46,7 @@ object Bench {
     "ws_page_q"            -> "ws_pg",
     "ws_infix_q"           -> "ws_ix",
     "ws_syn_q"             -> "ws_sy",
+    "ws_fld_q"             -> "ws_fd",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",

@@ -334,20 +334,38 @@ object IndexBuilder {
     * (doc_id, text, lang, source, n_chars) — same engine surface over the
     * harness corpus. Whitespace tokenizer for oracle parity.
     */
-  def fromDocumentsTable(spark: SparkSession, docs: DataFrame, numPartitions: Int): WikiIndex = {
+  /** `extraFields` declares ADDITIONAL event fields as named Column
+    * expressions over the documents schema (e.g. a derived headline or
+    * section column) — they join the pivoted event view and the
+    * residual's reach, but NOT the shared `documentIndexRows`
+    * extraction (the global index and the live-ingest deltas stay
+    * byte-identical with or without extras). `offsetsFields` (names
+    * from `extraFields` or the stock event fields) additionally store
+    * positional postings tokenized with the SAME whitespace tokenizer
+    * as TEXT, making them `f:near`/`f:onear`/`f:phrase`-capable —
+    * the documents-table twin of `fromArticles`' declaration.
+    */
+  def fromDocumentsTable(spark: SparkSession, docs: DataFrame, numPartitions: Int,
+      extraFields: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      offsetsFields: Set[String] = Set.empty): WikiIndex = {
     import spark.implicits._
+    val offsetsUp = offsetsFields.map(_.toUpperCase)
     val base = docs
       .withColumn("partition", pmod(col("doc_id"), lit(numPartitions)).cast("int"))
       .withColumn("docId", col("doc_id").cast("string"))
       .withColumnRenamed("lang", "language")
 
-    val fieldCols = map(
-      lit("ID"), col("doc_id").cast("string"),
-      lit("SOURCE"), col("source"),
-      lit("NCHARS"), col("n_chars").cast("string"))
+    val fieldCols = map(Seq(
+      Seq(lit("ID"), col("doc_id").cast("string")),
+      Seq(lit("SOURCE"), col("source")),
+      Seq(lit("NCHARS"), col("n_chars").cast("string"))).flatten ++
+      extraFields.toSeq.sortBy(_._1).flatMap { case (n, c) =>
+        Seq(lit(n.toUpperCase), c.cast("string"))
+      }: _*)
     val docsFields = base
       .select(col("partition"), col("language"), col("docId"),
         explode(fieldCols).as(Seq("fieldName", "fieldValue")))
+      .where(col("fieldValue").isNotNull)
 
     val documents = base.select(
       col("partition"), col("language"), col("docId"),
@@ -366,7 +384,9 @@ object IndexBuilder {
       val fields = Seq(
         ("ID", "e", null: String), ("SOURCE", "e", null: String), ("NCHARS", "e", null: String),
         ("ID", "i", NoOpNormalizer), ("SOURCE", "i", NoOpNormalizer),
-        ("NCHARS", "i", NoOpNormalizer), ("TEXT", "i", NoOpNormalizer))
+        ("NCHARS", "i", NoOpNormalizer), ("TEXT", "i", NoOpNormalizer)) ++
+        extraFields.keys.toSeq.sorted.map(n => (n.toUpperCase, "e", null: String)) ++
+        offsetsUp.toSeq.sorted.map(f => (f, "p", null: String))
       val static = langs.toSeq.flatMap(l => fields.map { case (f, k, n) => (f, k, l, n) })
         .toDF("fieldName", "kind", "language", "normalizer")
         .withColumn("frequency", lit(null).cast("bigint"))
@@ -379,7 +399,15 @@ object IndexBuilder {
       base.select(col("partition"), col("language"), col("docId"),
         TextFunctions.tokenizeWs(col("text")).as("tokens")))
 
-    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings)
+    val fieldPostings =
+      if (offsetsUp.isEmpty) None
+      else Some(buildFieldPostings(
+        docsFields.filter(col("fieldName").isin(offsetsUp.toSeq: _*))
+          .select(col("fieldName"), col("partition"), col("language"), col("docId"),
+            TextFunctions.tokenizeWs(col("fieldValue")).as("tokens"))))
+
+    WikiIndex(docsFields, documents, globalIndex, metadata, termPostings,
+      fieldPostings = fieldPostings)
   }
 
   /** The (fieldValue, fieldName, partition, language, docId) index input

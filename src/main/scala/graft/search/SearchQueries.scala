@@ -102,6 +102,23 @@ object SearchQueries {
           "hash"  -> Seq("merge"))))
     })
 
+  /** An engine whose index declares a SECOND positional field — HEAD =
+    * the document's first five whitespace tokens (derived; the harness
+    * documents table has one text column) — via `fromDocumentsTable`'s
+    * `extraFields`/`offsetsFields`: the `ws_fld_q` surface exercising
+    * field-generic proximity (metadata kind-p discovery, per-field
+    * postings joins) end-to-end against a declarative oracle.
+    */
+  private val fldCache = TrieMap.empty[String, WikiSearchEngine]
+  def fieldOffsetsEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    fldCache.getOrElseUpdate(dir, {
+      val head = concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokenizeWs(col("text")), 1, 5))
+      new WikiSearchEngine(s, IndexBuilder.fromDocumentsTable(
+        s, Tables.load(s, dir, "documents"), NumPartitions,
+        extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD")))
+    })
+
   /** An engine served from a LIVE store: the documents table streamed
     * through `LiveEngineMaintainer` in three micro-batches, queried via
     * the maintainer's merge-on-read view (deltas deliberately left
@@ -203,6 +220,29 @@ object SearchQueries {
     q("ws_q9_mixed",
       "(SOURCE == 'src1' or SOURCE == 'src2') and TEXT == 'query'",
       s"(source = 'src1' OR source = 'src2') AND list_contains($toks, 'query')"),
+
+    // field-generic positional offsets composed in the query language:
+    // ordered proximity on a DECLARED second field (HEAD = first five
+    // tokens) intersected with a TEXT EQ — the oracle re-derives the
+    // head slice and the ordered-window predicate from raw text
+    NamedQuery(
+      "ws_fld_q",
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, lang, tk, list_slice(tk, 1, 5) AS hd FROM t),
+         |p AS (SELECT doc_id, lang, tk,
+         |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'spark' THEN i END),
+         |    v -> v IS NOT NULL) AS pa,
+         |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'join' THEN i END),
+         |    v -> v IS NOT NULL) AS pb
+         | FROM h)
+         |SELECT doc_id, lang AS language FROM p
+         |WHERE list_contains(tk, 'filter')
+         |  AND len(list_filter(pa, s ->
+         |        len(list_filter(pb, q -> q > s AND q <= s + 2)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(fieldOffsetsEngine(s, dir).run(
+        "TEXT == 'filter' and f:onear(HEAD, 2, 'spark', 'join')"))
+    },
 
     // beyond-reference: query-time synonym expansion — EQ widens to the
     // equivalence set (OR splice), NE widens to the AND of exclusions;
