@@ -124,7 +124,7 @@ case class WikiIndex(
 
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
-    termPostings.cache(); events.cache()
+    termPostings.cache(); events.cache(); fieldPostings.foreach(_.cache())
     this
   }
 

@@ -114,9 +114,11 @@ object SearchQueries {
     fldCache.getOrElseUpdate(dir, {
       val head = concat_ws(" ",
         slice(graft.functions.TextFunctions.tokenizeWs(col("text")), 1, 5))
+      // in-memory index (one extra per-dir build) — cacheAll so the
+      // derived tables materialize once, not per bench pass
       new WikiSearchEngine(s, IndexBuilder.fromDocumentsTable(
         s, Tables.load(s, dir, "documents"), NumPartitions,
-        extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD")))
+        extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD")).cacheAll())
     })
 
   /** An engine served from a LIVE store: the documents table streamed
