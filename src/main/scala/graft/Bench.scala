@@ -238,7 +238,7 @@ object Bench {
     // that budget or its head gets truncated and the whole report is
     // unparseable (this happened when values carried full double
     // precision, and again at 10 ms fixed resolution once the registry
-    // hit 76 entries; 130 queries + index_build as of round 9). Totals
+    // hit 76 entries; 131 queries + index_build as of round 9). Totals
     // keep 3 decimals. Printing after
     // spark.stop() guarantees no shutdown logging lands between the
     // JSON and end-of-output.

@@ -2,7 +2,7 @@ package graft.ingest
 
 import graft.functions.{TextFunctions, UidListAggregator, UidListMergeAggregator}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The engine's four logical tables (SURVEY.md §1.4), the Spark-native
@@ -253,6 +253,7 @@ object IndexBuilder {
       offsetsFields: Set[String] = Set.empty): WikiIndex = {
     // field names are stored uppercase; accept any casing in the declaration
     val offsetsUp = offsetsFields.map(_.toUpperCase)
+    validateFieldDecls(Set("ID", "TITLE", "TIMESTAMP", "COMMENTS"), Set.empty, offsetsUp)
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val base = articles.toDF
@@ -320,11 +321,7 @@ object IndexBuilder {
         TextFunctions.tokenize(col("text")).as("tokens")))
 
     val fieldPostings =
-      if (offsetsUp.isEmpty) None
-      else Some(buildFieldPostings(
-        docsFields.filter(col("fieldName").isin(offsetsUp.toSeq: _*))
-          .select(col("fieldName"), col("partition"), col("language"), col("docId"),
-            TextFunctions.tokenize(col("fieldValue")).as("tokens"))))
+      fieldPostingsFor(docsFields, offsetsUp, TextFunctions.tokenize(_))
 
     WikiIndex(docsFields, documents, globalIndex, metadata, termPostings,
       fieldPostings = fieldPostings)
@@ -350,6 +347,8 @@ object IndexBuilder {
       offsetsFields: Set[String] = Set.empty): WikiIndex = {
     import spark.implicits._
     val offsetsUp = offsetsFields.map(_.toUpperCase)
+    val extrasUp = extraFields.keys.map(_.toUpperCase).toSet
+    validateFieldDecls(Set("ID", "SOURCE", "NCHARS"), extrasUp, offsetsUp)
     val base = docs
       .withColumn("partition", pmod(col("doc_id"), lit(numPartitions)).cast("int"))
       .withColumn("docId", col("doc_id").cast("string"))
@@ -400,11 +399,7 @@ object IndexBuilder {
         TextFunctions.tokenizeWs(col("text")).as("tokens")))
 
     val fieldPostings =
-      if (offsetsUp.isEmpty) None
-      else Some(buildFieldPostings(
-        docsFields.filter(col("fieldName").isin(offsetsUp.toSeq: _*))
-          .select(col("fieldName"), col("partition"), col("language"), col("docId"),
-            TextFunctions.tokenizeWs(col("fieldValue")).as("tokens"))))
+      fieldPostingsFor(docsFields, offsetsUp, TextFunctions.tokenizeWs(_))
 
     WikiIndex(docsFields, documents, globalIndex, metadata, termPostings,
       fieldPostings = fieldPostings)
@@ -487,6 +482,36 @@ object IndexBuilder {
       .select(
         col("fieldValue"), col("fieldName"), col("partition"), col("language"),
         col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
+  }
+
+  /** The shared fieldPostings construction for both builders: postings
+    * over the declared fields' values, tokenized with the builder's own
+    * tokenizer (the one that builds TEXT — positional literals
+    * normalize like TEXT literals on the query side).
+    */
+  private def fieldPostingsFor(docsFields: DataFrame, offsetsUp: Set[String],
+      tokenizer: Column => Column): Option[DataFrame] =
+    if (offsetsUp.isEmpty) None
+    else Some(buildFieldPostings(
+      docsFields.filter(col("fieldName").isin(offsetsUp.toSeq: _*))
+        .select(col("fieldName"), col("partition"), col("language"), col("docId"),
+          tokenizer(col("fieldValue")).as("tokens"))))
+
+  /** Build-time validation of the field declarations: an offsets name
+    * with no backing field would otherwise build a silently-empty
+    * positional index (every proximity query empty, no error), and an
+    * extra field colliding with a stock name or TEXT fails later with a
+    * far-away duplicate-map-key error. Fail HERE, loudly.
+    */
+  private def validateFieldDecls(
+      stock: Set[String], extras: Set[String], offsetsUp: Set[String]): Unit = {
+    val clash = extras.intersect(stock + "TEXT")
+    require(clash.isEmpty,
+      s"extraFields collide with stock fields: ${clash.toSeq.sorted.mkString(", ")}")
+    val orphans = offsetsUp.diff(stock ++ extras)
+    require(orphans.isEmpty,
+      s"offsetsFields name no declared field: ${orphans.toSeq.sorted.mkString(", ")} " +
+        s"(available: ${(stock ++ extras).toSeq.sorted.mkString(", ")})")
   }
 
   /** (…, tokens: array<string>) → per-(term, doc) postings with positions,

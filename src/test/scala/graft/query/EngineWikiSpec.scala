@@ -719,6 +719,42 @@ class EngineWikiSpec extends SparkSuite {
     assert(loaded2.run("f:near(COMMENTS, 2, 'red', 'fox')").collect().isEmpty)
   }
 
+  test("fromDocumentsTable extraFields/offsetsFields: derived field proximity, validation fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, slice}
+    val docs = Seq(
+      (1L, "red fox runs far away today", "en", "s", 26L),
+      (2L, "red something fox here now go", "en", "s", 29L),
+      (3L, "slow fox red is last today here", "en", "s", 31L),
+      (4L, "other words only here today now", "en", "s", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // HEAD = first three whitespace tokens, declared positional
+    val head = concat_ws(" ",
+      slice(graft.functions.TextFunctions.tokenizeWs(col("text")), 1, 3))
+    val eng = new WikiSearchEngine(spark, IndexBuilder.fromDocumentsTable(
+      spark, docs, numPartitions = 1,
+      extraFields = Map("HEAD" -> head), offsetsFields = Set("head")))
+    def ids(q: String) =
+      eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+    // ordered within the 3-token head: doc 1 (adjacent), doc 2 (distance
+    // 2); doc 3 has red AFTER fox in its head; doc 4 lacks both
+    assert(ids("f:onear(HEAD, 2, 'red', 'fox')") == Set("1", "2"))
+    // the derived field is an event field too — residual equality
+    // compares the FULL stored value (the positional tokens live only
+    // in field_postings)
+    assert(ids("HEAD == 'red fox runs'") == Set("1"))
+    assert(ids("HEAD == 'red'").isEmpty) // a token is not the value
+    // declarations are validated at build, not discovered as silent
+    // empties or far-away duplicate-key errors
+    val orphan = intercept[IllegalArgumentException](
+      IndexBuilder.fromDocumentsTable(spark, docs, 1, offsetsFields = Set("HEAD2")))
+    assert(orphan.getMessage.contains("offsetsFields name no declared field"))
+    val clash = intercept[IllegalArgumentException](
+      IndexBuilder.fromDocumentsTable(spark, docs, 1,
+        extraFields = Map("source" -> col("source"))))
+    assert(clash.getMessage.contains("collide"))
+  }
+
   test("BM25 on a pre-round-9 store (postings without dl) falls back to the doc_lengths join with identical scores") {
     import spark.implicits._
     val docs = Seq(
