@@ -175,6 +175,23 @@ object Compaction {
     // corpus-sized per-doc tables are read and tombstone-masked once
     val maskedDocs  = maskDeleted(withVer(readPart("documents")), tombs).cache()
     val maskedPosts = maskDeleted(withVer(readPart("postings")), tombs).cache()
+    // Per-doc BM25 token length from the masked postings — EXACT without
+    // raw text (every token position lives in exactly one term's offsets
+    // array, the WikiIndex.docLengths derivation). Feeds the doc_lengths
+    // base always, and the postings base's denormalized `dl` column
+    // whenever the read set is not UNIFORMLY dl-covered: a round-8
+    // store (no dl anywhere) or a migrated mix of round-8 + round-9
+    // deltas must not let schema inference persist null dl into the
+    // base — the coverage rule `LiveEngineMaintainer.postingsUnion`
+    // applies at read; compaction is where the store GRADUATES to a
+    // complete dl (one extra keyed join, compaction-time only, and the
+    // migration that makes the coverage rule pass forever after).
+    val docDl = maskedPosts
+      .groupBy("partition", "language", "docId")
+      .agg(sum(size(col("offsets"))).cast("double").as("dl"))
+    val postsPaths = VersionedState.readPaths(dir, core, Some("postings"), through)
+    val dlCovered = postsPaths.forall(p =>
+      spark.read.parquet(p).schema.fieldNames.contains("dl"))
     try {
       for (p <- LiveEngineMaintainer.Parts) {
         val folded = p match {
@@ -186,17 +203,16 @@ object Compaction {
             graft.ingest.WikiIndex.deriveTrigrams(foldedGlobal)
               .repartition(col("fieldName")).sortWithinPartitions("gram")
           case "documents" => maskedDocs
-          case "postings"  => maskedPosts
+          case "postings"  =>
+            if (dlCovered) maskedPosts
+            else maskedPosts.drop("dl")
+              .join(docDl, Seq("partition", "language", "docId"))
           case "doc_lengths" =>
             // WikiIndex.docLengths' derivation over the masked core
-            // tables (dl = Σ|offsets| per doc; docless-token docs 0)
+            // tables (docless-token docs 0)
             maskedDocs
               .select("partition", "language", "docId")
-              .join(
-                maskedPosts
-                  .groupBy("partition", "language", "docId")
-                  .agg(sum(size(col("offsets"))).cast("double").as("dl")),
-                Seq("partition", "language", "docId"), "left")
+              .join(docDl, Seq("partition", "language", "docId"), "left")
               .select(col("partition"), col("language"), col("docId"),
                 coalesce(col("dl"), lit(0.0)).as("dl"))
           case "metadata"   => readPart(p).distinct()

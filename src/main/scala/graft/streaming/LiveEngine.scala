@@ -111,6 +111,28 @@ class LiveEngineMaintainer(
     else Some(spark.read.parquet(ps: _*))
   }
 
+  /** The postings union with the `dl` COLUMN trusted only when EVERY
+    * read-set dir carries it — the derivedUnion coverage rule applied
+    * to a column instead of a part. A migrated store unions round-8
+    * postings deltas (no dl) with round-9+ ones; if schema inference
+    * picks a dl-bearing footer, the legacy rows read dl as null and
+    * their BM25 contribution silently coalesces toward 0 (and a later
+    * compaction could persist the nulls into the base). Uncovered ⇒
+    * drop the column: ranked serving takes `bm25Scored`'s documented
+    * pre-round-9 fallback (join the doc_lengths view — same values,
+    * one extra join), and `Compaction.compactEngine` rebuilds a
+    * complete dl for the whole base. The check is one driver-side
+    * footer read per read-set dir (bounded by compaction cadence),
+    * never a data scan.
+    */
+  private def postingsUnion(upTo: Long): DataFrame = {
+    val ps = VersionedState.readPaths(dir, parts, Some("postings"), upTo)
+    val df = spark.read.parquet(ps: _*)
+    if (!df.columns.contains("dl") ||
+        ps.forall(p => spark.read.parquet(p).schema.fieldNames.contains("dl"))) df
+    else df.drop("dl")
+  }
+
   /** The full queryable store at the latest committed version — feed it
     * straight to `new WikiSearchEngine(spark, m.latestIndex.get)`.
     */
@@ -133,7 +155,7 @@ class LiveEngineMaintainer(
         documents = maskDeleted(withVer(readUnion("documents", upTo).get), tombs),
         globalIndex = foldGlobal(withVer(readUnion("global", upTo).get), tombs),
         metadata = readUnion("metadata", upTo).get.distinct(),
-        termPostings = maskDeleted(withVer(readUnion("postings", upTo).get), tombs),
+        termPostings = maskDeleted(withVer(postingsUnion(upTo)), tombs),
         storedEvents = readUnion("events", upTo).map(e => maskDeleted(withVer(e), tombs)),
         // reverse folds like global (same rows keyed by reversed value);
         // trigram is a vocabulary SET (dedup on union). A store where

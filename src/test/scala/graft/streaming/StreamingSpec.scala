@@ -703,6 +703,62 @@ class StreamingSpec extends SparkSuite {
     assert(ids(live4, "TEXT == 'alpha'") == Set("1", "3"))
   }
 
+  test("mixed round-8/round-9 postings schemas: dl column drops at read, BM25 stays exact, compaction persists a complete dl") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixed-dl").toString
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b0 = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 22),
+      (2L, "alpha alpha beta", "en", "s1", 16))
+    val b1 = Seq(
+      (3L, "beta gamma", "de", "s2", 10),
+      (4L, "alpha epsilon zeta eta theta iota", "en", "s2", 33))
+    val m0 = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    m0.processBatch(df(b0), 0L)
+    m0.processBatch(df(b1), 1L)
+    // Simulate a ROUND-8 v0 beside a round-9 v1: strip v0's postings of
+    // the denormalized dl column and remove v0's derived parts entirely.
+    val p0 = s"$dir/v0/postings"
+    val legacyRows = spark.read.parquet(p0).drop("dl").collect().toSeq
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(p0).drop("dl").schema.fields)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacyRows, 1), legacySchema)
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(p0)
+    for (p <- LiveEngineMaintainer.DerivedParts)
+      VersionedState.deleteRecursively(new java.io.File(s"$dir/v0/$p"))
+
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    val ix = m.latestIndex.get
+    // the coverage rule must REFUSE the partially-covered dl column
+    // (serving it would score the v0 docs' null dl as 0)
+    assert(!ix.termPostings.columns.contains("dl"),
+      "partially-covered dl must not serve")
+    val ref = new WikiSearchEngine(spark,
+      graft.ingest.IndexBuilder.fromDocumentsTable(spark, df(b0 ++ b1), 2))
+    val live = new WikiSearchEngine(spark, ix)
+    val tie = col("docId").cast("bigint")
+    def ranked(e: WikiSearchEngine) =
+      e.rank(Seq("alpha", "beta"), tieBreak = tie).collect().map(_.toSeq).toSeq
+    assert(ranked(live) == ranked(ref),
+      "BM25 over the mixed store must fall back to the doc_lengths join, not score 0")
+
+    // compaction graduates the base to a COMPLETE dl (no nulls), and
+    // ranked serving over the compacted store reads it directly
+    assert(Compaction.compactEngine(spark, dir) == 1L)
+    val basePosts = spark.read.parquet(s"$dir/c1/postings")
+    assert(basePosts.columns.contains("dl"), "compacted base must carry dl")
+    assert(basePosts.filter(col("dl").isNull).isEmpty,
+      "compacted base must not persist null dl")
+    val cIx = new LiveEngineMaintainer(spark, dir, numPartitions = 2).latestIndex.get
+    assert(cIx.termPostings.columns.contains("dl"),
+      "a uniformly-covered (compacted) store serves dl")
+    assert(ranked(new WikiSearchEngine(spark, cIx)) == ranked(ref))
+  }
+
   test("LiveAnnMaintainer: incremental assignment under frozen centroids equals batch assignment") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
