@@ -484,6 +484,30 @@ object IndexBuilder {
         col("u.count").as("count"), col("u.uids").as("uids"), col("u.ignore").as("ignore"))
   }
 
+  /** `field_postings` rebuilt from CORE data: positional postings over
+    * the fields the METADATA catalog declares positional (kind = "p"
+    * rows), tokenized with the documents-table tokenizer (whitespace —
+    * the builder that owns live stores; the wiki-XML path declares its
+    * fields at build time and persists the table directly). Shared by
+    * the live read-path fallback (`LiveEngineMaintainer.indexAt` when
+    * the read set does not carry the part) and
+    * `Compaction.compactEngine`'s base rebuild — both agree with
+    * `fromDocumentsTable`'s own construction because all three go
+    * through `buildFieldPostings`. The catalog probe is a broadcast
+    * semi-join, not a driver collect, so the derivation stays fully
+    * lazy: a store with no declared fields yields an empty frame no
+    * query ever scans (the engine consults the table only for
+    * catalog-declared fields).
+    */
+  def deriveFieldPostings(docsFields: DataFrame, metadata: DataFrame): DataFrame = {
+    val declared = metadata.filter(col("kind") === "p")
+      .select("fieldName").distinct()
+    buildFieldPostings(
+      docsFields.join(broadcast(declared), Seq("fieldName"), "leftsemi")
+        .select(col("fieldName"), col("partition"), col("language"), col("docId"),
+          TextFunctions.tokenizeWs(col("fieldValue")).as("tokens")))
+  }
+
   /** The shared fieldPostings construction for both builders: postings
     * over the declared fields' values, tokenized with the builder's own
     * tokenizer (the one that builds TEXT — positional literals

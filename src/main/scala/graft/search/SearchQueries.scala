@@ -121,6 +121,28 @@ object SearchQueries {
         extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD")).cacheAll())
     })
 
+  /** An engine served from a live store whose build DECLARES the same
+    * positional second field as `fieldOffsetsEngine` (HEAD, first five
+    * whitespace tokens): three micro-batches write `field_postings`
+    * deltas, and field-generic proximity serves from the merge-on-read
+    * union — the `ws_live_fld_q` surface (round-9 gap: declared-field
+    * proximity worked only against batch-built indexes). Deltas
+    * deliberately left UNcompacted, like `liveEngine`.
+    */
+  private val liveFldCache = TrieMap.empty[String, WikiSearchEngine]
+  def liveFieldEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    liveFldCache.getOrElseUpdate(dir, {
+      val head = concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokenizeWs(col("text")), 1, 5))
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-fld").toString
+      val m = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions,
+        extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD"))
+      (0 until 3).foreach(b =>
+        m.processBatch(docs.filter(col("doc_id") % 3 === b), b.toLong))
+      new WikiSearchEngine(s, m.latestIndex.get)
+    })
+
   /** An engine served from a LIVE store: the documents table streamed
     * through `LiveEngineMaintainer` in three micro-batches, queried via
     * the maintainer's merge-on-read view (deltas deliberately left
@@ -177,6 +199,26 @@ object SearchQueries {
 
   private def toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** The field-generic ordered-proximity query + its oracle, shared by
+    * the batch-built (`ws_fld_q`) and live-store (`ws_live_fld_q`)
+    * entries — same corpus, same semantics, two serving paths.
+    */
+  private val fldQuery = "TEXT == 'filter' and f:onear(HEAD, 2, 'spark', 'join')"
+  private def fldOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+       |h AS (SELECT doc_id, lang, tk, list_slice(tk, 1, 5) AS hd FROM t),
+       |p AS (SELECT doc_id, lang, tk,
+       |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'spark' THEN i END),
+       |    v -> v IS NOT NULL) AS pa,
+       |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'join' THEN i END),
+       |    v -> v IS NOT NULL) AS pb
+       | FROM h)
+       |SELECT doc_id, lang AS language FROM p
+       |WHERE list_contains(tk, 'filter')
+       |  AND len(list_filter(pa, s ->
+       |        len(list_filter(pb, q -> q > s AND q <= s + 2)) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     // J1 — multi-term AND intersection via the global index
     q("ws_q1_and",
@@ -227,23 +269,17 @@ object SearchQueries {
     // ordered proximity on a DECLARED second field (HEAD = first five
     // tokens) intersected with a TEXT EQ — the oracle re-derives the
     // head slice and the ordered-window predicate from raw text
-    NamedQuery(
-      "ws_fld_q",
-      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
-         |h AS (SELECT doc_id, lang, tk, list_slice(tk, 1, 5) AS hd FROM t),
-         |p AS (SELECT doc_id, lang, tk,
-         |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'spark' THEN i END),
-         |    v -> v IS NOT NULL) AS pa,
-         |  list_filter(list_transform(hd, (x,i) -> CASE WHEN x = 'join' THEN i END),
-         |    v -> v IS NOT NULL) AS pb
-         | FROM h)
-         |SELECT doc_id, lang AS language FROM p
-         |WHERE list_contains(tk, 'filter')
-         |  AND len(list_filter(pa, s ->
-         |        len(list_filter(pb, q -> q > s AND q <= s + 2)) > 0)) > 0
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      ids(fieldOffsetsEngine(s, dir).run(
-        "TEXT == 'filter' and f:onear(HEAD, 2, 'spark', 'join')"))
+    NamedQuery("ws_fld_q", fldOracle) { (s, dir) =>
+      ids(fieldOffsetsEngine(s, dir).run(fldQuery))
+    },
+
+    // the same field-generic proximity served from a LIVE store: the
+    // build declares HEAD positional, each micro-batch writes a
+    // field_postings delta, and the query runs over the merge-on-read
+    // union — identical oracle (the store holds the same corpus), so a
+    // pass proves the live path equals the batch-built one
+    NamedQuery("ws_live_fld_q", fldOracle) { (s, dir) =>
+      ids(liveFieldEngine(s, dir).run(fldQuery))
     },
 
     // beyond-reference: query-time synonym expansion — EQ widens to the

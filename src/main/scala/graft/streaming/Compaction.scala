@@ -175,6 +175,8 @@ object Compaction {
     // corpus-sized per-doc tables are read and tombstone-masked once
     val maskedDocs  = maskDeleted(withVer(readPart("documents")), tombs).cache()
     val maskedPosts = maskDeleted(withVer(readPart("postings")), tombs).cache()
+    // docs_fields feeds its own base part AND the field_postings rebuild
+    val maskedFields = maskDeleted(withVer(readPart("docs_fields")), tombs).cache()
     // Per-doc BM25 token length from the masked postings — EXACT without
     // raw text (every token position lives in exactly one term's offsets
     // array, the WikiIndex.docLengths derivation). Feeds the doc_lengths
@@ -202,7 +204,15 @@ object Compaction {
           case "trigram"  =>
             graft.ingest.WikiIndex.deriveTrigrams(foldedGlobal)
               .repartition(col("fieldName")).sortWithinPartitions("gram")
-          case "documents" => maskedDocs
+          case "documents"   => maskedDocs
+          case "docs_fields" => maskedFields
+          case "field_postings" =>
+            // rebuilt from core data like reverse/trigram (the metadata
+            // catalog's kind-p rows drive the derivation), so deletes
+            // erase physically and a store predating the part GRADUATES
+            // to the full layout here
+            graft.ingest.IndexBuilder.deriveFieldPostings(
+              maskedFields, readPart("metadata").distinct())
           case "postings"  =>
             if (dlCovered) maskedPosts
             else maskedPosts.drop("dl")
@@ -225,6 +235,7 @@ object Compaction {
       }
     } finally {
       foldedGlobal.unpersist(); maskedDocs.unpersist(); maskedPosts.unpersist()
+      maskedFields.unpersist()
     }
     if (deleteSubsumed) sweep(dir, core, through)
     through

@@ -48,7 +48,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * from (`input_file_name`), so deltas stay byte-identical to a batch
   * build's tables. (Store-format note: tombstones joined the commit
   * protocol in round 8; `doc_lengths`, `reverse` and `trigram` joined
-  * in round 9 — every version dir must carry all ten parts.)
+  * in round 9; `field_postings` in round 10 for builds that declare
+  * `offsetsFields`. Commits key on the CORE parts; derived parts are
+  * optional at read with complete-coverage-or-rebuild semantics.)
   *
   *   - `doc_lengths` — per-document BM25 token lengths, per-doc rows →
   *     readers union + tombstone-mask like the other doc parts, so
@@ -76,7 +78,19 @@ class LiveEngineMaintainer(
     spark: SparkSession,
     dir: String,
     numPartitions: Int,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0,
+    /** Per-batch build declarations, passed straight to
+      * `IndexBuilder.fromDocumentsTable`: derived event fields and the
+      * subset that additionally stores positional postings
+      * (`field_postings` — `f:near`/`f:onear`/`f:phrase` on declared
+      * non-TEXT fields). Declarations are BUILD configuration and must
+      * stay constant across the life of a store (like `numPartitions`):
+      * each batch's metadata delta re-declares them, and a batch built
+      * with different declarations would leave earlier/later docs
+      * without the declared columns.
+      */
+    extraFields: Map[String, org.apache.spark.sql.Column] = Map.empty,
+    offsetsFields: Set[String] = Set.empty) {
 
   import LiveEngineMaintainer._
 
@@ -150,11 +164,13 @@ class LiveEngineMaintainer(
   def indexAt(upTo: Long): Option[WikiIndex] =
     readUnion("docs_fields", upTo).map { df =>
       val tombs = tombstoneSet(readUnion("tombstones", upTo))
+      val maskedFields = maskDeleted(withVer(df), tombs)
+      val metadata = readUnion("metadata", upTo).get.distinct()
       WikiIndex(
-        docsFields = maskDeleted(withVer(df), tombs),
+        docsFields = maskedFields,
         documents = maskDeleted(withVer(readUnion("documents", upTo).get), tombs),
         globalIndex = foldGlobal(withVer(readUnion("global", upTo).get), tombs),
-        metadata = readUnion("metadata", upTo).get.distinct(),
+        metadata = metadata,
         termPostings = maskDeleted(withVer(postingsUnion(upTo)), tombs),
         storedEvents = readUnion("events", upTo).map(e => maskDeleted(withVer(e), tombs)),
         // reverse folds like global (same rows keyed by reversed value);
@@ -164,7 +180,17 @@ class LiveEngineMaintainer(
         storedReverse = derivedUnion("reverse", upTo).map(r => foldGlobal(withVer(r), tombs)),
         storedTrigram = derivedUnion("trigram", upTo).map(_.distinct()),
         storedDocLengths =
-          derivedUnion("doc_lengths", upTo).map(d => maskDeleted(withVer(d), tombs)))
+          derivedUnion("doc_lengths", upTo).map(d => maskDeleted(withVer(d), tombs)),
+        // per-doc rows like postings: union the deltas and mask. A read
+        // set not fully covered (a store predating the part, or a crash
+        // window) REBUILDS the table from core data — the metadata
+        // catalog says which fields are positional, so field-generic
+        // proximity serves on any live store, never only batch-built
+        // ones. Lazy either way; empty when nothing is declared.
+        fieldPostings = Some(
+          derivedUnion("field_postings", upTo)
+            .map(fp => maskDeleted(withVer(fp), tombs))
+            .getOrElse(IndexBuilder.deriveFieldPostings(maskedFields, metadata))))
     }
 
   private def write(df: DataFrame, path: String): Unit =
@@ -172,13 +198,14 @@ class LiveEngineMaintainer(
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(path)
 
-  /** The nine non-tombstone parts of one version's delta, all derived
-    * from the batch's own index build (the tombstone part differs
-    * between the ingest and delete paths, so callers write it). The
-    * `reverse`/`trigram` deltas are the SAME projections `WikiIndex.save`
-    * persists, taken over the batch's global delta — so a live store
-    * keeps the saved layout's pushed-prefix access paths at O(|batch|)
-    * write amplification.
+  /** The non-tombstone parts of one version's delta (nine, plus
+    * `field_postings` when the build declares `offsetsFields`), all
+    * derived from the batch's own index build (the tombstone part
+    * differs between the ingest and delete paths, so callers write it).
+    * The `reverse`/`trigram` deltas are the SAME projections
+    * `WikiIndex.save` persists, taken over the batch's global delta —
+    * so a live store keeps the saved layout's pushed-prefix access
+    * paths at O(|batch|) write amplification.
     */
   private def writeIndexParts(ix: WikiIndex, batchId: Long): Unit = {
     write(ix.docsFields, s"$dir/v$batchId/docs_fields")
@@ -191,6 +218,10 @@ class LiveEngineMaintainer(
     write(ix.globalIndex.withColumn("fieldValue", reverse(col("fieldValue"))),
       s"$dir/v$batchId/reverse")
     write(WikiIndex.deriveTrigrams(ix.globalIndex), s"$dir/v$batchId/trigram")
+    // present exactly when the build declared offsetsFields — an
+    // undeclared store simply never carries the part and the read side
+    // derives (empty) from metadata
+    ix.fieldPostings.foreach(fp => write(fp, s"$dir/v$batchId/field_postings"))
   }
 
   private def alreadyCommitted(batchId: Long): Boolean =
@@ -206,7 +237,8 @@ class LiveEngineMaintainer(
     if (alreadyCommitted(batchId)) version = math.max(version, batchId)
     else {
       val s = batch.sparkSession
-      val ix = IndexBuilder.fromDocumentsTable(s, batch, numPartitions)
+      val ix = IndexBuilder.fromDocumentsTable(
+        s, batch, numPartitions, extraFields, offsetsFields)
       writeIndexParts(ix, batchId)
       write(emptyTombstones(s), s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
@@ -245,7 +277,8 @@ class LiveEngineMaintainer(
         .withColumn("docId", col("doc_id").cast("string"))
         .select("partition", "docId").distinct()
       val empty = IndexBuilder.fromDocumentsTable(
-        s, s.createDataFrame(s.sparkContext.emptyRDD[Row], DocumentsSchema), numPartitions)
+        s, s.createDataFrame(s.sparkContext.emptyRDD[Row], DocumentsSchema),
+        numPartitions, extraFields, offsetsFields)
       writeIndexParts(empty, batchId)
       write(tomb, s"$dir/v$batchId/tombstones")
       version = math.max(version, batchId)
@@ -276,10 +309,14 @@ object LiveEngineMaintainer {
       "tombstones")
 
   /** Derived parts — projections of core data written with every new
-    * delta, optional at read (see the class doc): per-doc BM25 lengths
-    * and the reversed-value / vocabulary-gram access-path layouts.
+    * delta, optional at read (see the class doc): per-doc BM25 lengths,
+    * the reversed-value / vocabulary-gram access-path layouts, and the
+    * declared-field positional postings (round 10; written only by
+    * builds that declare `offsetsFields` — readers of an uncovered
+    * store rebuild the table from docs_fields + the metadata catalog).
     */
-  val DerivedParts: Seq[String] = Seq("doc_lengths", "reverse", "trigram")
+  val DerivedParts: Seq[String] =
+    Seq("doc_lengths", "reverse", "trigram", "field_postings")
 
   /** Every part a fully-equipped version dir carries. */
   val Parts: Seq[String] = CoreParts ++ DerivedParts

@@ -759,6 +759,67 @@ class StreamingSpec extends SparkSuite {
     assert(ranked(new WikiSearchEngine(spark, cIx)) == ranked(ref))
   }
 
+  test("live stores serve field-generic proximity: declared field_postings deltas, rebuild fallback, deletes, compaction") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-fld").toString
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // HEAD = first three whitespace tokens, declared positional
+    val head = concat_ws(" ",
+      slice(graft.functions.TextFunctions.tokenizeWs(col("text")), 1, 3))
+    def maintainer() = new LiveEngineMaintainer(spark, dir, numPartitions = 2,
+      extraFields = Map("HEAD" -> head), offsetsFields = Set("HEAD"))
+    val b0 = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 22),
+      (2L, "beta alpha gamma", "en", "s1", 16))
+    val b1 = Seq(
+      (3L, "alpha gamma beta zeta", "de", "s2", 21),
+      (4L, "gamma delta alpha beta", "en", "s2", 22))
+    val m = maintainer()
+    m.processBatch(df(b0), 0L)
+    m.processBatch(df(b1), 1L)
+    assert(new java.io.File(s"$dir/v1/field_postings/_SUCCESS").exists(),
+      "declared builds must write the field_postings delta")
+
+    def ref(rows: Seq[(Long, String, String, String, Int)]) =
+      new WikiSearchEngine(spark, graft.ingest.IndexBuilder.fromDocumentsTable(
+        spark, df(rows), 2, extraFields = Map("HEAD" -> head),
+        offsetsFields = Set("HEAD")))
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    val queries = Seq(
+      "f:onear(HEAD, 1, 'alpha', 'beta')",  // adjacency within the head
+      "f:near(HEAD, 2, 'beta', 'alpha')",   // unordered window
+      "f:phrase(HEAD, 'alpha gamma')",
+      "TEXT == 'delta' and f:onear(HEAD, 2, 'alpha', 'gamma')")
+    def check(e: WikiSearchEngine, r: WikiSearchEngine, tag: String): Unit =
+      for (q <- queries) assert(ids(e, q) == ids(r, q), s"$tag: $q")
+
+    val refAll = ref(b0 ++ b1)
+    check(new WikiSearchEngine(spark, m.latestIndex.get), refAll, "stored deltas")
+
+    // coverage rule: a read set missing the part anywhere REBUILDS from
+    // core data (a store written before the part existed)
+    VersionedState.deleteRecursively(new java.io.File(s"$dir/v0/field_postings"))
+    check(new WikiSearchEngine(spark, maintainer().latestIndex.get), refAll,
+      "rebuild fallback")
+
+    // tombstones mask the positional rows version-ordered
+    val m2 = maintainer()
+    m2.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 2L)
+    val refAlive = ref(b0.filterNot(_._1 == 1L) ++ b1)
+    check(new WikiSearchEngine(spark, m2.latestIndex.get), refAlive, "deleted")
+
+    // compaction rebuilds the part in the base (metadata-driven), and a
+    // maintainer WITHOUT the declarations still serves the store — the
+    // catalog, not the constructor, says which fields are positional
+    assert(Compaction.compactEngine(spark, dir) == 2L)
+    assert(new java.io.File(s"$dir/c2/field_postings/_SUCCESS").exists())
+    val undeclared = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    check(new WikiSearchEngine(spark, undeclared.latestIndex.get), refAlive,
+      "compacted, undeclared reader")
+  }
+
   test("LiveAnnMaintainer: incremental assignment under frozen centroids equals batch assignment") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
@@ -1039,8 +1100,10 @@ class StreamingSpec extends SparkSuite {
             "doc_id", "text", "lang", "source", "n_chars"), batchId)
         }
         if (dial > 0)
-          assert(VersionedState.readSet(dir, LiveEngineMaintainer.Parts,
-            VersionedState.maxVersion(dir, LiveEngineMaintainer.Parts))._2.size < dial,
+          // commit detection keys on the CORE parts (deltas carry the
+          // derived parts only when the build declares them)
+          assert(VersionedState.readSet(dir, LiveEngineMaintainer.CoreParts,
+            VersionedState.maxVersion(dir, LiveEngineMaintainer.CoreParts))._2.size < dial,
             s"seed=$seed dial=$dial batch=$batchId pending deltas")
         else if (batchId == 3L) Compaction.compactEngine(spark, dir) // mid-sequence manual major
       }
