@@ -35,7 +35,19 @@ case class WikiIndex(
       * `WikipediaMapper.java:155-168` stores TermWeight for article
       * text only).
       */
-    fieldPostings: Option[DataFrame] = None
+    fieldPostings: Option[DataFrame] = None,
+    /** Query-time synonym equivalence sets persisted as INDEX state
+      * (kind, name, value): ("syn", term, synonym) rows plus
+      * ("fld", fieldName, null) rows naming the fields the table
+      * applies to. The reference persists per-field query-semantics
+      * state (normalizer class names) in its metadata table
+      * (`WikipediaMapper.java:199-208`); a synonym table that lived
+      * only on the session would let two sessions serving the same
+      * saved index silently disagree on expanded results —
+      * `WikiSearchEngine` rehydrates `EngineConfig.synonyms` from this
+      * when the caller passes none. Catalog-sized.
+      */
+    storedSynonyms: Option[DataFrame] = None
 ) {
 
   /** The pivoted per-document event view — one row per doc with
@@ -122,6 +134,23 @@ case class WikiIndex(
       docLengths.groupBy("language")
         .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).as("sum_dl")))
 
+  /** Attach a synonym table as persistent index state (see
+    * `storedSynonyms`): `save` writes it beside `metadata`, `load`
+    * rehydrates it, and an engine constructed with the default config
+    * serves the expanded semantics. Rows are sorted for a deterministic
+    * store; semantics are order-free (EQ expands to an OR over the set).
+    */
+  def withSynonyms(synonyms: Map[String, Seq[String]],
+      fields: Set[String] = Set("TEXT")): WikiIndex = {
+    val rows =
+      synonyms.toSeq.sortBy(_._1).flatMap { case (t, alts) =>
+        alts.sorted.map(a => ("syn", t, a)) } ++
+      fields.toSeq.sorted.map(f => ("fld", f, null: String))
+    val s = metadata.sparkSession
+    import s.implicits._
+    copy(storedSynonyms = Some(rows.toDF("kind", "name", "value")))
+  }
+
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
     termPostings.cache(); events.cache(); fieldPostings.foreach(_.cache())
@@ -169,6 +198,8 @@ case class WikiIndex(
       .sortWithinPartitions("language", "docId")
       .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/doc_lengths")
     corpusStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/corpus_stats")
+    storedSynonyms.foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$dir/synonyms"))
     fieldPostings.foreach { fp =>
       // a row-empty dataset written with partitionBy carries NO
       // schema-bearing file, so load would drop the table while the
@@ -210,6 +241,9 @@ object WikiIndex {
       catch { case _: org.apache.spark.sql.AnalysisException => None },
     fieldPostings =
       try Some(spark.read.parquet(s"$dir/field_postings"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+    storedSynonyms =
+      try Some(spark.read.parquet(s"$dir/synonyms"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
 

@@ -80,12 +80,39 @@ case class EngineConfig(
 class WikiSearchEngine(
     spark: SparkSession,
     index: WikiIndex,
-    config: EngineConfig = EngineConfig()) {
+    config0: EngineConfig = EngineConfig()) {
 
   import WikiSearchEngine._
   import spark.implicits._
 
   graft.plans.GraftFunctions.register(spark)
+
+  /** Effective config: an explicitly-passed synonym table wins; with
+    * the default (empty) table, a `synonyms` part saved on the index
+    * REHYDRATES the equivalence sets — synonym semantics are INDEX
+    * state (the reference persists per-field query semantics in its
+    * metadata table, `WikipediaMapper.java:199-208`), and a table that
+    * lived only on the session would let two sessions serving the same
+    * saved store silently disagree on expanded results. One
+    * catalog-sized collect at engine construction, same cost class as
+    * `indexedFields`.
+    */
+  private val config: EngineConfig =
+    if (config0.synonyms.nonEmpty) config0
+    else index.storedSynonyms match {
+      case None => config0
+      case Some(df) =>
+        val rows = df.collect()
+        val syn = rows.filter(_.getAs[String]("kind") == "syn")
+          .groupBy(_.getAs[String]("name"))
+          .map { case (t, rs) =>
+            t -> rs.map(_.getAs[String]("value")).toSeq.distinct.sorted }
+        val flds = rows.filter(_.getAs[String]("kind") == "fld")
+          .map(_.getAs[String]("name")).toSet
+        if (syn.isEmpty) config0
+        else config0.copy(synonyms = syn,
+          synonymFields = if (flds.isEmpty) config0.synonymFields else flds)
+    }
 
   /** field → normalizer fns (plural), from the metadata catalog (tiny;
     * collected once — the analogue of `findIndexedTerms`,

@@ -97,9 +97,24 @@ object SearchQueries {
       engine(s, dir) // ensure the index is built and cached
       val ix = cache(dir)._1
       new WikiSearchEngine(ix.metadata.sparkSession, ix,
-        graft.query.EngineConfig(synonyms = Map(
-          "spark" -> Seq("vector"),
-          "hash"  -> Seq("merge"))))
+        graft.query.EngineConfig(synonyms = SynTable))
+    })
+
+  /** The same synonym semantics REHYDRATED from index state: the cached
+    * index plus a `synonyms` part is saved to a fresh store, loaded
+    * fresh, and served by an engine with the DEFAULT config — the
+    * `ws_syn_persist_q` surface (two sessions sharing a saved store
+    * must agree on expanded results without any session wiring).
+    */
+  private val synPersistCache = TrieMap.empty[String, WikiSearchEngine]
+  def synonymPersistEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    synPersistCache.getOrElseUpdate(dir, {
+      engine(s, dir) // ensure the index is built and cached
+      val ix = cache(dir)._1
+      val serving = ix.metadata.sparkSession
+      val tmp = java.nio.file.Files.createTempDirectory("graft-syn-store").toString
+      ix.withSynonyms(SynTable).save(tmp)
+      new WikiSearchEngine(serving, WikiIndex.load(serving, tmp))
     })
 
   /** An engine whose index declares a SECOND positional field — HEAD =
@@ -199,6 +214,22 @@ object SearchQueries {
 
   private def toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** The synonym-expansion query + its oracle, shared by the
+    * session-configured (`ws_syn_q`) and store-rehydrated
+    * (`ws_syn_persist_q`) entries; `SynTable` is the equivalence map
+    * both engines carry (one via EngineConfig, one via the saved
+    * `synonyms` part).
+    */
+  private val SynTable = Map("spark" -> Seq("vector"), "hash" -> Seq("merge"))
+  private val synQuery = "TEXT == 'spark' and TEXT == 'join' and TEXT != 'hash'"
+  private def synOracle: String =
+    s"""SELECT doc_id, lang AS language FROM documents
+       |WHERE (list_contains($toks, 'spark') OR list_contains($toks, 'vector'))
+       |  AND list_contains($toks, 'join')
+       |  AND NOT list_contains($toks, 'hash')
+       |  AND NOT list_contains($toks, 'merge')
+       |ORDER BY doc_id""".stripMargin
+
   /** The field-generic ordered-proximity query + its oracle, shared by
     * the batch-built (`ws_fld_q`) and live-store (`ws_live_fld_q`)
     * entries — same corpus, same semantics, two serving paths.
@@ -285,16 +316,17 @@ object SearchQueries {
     // beyond-reference: query-time synonym expansion — EQ widens to the
     // equivalence set (OR splice), NE widens to the AND of exclusions;
     // the oracle states the expanded semantics declaratively
-    NamedQuery(
-      "ws_syn_q",
-      s"""SELECT doc_id, lang AS language FROM documents
-         |WHERE (list_contains($toks, 'spark') OR list_contains($toks, 'vector'))
-         |  AND list_contains($toks, 'join')
-         |  AND NOT list_contains($toks, 'hash')
-         |  AND NOT list_contains($toks, 'merge')
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      ids(synonymEngine(s, dir).run(
-        "TEXT == 'spark' and TEXT == 'join' and TEXT != 'hash'"))
+    NamedQuery("ws_syn_q", synOracle) { (s, dir) =>
+      ids(synonymEngine(s, dir).run(synQuery))
+    },
+
+    // the same expansion REHYDRATED from a saved store: the synonym
+    // table rides the index (a `synonyms` part beside metadata), the
+    // serving engine is constructed with the DEFAULT config over a
+    // fresh load — identical oracle, so a pass proves two sessions
+    // sharing the store cannot disagree on expanded semantics
+    NamedQuery("ws_syn_persist_q", synOracle) { (s, dir) =>
+      ids(synonymPersistEngine(s, dir).run(synQuery))
     },
 
     // unfielded bare term → index-driven field discovery

@@ -50,6 +50,42 @@ class IndexPersistenceSpec extends SparkSuite {
     assert(ix.metadata.filter(col("kind") === "i" && col("frequency").isNotNull).count() == 0)
   }
 
+  test("synonyms persist as index state: save → fresh load rehydrates, explicit config wins, plain stores unaffected") {
+    import spark.implicits._
+    import graft.query.{EngineConfig, WikiSearchEngine}
+    val docs = Seq(
+      (1L, "the car is fast", "en", "s", 15L),
+      (2L, "an auto appeared", "en", "s", 16L),
+      (3L, "one automobile here", "en", "s", 19L),
+      (4L, "a bicycle instead", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix = IndexBuilder.fromDocumentsTable(spark, docs, numPartitions = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-syn-persist").toString
+    ix.withSynonyms(Map("car" -> Seq("auto", "automobile"))).save(dir)
+
+    // a fresh load with the DEFAULT config serves the expanded
+    // semantics — the table came from the store, not the session
+    val loaded = WikiIndex.load(spark, dir)
+    assert(loaded.storedSynonyms.isDefined)
+    val eng = new WikiSearchEngine(spark, loaded)
+    def ids(e: WikiSearchEngine, q: String) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+    assert(ids(eng, "TEXT == 'car'") == Set("1", "2", "3"))
+    assert(ids(eng, "TEXT == 'auto'") == Set("2"))
+
+    // an EXPLICIT session table overrides the stored one
+    val overridden = new WikiSearchEngine(spark, loaded,
+      EngineConfig(synonyms = Map("car" -> Seq("bicycle"))))
+    assert(ids(overridden, "TEXT == 'car'") == Set("1", "4"))
+
+    // a store saved WITHOUT synonyms keeps unexpanded semantics
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-syn-plain").toString
+    ix.save(plainDir)
+    val plain = WikiIndex.load(spark, plainDir)
+    assert(plain.storedSynonyms.isEmpty)
+    assert(ids(new WikiSearchEngine(spark, plain), "TEXT == 'car'") == Set("1"))
+  }
+
   test("QueryService shapes Results with XML/JSON rendering") {
     val fixture = getClass.getResource("/enwiki-test.xml").getPath
     val ix  = IndexBuilder.fromArticles(spark, XmlIngest.readArticles(spark, fixture), 1)
