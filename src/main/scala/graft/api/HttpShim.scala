@@ -38,6 +38,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    (beyond ref — the ANALYZE surface).
   *  - `GET /complete?prefix=…&limit=N` → prefix autocomplete from the
   *    value-sorted global index (beyond ref).
+  *  - `GET /hybrid?terms=a,b&vec=101&limit=N&depth=D&krrf=K` → BM25 ⊕
+  *    cosine-ANN Reciprocal Rank Fusion over the configured embeddings
+  *    table (beyond ref); 400 when the server has no embeddings.
+  *  - `/query` and `/count` accept `asOf=<version>` — LSM time-travel
+  *    serving against the snapshot a `serviceAt` resolver returns
+  *    (`QueryService.versioned` over a live maintainer); 404 for an
+  *    uncommitted or swept version.
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -48,7 +55,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * with at most one Spark job per query (see `WikiSearchEngine`), so
   * serving concurrency is bounded by the executor pool, not the shim.
   */
-class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
+class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
+    /** LSM time-travel resolver: version → a QueryService over that
+      * committed snapshot (`LiveEngineMaintainer.indexAt`), or None when
+      * the version was never committed or its deltas were swept.
+      * `QueryService.versioned` builds a memoized one from a maintainer;
+      * the default leaves `asOf=` requests a clean 404.
+      */
+    serviceAt: Long => Option[QueryService] = _ => None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool   = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -62,7 +76,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
     val params = queryParams(ex)
     val (q, auths) = queryAndAuths(params)
     val limit = intParam(params, "limit", default = 100, min = 1, max = 1000000)
-    val results = service.query(q, auths, limit)
+    val results = serviceFor(params).query(q, auths, limit)
     // per-query serving metrics on the wire (set before safely() sends
     // headers): end-to-end parse→plan→execute→collect time + row count
     ex.getResponseHeaders.set("X-Query-Millis",
@@ -127,8 +141,34 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   //    result-count badge endpoint; `fast` = answered from the index
   //    alone (no event-store access)
   server.createContext("/count", (ex: HttpExchange) => safely(ex) {
-    val (q, auths) = queryAndAuths(queryParams(ex))
-    ("application/json", service.count(q, auths))
+    val params = queryParams(ex)
+    val (q, auths) = queryAndAuths(params)
+    ("application/json", serviceFor(params).count(q, auths))
+  })
+
+  //  - `GET /hybrid?terms=a,b&vec=101&limit=N&depth=D&krrf=K&auths=…` →
+  //    BM25 ⊕ cosine-ANN Reciprocal Rank Fusion over the configured
+  //    embeddings table, as JSON [{rank,id,score}] — the hybrid
+  //    retrieval serving edge (400 when the server has no embeddings)
+  server.createContext("/hybrid", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val terms = params.getOrElse("terms",
+      throw new IllegalArgumentException("missing required parameter: terms"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) throw new IllegalArgumentException("terms is empty")
+    val vec = params.get("vec").map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad vec: $v") }
+    }.getOrElse(throw new IllegalArgumentException(
+      "missing required parameter: vec"))
+    val limit = intParam(params, "limit", default = 20, min = 1, max = 10000)
+    val depth = intParam(params, "depth", default = 50, min = 1, max = 100000)
+    val kRrf  = intParam(params, "krrf", default = 60, min = 1, max = 1000000)
+    if (depth < limit) throw new IllegalArgumentException(
+      s"depth must be >= limit: depth=$depth limit=$limit")
+    ("application/json",
+      service.hybrid(terms, vec, limit, depth, kRrf, authsOf(params)))
   })
 
   //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions
@@ -240,6 +280,24 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8) {
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- plumbing -----------------------------------------------------------
+
+  /** The serving target for a boolean-query route: the live service, or
+    * — with `asOf=<version>` — the time-travel snapshot at that
+    * committed version (404 when unknown/swept/unconfigured: from the
+    * client's view a missing snapshot is a missing resource). ONE
+    * resolver shared by /query and /count so the two cannot drift.
+    */
+  private def serviceFor(params: Map[String, String]): QueryService =
+    params.get("asOf") match {
+      case None => service
+      case Some(v) =>
+        val ver =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad asOf: $v") }
+        serviceAt(ver).getOrElse(throw new NoSuchElementException(
+          s"no committed snapshot at version $ver"))
+    }
 
   /** The required `query` param + parsed `auths` CSV — ONE parser for
     * every route that takes them, so the routes cannot drift.

@@ -101,7 +101,12 @@ case class Results(documents: Seq[Document]) {
   */
 class QueryService(engine: WikiSearchEngine,
     tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      graft.functions.TextFunctions.tokenize) {
+      graft.functions.TextFunctions.tokenize,
+    /** Embedding table (vec_id aligned with the documents' doc_id) for
+      * hybrid lexical+semantic retrieval; None leaves `/hybrid`
+      * unconfigured (a clean 400, not a crash).
+      */
+    embeddings: Option[org.apache.spark.sql.DataFrame] = None) {
 
   /** Boolean-expression search → Results (top `limit` documents). */
   def query(q: String, auths: Seq[String] = Nil, limit: Int = 100): Results = {
@@ -129,6 +134,47 @@ class QueryService(engine: WikiSearchEngine,
     val rows = engine.rankTopK(terms, limit, auths = auths).collect()
     rows.zipWithIndex.map { case (r, i) =>
       s"""{"rank":${i + 1},"id":${jstr(r.getAs[String]("docId"))},"language":${jstr(r.getAs[String]("language"))},"score":${r.getAs[Double]("score")}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** Hybrid retrieval: BM25 over the term index fused with cosine top-k
+    * over the embeddings table by Reciprocal Rank Fusion
+    * (`HybridSearch.rrfFuse`) — the `ws_hybrid` serving shape on the
+    * HTTP edge. Each side contributes its top-`depth` PAGE (both plan
+    * as bounded top-k — TakeOrderedAndProject / per-query window over a
+    * broadcast query row), so nothing here scales with the corpus, and
+    * the fuse runs over ≤ 2·depth rows. `auths` gates BOTH sides: the
+    * lexical ranking through the engine's own visibility rule, the
+    * semantic candidates through a semi-join on
+    * `WikiSearchEngine.authorizedIds` — an unauthorized document must
+    * not surface through the embedding side of a fused ranking.
+    */
+  def hybrid(terms: Seq[String], queryVecId: Long, limit: Int = 20,
+      depth: Int = 50, kRrf: Int = 60, auths: Seq[String] = Nil): String = {
+    import org.apache.spark.sql.functions._
+    val emb = embeddings.getOrElse(throw new IllegalArgumentException(
+      "hybrid retrieval is not configured on this server (no embeddings table)"))
+    val qVec = emb.filter(col("vec_id") === queryVecId)
+    if (qVec.isEmpty)
+      throw new NoSuchElementException(s"query vector not found: $queryVecId")
+    val bm = engine.rankTopK(terms, k = depth,
+        tieBreak = col("docId").cast("bigint"), auths = auths)
+      .select(col("docId").cast("bigint").as("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docId").cast("bigint"))).as("rank"))
+    // the auth mask is CORPUS-sized (all authorized doc ids), so no
+    // broadcast hint — a plain semi-join lets AQE pick; at scale both
+    // sides are id-partitioned parquet
+    val candidates =
+      if (auths.isEmpty) emb
+      else emb.join(engine.authorizedIds(auths)
+          .withColumnRenamed("id", "vec_id"), Seq("vec_id"), "leftsemi")
+    val cos = graft.pipeline.Similarity.topK(candidates, qVec, k = depth)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    val rows = graft.search.HybridSearch
+      .rrfFuse(Seq(bm, cos), kRrf = kRrf, k = limit).collect()
+    rows.map { r =>
+      s"""{"rank":${r.getAs[Long]("rank")},"id":${r.getAs[Long]("id")},"score":${r.getAs[Double]("score")}}"""
     }.mkString("[", ",", "]")
   }
 
@@ -286,5 +332,41 @@ class QueryService(engine: WikiSearchEngine,
       .flatMap { case (name, vals) => vals.toSeq.map(v => Field(name, v)) }
       .sortBy(f => (f.name, f.value))
     Document(r.getAs[String]("docId"), r.getAs[String]("DOCUMENT"), fields)
+  }
+}
+
+object QueryService {
+
+  /** Memoized LSM time-travel resolver over a live store, for
+    * `HttpShim`'s `asOf=` serving: version → a QueryService bound to
+    * the consistent snapshot `LiveEngineMaintainer.indexAt(version)`
+    * (ingests AND deletes after it invisible), or None when the version
+    * was never committed or its deltas were swept by compaction.
+    * Resolved services are cached (an engine per snapshot collects its
+    * catalog once); misses are NOT cached — a version can commit after
+    * it was first asked for. Live stores are documents-table builds, so
+    * the default tokenizer here is the whitespace one (it must match
+    * the tokenizer that built the index — the snippet-window contract).
+    */
+  def versioned(m: graft.streaming.LiveEngineMaintainer,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.tokenizeWs(_),
+      embeddings: Option[org.apache.spark.sql.DataFrame] = None)
+      : Long => Option[QueryService] = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[Long, QueryService]()
+    (ver: Long) =>
+      // indexAt(v) resolves "everything ≤ v", so an uncommitted future
+      // version would silently serve latest — reject it here (a typo'd
+      // asOf must be a 404, not a surprise snapshot)
+      if (ver > m.latestVersion) None
+      else Option(cache.get(ver)).orElse {
+        m.indexAt(ver).map { ix =>
+          val svc = new QueryService(
+            new graft.query.WikiSearchEngine(ix.metadata.sparkSession, ix),
+            tokenizer, embeddings)
+          cache.putIfAbsent(ver, svc)
+          cache.get(ver)
+        }
+      }
   }
 }

@@ -418,6 +418,17 @@ class WikiSearchEngine(
       .select(col("docId"), col("language"), col("score"))
   }
 
+  /** Authorized document ids, as bigints — the visibility mask for
+    * serving surfaces that join engine-EXTERNAL per-doc tables (hybrid
+    * retrieval's semantic ranking over an embeddings table). The same
+    * ONE visibility rule (`langAuth`) as every content-returning
+    * surface; a ranking produced outside the engine must not leak an
+    * unauthorized document any more than a search hit would.
+    */
+  def authorizedIds(auths: Seq[String]): DataFrame =
+    langAuth(auths)(index.documents)
+      .select(col("docId").cast("bigint").as("id")).distinct()
+
   /** Keyset ("search after") page of the BM25 ranking: the `k` results
     * strictly AFTER the sort position (`afterScore`, `afterTie`[,
     * `afterLanguage`, `afterPartition`]) in `rankTopK`'s ordering

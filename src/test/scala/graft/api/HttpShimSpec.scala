@@ -281,6 +281,78 @@ class HttpShimSpec extends SparkSuite {
     assert(get("/snippets?terms=abacus&auths=enwiki")._3.contains("abacus"))
   }
 
+  test("/hybrid fuses BM25 with cosine ANN, gates both sides by auths; unconfigured server 400s; /query serves asOf time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a live store (two batches) + an aligned embeddings table: doc 1/2
+    // arrive at v0, doc 3/4 at v1; doc 4 is the only 'de' document
+    val dir = java.nio.file.Files.createTempDirectory("graft-shim-live").toString
+    val m = new graft.streaming.LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    m.processBatch(df(Seq(
+      (1L, "alpha beta gamma", "en", "s1", 16),
+      (2L, "alpha beta", "en", "s1", 10))), 0L)
+    m.processBatch(df(Seq(
+      (3L, "alpha delta", "en", "s2", 11),
+      (4L, "beta gamma delta", "de", "s2", 16))), 1L)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val engine = new WikiSearchEngine(spark, m.latestIndex.get)
+    val svc = new QueryService(engine,
+      tokenizer = graft.functions.TextFunctions.tokenizeWs,
+      embeddings = Some(emb))
+    val shim2 = new HttpShim(svc, serviceAt = QueryService.versioned(m)).start()
+    def get2(path: String): (Int, String) = {
+      val conn = URI.create(s"http://127.0.0.1:${shim2.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      (status, new String(stream.readAllBytes(), UTF_8))
+    }
+    try {
+      // fused ranking: doc 2 and 4 are cosine-closest to vec 1, docs
+      // with 'alpha' lead the BM25 side — every id but the query's can
+      // appear; shape + membership checks
+      val (hs, hb) = get2("/hybrid?terms=alpha,beta&vec=1&limit=3")
+      assert(hs == 200 && hb.startsWith("""[{"rank":1,"""), hb)
+      assert("\"id\":(\\d+)".r.findAllMatchIn(hb).map(_.group(1).toLong).toSet
+        .subsetOf(Set(2L, 3L, 4L)), hb)
+      // auths gate BOTH sides: restricted to 'de', only doc 4 can rank
+      // (vec 4 is cosine-top for vec 1, so it WOULD leak via the
+      // semantic side if only BM25 were gated... and ids 1-3 must not
+      // appear at all)
+      val (_, hd) = get2("/hybrid?terms=alpha,beta&vec=1&auths=de")
+      val deIds = "\"id\":(\\d+)".r.findAllMatchIn(hd).map(_.group(1).toLong).toSet
+      assert(deIds == Set(4L), s"auths must gate the semantic side too: $hd")
+      // unknown query vector → 404; depth < limit → 400
+      assert(get2("/hybrid?terms=alpha&vec=99")._1 == 404)
+      assert(get2("/hybrid?terms=alpha&vec=1&limit=60&depth=10")._1 == 400)
+      // the wiki-fixture shim has no embeddings table → clean 400
+      assert(get(s"/hybrid?terms=abacus&vec=1")._1 == 400)
+
+      // time travel: at v0 only docs 1-2 exist — doc 3's 'delta' hit is
+      // invisible; latest serves it; unknown version → 404; the shim
+      // without a resolver 404s any asOf
+      val aq = "query=" + java.net.URLEncoder.encode("TEXT == 'delta'", UTF_8)
+      val (s0, b0) = get2(s"/query?$aq&format=json&asOf=0")
+      assert(s0 == 200 && !b0.contains("\"id\""), s"v0 must not see delta: $b0")
+      val (s1, b1) = get2(s"/query?$aq&format=json")
+      assert(s1 == 200 && b1.contains("\"id\":\"3\""), b1)
+      val (sv, bv) = get2(s"/query?$aq&format=json&asOf=1")
+      assert(sv == 200 && bv.contains("\"id\":\"3\""), bv)
+      assert(get2(s"/query?$aq&asOf=99")._1 == 404)
+      assert(get2(s"/query?$aq&asOf=x")._1 == 400)
+      assert(get(s"/query?$q&asOf=0")._1 == 404) // no resolver configured
+      // /count time-travels through the same resolver
+      val (cs, cb) = get2("/count?" + java.net.URLEncoder.encode("query", UTF_8) +
+        "=" + java.net.URLEncoder.encode("TEXT == 'alpha'", UTF_8) + "&asOf=0")
+      assert(cs == 200 && cb.contains("\"count\":2"), cb)
+    } finally shim2.stop()
+  }
+
   test("QueryService emits well-formed JSON for stored strings with control characters") {
     import spark.implicits._
     // tokenizeWs splits on single spaces ONLY, so a token can carry a
