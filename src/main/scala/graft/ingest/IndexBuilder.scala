@@ -200,19 +200,24 @@ case class WikiIndex(
     corpusStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/corpus_stats")
     storedSynonyms.foreach(
       _.coalesce(1).write.mode("overwrite").parquet(s"$dir/synonyms"))
-    fieldPostings.foreach { fp =>
+    fieldPostings.foreach { fp0 =>
       // a row-empty dataset written with partitionBy carries NO
       // schema-bearing file, so load would drop the table while the
       // metadata catalog still declares kind-p fields — write a single
       // schema-carrying empty file instead (legal corpus: every
       // declared value was null), keeping the loud missing-table error
-      // reserved for genuine loss/corruption
-      if (fp.isEmpty)
-        fp.coalesce(1).write.mode("overwrite").parquet(s"$dir/field_postings")
-      else fp
-        .repartition(col("partition"))
-        .sortWithinPartitions("fieldName", "term", "docId")
-        .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/field_postings")
+      // reserved for genuine loss/corruption. The frame is persisted
+      // around the probe so the postings derivation runs ONCE, not once
+      // for the emptiness check and again for the write.
+      val fp = fp0.persist()
+      try {
+        if (fp.isEmpty)
+          fp.coalesce(1).write.mode("overwrite").parquet(s"$dir/field_postings")
+        else fp
+          .repartition(col("partition"))
+          .sortWithinPartitions("fieldName", "term", "docId")
+          .write.mode("overwrite").partitionBy("partition").parquet(s"$dir/field_postings")
+      } finally { fp.unpersist(); () }
     }
   }
 }

@@ -209,14 +209,20 @@ object TextAnalysis {
     * dropped (the standard NB contract); a test document with NO seen
     * tokens yields no row.
     *
-    * Scale posture: the model is (vocabulary × labels) rows — broadcast
-    * both ways; training is one partial-aggregable count shuffle;
-    * scoring is a broadcast join on token + one keyed sum per
-    * (doc, label); the argmax window partitions per doc over ≤|labels|
-    * rows. Nothing corpus-pairwise, no driver-side model state.
+    * Scale posture: the model is (TRAINING vocabulary × labels) rows —
+    * bounded by the curated training corpus, not the classified one, so
+    * the default broadcasts it into the scoring join; training is one
+    * partial-aggregable count shuffle; scoring is the model join on
+    * token + one keyed sum per (doc, label); the argmax window
+    * partitions per doc over ≤|labels| rows. Nothing corpus-pairwise,
+    * no driver-side model state. `broadcastModel` is the size dial for
+    * a model past the broadcast threshold (web-scale vocabulary ×
+    * many labels): false drops the hint, and the token-keyed scoring
+    * join plans as a shuffled hash/sort-merge join instead — same
+    * rows, same hash, no driver/executor-memory ceiling.
     */
   def nbClassify(train: DataFrame, test: DataFrame,
-      labelCol: String = "lang"): DataFrame = {
+      labelCol: String = "lang", broadcastModel: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scale = lit(1000000.0)
     val tokTrain = train.select(col(labelCol).as("label"),
@@ -242,7 +248,8 @@ object TextAnalysis {
     val occ = test.select(col("doc_id"), col(labelCol).as("actual"),
         explode(toks(col("text"))).as("token"))
       .groupBy("doc_id", "actual", "token").agg(count(lit(1)).as("occ"))
-    val scores = occ.join(broadcast(model), "token")
+    val modelSide = if (broadcastModel) broadcast(model) else model
+    val scores = occ.join(modelSide, "token")
       .groupBy(col("doc_id"), col("actual"), col("label"))
       .agg(sum(col("occ") * col("logp")).as("ll"))
       .join(broadcast(priors), "label")

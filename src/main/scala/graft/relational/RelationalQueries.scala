@@ -704,8 +704,9 @@ object RelationalQueries {
     // the group's entire slice in one partition — ~20 M rows per task
     // at 100× — to pick ≤2 rows of it. Instead: (1) one map-side-
     // combined histogram over fixed-width value buckets (floor(v/W) is
-    // monotone, so bucket order IS value order), with cumulative counts
-    // over the HISTOGRAM (|G|·buckets rows, not the fact table);
+    // monotone, so bucket order IS value order; W derived from a
+    // min/max pre-pass capping the bucket count), with cumulative
+    // counts over the HISTOGRAM (≤ |G|·4096 rows, not the fact table);
     // (2) locate the ≤2 bracketing ranks' buckets per (group, p);
     // (3) rank ONLY those buckets' rows (global rank = bucket's
     // cumulative predecessor count + within-bucket row_number — exact
@@ -737,16 +738,23 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      // Pass 1: fixed-width histogram (W=100 ⇒ ~1k buckets over the
-      // price domain; width trades histogram size against bracketing-
-      // bucket slice size, exactness depends on neither), collected
-      // driver-side — |G|·buckets rows, a CONSTANT of the value domain,
-      // not the corpus (the same ≤buckets prefix-sum posture as
-      // Curation.qualityGate). Prefix sums, target ranks and bracketing
+      // Pass 1: bucket-width from a min/max pre-pass CAPPING the bucket
+      // count (≤4096 per group) — a fixed width would let a wide or
+      // heavy-tailed value domain blow the driver-side histogram
+      // collect up unboundedly; with the cap the collect is
+      // ≤ |G|·4096 rows at ANY domain, and exactness depends on
+      // neither the width nor the cap (bucket order is value order for
+      // any W > 0). The min/max agg is one map-side-combined pass over
+      // the narrow column. Prefix sums, target ranks and bracketing
       // buckets resolve in plain integer arithmetic here; chaining them
       // as DataFrames instead costs ~8 extra AQE stage round-trips on
       // the latency path to move ~3k rows.
-      val bucketed = base.withColumn("b", floor(col("v") / lit(100.0)).cast("long"))
+      val bounds = base.agg(min(col("v")), max(col("v"))).collect().head
+      val width =
+        if (bounds.isNullAt(0)) 1.0 // empty input: any W, nothing buckets
+        else math.max((bounds.getDouble(1) - bounds.getDouble(0)) / 4096.0,
+          1e-6)
+      val bucketed = base.withColumn("b", floor(col("v") / lit(width)).cast("long"))
       val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       // per (group, p, targetRank): the bucket covering the rank and the

@@ -922,6 +922,19 @@ class PipelineSpec extends SparkSuite {
     assert(out == Map(10L -> "en", 11L -> "fr", 12L -> "en"))
   }
 
+  test("nbClassify: broadcastModel=false (the past-threshold size dial) scores identically through a shuffled model join") {
+    val train = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb bb", "en"),
+      (3L, "xx xx yy", "fr"), (4L, "xx yy yy", "fr")).toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (10L, "aa bb aa", "en"), (11L, "yy xx", "fr"), (12L, "aa aa aa xx", "en"))
+      .toDF("doc_id", "text", "lang")
+    val hinted   = TextAnalysis.nbClassify(train, test).collect().map(_.toSeq).toSeq
+    val shuffled = TextAnalysis.nbClassify(train, test, broadcastModel = false)
+      .collect().map(_.toSeq).toSeq
+    assert(hinted == shuffled)
+  }
+
   test("nbClassify: unseen test tokens are dropped; all-unseen doc yields no row") {
     val train = Seq((1L, "aa bb", "en"), (2L, "xx yy", "fr")).toDF("doc_id", "text", "lang")
     val test = Seq(
