@@ -549,6 +549,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Radius search: all neighbors with cosine >= tau per query — the
+    // range-query companion to sim_topk (no window in the plan at all:
+    // broadcast queries x streamed corpus + a codegen'd threshold
+    // filter). The oracle thresholds the same unrounded cosine. Bench:
+    // s_rg.
+    NamedQuery(
+      "sim_range",
+      s"""SELECT query_id, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS raw,
+         |    ROUND(${cosSql("q.embedding", "c.embedding")}, 4) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 100 = 0) t
+         |WHERE raw >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") % 100 === 0), tau = 0.3)
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // k-NN majority-vote classification (the standard embedding-space
     // label-propagation op): queries = every 25th vector, corpus = the
     // rest; k=5 exact-cosine neighbors vote, most votes wins, vote ties

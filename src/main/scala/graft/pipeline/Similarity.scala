@@ -139,6 +139,34 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Radius (range) search: every corpus neighbor with cosine ≥ `tau`
+    * of each query vector — the all-neighbors companion to `topK`
+    * (near-dup thresholding, similarity-graph construction, "everything
+    * close enough" retrieval). NO window anywhere: the scored join
+    * filters on the threshold directly, so the plan is broadcast
+    * queries × streamed corpus + one codegen'd filter — nothing is
+    * globally sorted and no task holds more than its input split
+    * (contrast `topK`'s bounded per-query window, which this op does
+    * not need). The threshold compares the UNROUNDED cosine (the same
+    * value `topK` orders by); the returned column is rounded to 4 dp
+    * for display/oracle portability. Composes over any candidate
+    * source like the other exact producers (IVF cells / LSH buckets
+    * prefilter, this thresholds the verified candidates).
+    */
+  def rangeSearch(emb: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"), norm(col("embedding")).as("qnrm"))
+    corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 4).as("cosine"))
+  }
+
   /** k-NN majority-vote classification: each query vector takes the modal
     * label among its k nearest CORPUS neighbors by exact cosine (most
     * votes wins; vote ties break to the smallest label). The neighbor
