@@ -46,7 +46,10 @@ object Bench {
     "ws_page_q"            -> "ws_pg",
     "ws_infix_q"           -> "ws_ix",
     "ws_syn_q"             -> "ws_sy",
+    "ws_syn_persist_q"     -> "ws_sp",
     "ws_fld_q"             -> "ws_fd",
+    "ws_live_fld_q"        -> "ws_lf",
+    "ws_asof_q"            -> "ws_ao",
     "ws_index_incremental" -> "ws_inc",
     "ws_index_termfreq"    -> "ws_itf",
     "ws_content_fetch"     -> "ws_cf",
@@ -86,6 +89,7 @@ object Bench {
     "sim_pq_topk"          -> "s_pq",
     "sim_ivfpq_topk"       -> "s_ivfpq",
     "sim_recall"           -> "s_rec",
+    "sim_range"            -> "s_rg",
     "ta_stats"             -> "t_st",
     "ta_quality"           -> "t_q",
     "ta_langid"            -> "t_l",

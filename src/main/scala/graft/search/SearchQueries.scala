@@ -166,16 +166,32 @@ object SearchQueries {
     * (the store is immutable corpus state — same memoization
     * discipline as `engine`'s saved index).
     */
-  private val liveCache = TrieMap.empty[String, WikiSearchEngine]
-  def liveEngine(s: SparkSession, dir: String): WikiSearchEngine =
-    liveCache.getOrElseUpdate(dir, {
+  private val liveStoreCache =
+    TrieMap.empty[String, graft.streaming.LiveEngineMaintainer]
+  private def liveStore(s: SparkSession, dir: String)
+      : graft.streaming.LiveEngineMaintainer =
+    liveStoreCache.getOrElseUpdate(dir, {
       val docs = Tables.load(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("graft-live-store").toString
       val m = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions)
       (0 until 3).foreach(b =>
         m.processBatch(docs.filter(col("doc_id") % 3 === b), b.toLong))
-      new WikiSearchEngine(s, m.latestIndex.get)
+      m
     })
+
+  private val liveCache = TrieMap.empty[String, WikiSearchEngine]
+  def liveEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    liveCache.getOrElseUpdate(dir, new WikiSearchEngine(s, liveStore(s, dir).latestIndex.get))
+
+  /** LSM TIME TRAVEL over the same live store: the snapshot at version
+    * 1 of 2 — batch 2's documents (doc_id % 3 == 2) must be invisible,
+    * which is exactly what the `ws_asof_q` oracle states. Same
+    * memoization discipline; shares `liveStore`'s three-batch build
+    * with `liveEngine` (two engines, one store).
+    */
+  private val asOfCache = TrieMap.empty[String, WikiSearchEngine]
+  def asOfEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    asOfCache.getOrElseUpdate(dir, new WikiSearchEngine(s, liveStore(s, dir).indexAt(1L).get))
 
   /** An engine served from a live store WITH tombstone deletes: two
     * ingest batches (doc_id%3 ∈ {0,1}), a delete batch tombstoning
@@ -765,6 +781,23 @@ object SearchQueries {
          |         len(list_filter(pa, q -> q >= s AND q <= s + 4)) > 0)) > 0)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       ids(liveEngine(s, dir).run("TEXT == 'spark' and f:near(TEXT, 4, 'hash', 'join')"))
+    },
+
+    // LSM TIME TRAVEL on the correctness gate: the SAME live store as
+    // ws_live_q, served at committed version 1 of 2 — batch 2's docs
+    // (doc_id % 3 == 2) must be invisible to the snapshot while the
+    // store itself serves them at latest (ws_live_q proves that half).
+    // The oracle is fully declarative: the visibility cut is the batch
+    // schedule itself.
+    NamedQuery(
+      "ws_asof_q",
+      s"""SELECT doc_id, lang AS language FROM documents
+         |WHERE doc_id % 3 <> 2
+         |  AND list_contains($toks, 'spark')
+         |  AND (list_contains($toks, 'vector') OR list_contains($toks, 'stream'))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ids(asOfEngine(s, dir).run(
+        "TEXT == 'spark' and (TEXT == 'vector' or TEXT == 'stream')"))
     },
 
     // LIVE-store DELETES on the correctness gate: tombstoned docs must
