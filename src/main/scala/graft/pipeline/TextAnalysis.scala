@@ -227,9 +227,15 @@ object TextAnalysis {
     val scale = lit(1000000.0)
     val tokTrain = train.select(col(labelCol).as("label"),
       explode(toks(col("text"))).as("token"))
+    // ONE pass over the exploded training corpus: `tot` (per-label token
+    // total) and `vocab` both DERIVE from the (label, token) counts —
+    // identical numbers (Σ cnt per label ≡ count of occurrences), and
+    // the three subtrees share the one aggregation exchange
+    // (ReusedExchange) instead of re-exploding the train table three
+    // times. The downstream frames are model-sized, not corpus-sized.
     val cnt = tokTrain.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
-    val tot = tokTrain.groupBy("label").agg(count(lit(1)).as("tot"))
-    val vocab = tokTrain.select("token").distinct()
+    val tot = cnt.groupBy("label").agg(sum(col("cnt")).as("tot"))
+    val vocab = cnt.select("token").distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val model = vocab.crossJoin(broadcast(tot))
       .join(cnt, Seq("label", "token"), "left")
