@@ -317,6 +317,176 @@ class EngineEquivalenceSpec extends SparkSuite {
     assert(checked >= 40, s"only $checked queries actually checked")
   }
 
+  test("random boolean queries with proximity + synonym leaves ≡ substituted residual oracle") {
+    // Round-9 added two pre-planning semantics (synonym expansion) and
+    // one new leaf family (field-generic proximity). This property puts
+    // BOTH under the same index-vs-scan oracle as the EQ/NE/range
+    // property above, under arbitrary AND/OR/NOT composition to depth 3.
+    //
+    // The residual compiler compiles proximity leaves to TRUE (they are
+    // index-ENFORCED), so the raw scan cannot oracle them. Instead each
+    // generated query is produced as a PAIR (engine form, oracle form)
+    // with leaf-level substitution:
+    //  - a proximity leaf (f:near / f:onear / f:phrase, on TEXT or on
+    //    the DECLARED positional field COMMENTS) becomes a disjunction
+    //    of ID == '<doc>' over the docs a driver-side positional oracle
+    //    (raw-text token positions, independent of postings and planner)
+    //    says match — sound under any boolean composition because both
+    //    the leaf and its substitute are 2-valued (never NULL);
+    //  - a synonym-bearing TEXT EQ/NE leaf becomes its hand-written
+    //    expansion (EQ → OR over the set, NE → AND of exclusions),
+    //    independently restating the intended semantics rather than
+    //    reusing the engine's rewriter.
+    // The oracle form then runs through the SAME pure full-scan residual
+    // as the base property, so 3VL composition of everything else is
+    // preserved. The engine's placement rule (proximity is conjunctive-
+    // only) shapes the generator: proximity leaves are drawn only while
+    // the path from the root is all-AND; OR and NOT flip the subtree to
+    // plain+synonym leaves.
+    val synMap = Map(
+      "alpha"   -> Seq("beta"),
+      "gamma"   -> Seq("delta", "epsilon"),
+      "sigmoid" -> Seq("rhombus"))
+    val docsP = docsDf.withColumn("comments",
+      concat_ws(" ", slice(split(col("text"), " "), 1, 6)))
+    val ixP  = IndexBuilder.fromDocumentsTable(spark, docsP, numPartitions = 4,
+      extraFields = Map("COMMENTS" -> col("comments")),
+      offsetsFields = Set("COMMENTS")).cacheAll()
+    val engP = new WikiSearchEngine(spark, ixP, EngineConfig(synonyms = synMap))
+    val toksByField: Map[String, Map[String, Array[String]]] = {
+      val rows = docsP.select("doc_id", "text", "comments").collect()
+      Map(
+        "TEXT"     -> rows.map(r => r.getLong(0).toString -> r.getString(1).split(" ")).toMap,
+        "COMMENTS" -> rows.map(r => r.getLong(0).toString -> r.getString(2).split(" ")).toMap)
+    }
+    def pairNear(field: String, a: String, b: String, k: Int): Set[String] =
+      toksByField(field).collect { case (id, tk) if {
+        val pa = tk.zipWithIndex.collect { case (`a`, i) => i }
+        val pb = tk.zipWithIndex.collect { case (`b`, i) => i }
+        pa.exists(i => pb.exists(j => math.abs(i - j) <= k))
+      } => id }.toSet
+    def onear(field: String, ts: Seq[String], k: Int): Set[String] =
+      toksByField(field).collect { case (id, tk) if {
+        val pos = ts.map(t => tk.zipWithIndex.collect { case (`t`, i) => i })
+        def chain(i: Int, prev: Int, start: Int): Boolean =
+          i == pos.size ||
+            pos(i).exists(q => q > prev && q <= start + k && chain(i + 1, q, start))
+        pos.forall(_.nonEmpty) && pos.head.exists(p => chain(1, p, p))
+      } => id }.toSet
+    def phrase(field: String, ts: Seq[String]): Set[String] =
+      toksByField(field).collect { case (id, tk) if tk.indices
+        .exists(i => tk.slice(i, i + ts.size).sameElements(ts)) => id }.toSet
+    def idsOr(ids: Set[String]): String =
+      if (ids.isEmpty) "ID == '-1'"
+      else ids.toSeq.sorted.map(id => s"ID == '$id'").mkString("(", " or ", ")")
+    // a real adjacent bigram from a random doc of the given field —
+    // guaranteed phrase/onear hits (random vocab pairs mostly miss)
+    def realBigram(field: String): Seq[String] = {
+      val tk = toksByField(field)(rnd.nextInt(150).toString)
+      if (tk.length < 2) Seq(word(), word())
+      else { val at = rnd.nextInt(tk.length - 1); Seq(tk(at), tk(at + 1)) }
+    }
+    def proxLeaf(): (String, String) = {
+      val field = if (rnd.nextInt(2) == 0) "TEXT" else "COMMENTS"
+      rnd.nextInt(4) match {
+        case 0 =>
+          val (a, b, k) = (word(), word(), rnd.nextInt(5))
+          (s"f:near($field, '$a', '$b', $k)", idsOr(pairNear(field, a, b, k)))
+        case 1 =>
+          val ts = if (rnd.nextInt(2) == 0) realBigram(field) else Seq(word(), word())
+          val k  = rnd.nextInt(6)
+          // the k-form window is order-free: span ≤ k over one
+          // occurrence each — for 2 terms that is exactly |i-j| ≤ k
+          (s"f:near($field, $k, ${ts.map(t => s"'$t'").mkString(", ")})",
+            idsOr(pairNear(field, ts.head, ts.last, k)))
+        case 2 =>
+          val ts = if (rnd.nextInt(2) == 0) realBigram(field) else Seq(word(), word())
+          val k  = rnd.nextInt(6)
+          (s"f:onear($field, $k, ${ts.map(t => s"'$t'").mkString(", ")})",
+            idsOr(onear(field, ts, k)))
+        case _ =>
+          val ts = if (rnd.nextInt(2) == 0) realBigram(field) else Seq(word(), word())
+          (s"f:phrase($field, '${ts.mkString(" ")}')", idsOr(phrase(field, ts)))
+      }
+    }
+    def plainLeaf(): (String, String) = rnd.nextInt(6) match {
+      case 0 =>
+        val w = word()
+        val o = synMap.get(w).map(alts =>
+          (w +: alts).map(a => s"TEXT == '$a'").mkString("(", " or ", ")"))
+          .getOrElse(s"TEXT == '$w'")
+        (s"TEXT == '$w'", o)
+      case 1 =>
+        val w = word()
+        val o = synMap.get(w).map(alts =>
+          (w +: alts).map(a => s"TEXT != '$a'").mkString("(", " and ", ")"))
+          .getOrElse(s"TEXT != '$w'")
+        (s"TEXT != '$w'", o)
+      case 2 =>
+        // force a synonym key half the time so expansion is actually hot
+        val w = synMap.keys.toSeq.sorted.apply(rnd.nextInt(synMap.size))
+        val o = (w +: synMap(w)).map(a => s"TEXT == '$a'").mkString("(", " or ", ")")
+        (s"TEXT == '$w'", o)
+      case 3 =>
+        val s0 = s"SOURCE == 'src${1 + rnd.nextInt(3)}'"; (s0, s0)
+      case 4 =>
+        val s0 = s"NCHARS >= ${20 + rnd.nextInt(40)}"; (s0, s0)
+      case _ =>
+        val s0 = s"NCHARS < ${30 + rnd.nextInt(60)}"; (s0, s0)
+    }
+    def gen(depth: Int, conj: Boolean): (String, String) = {
+      if (depth == 0) {
+        if (conj && rnd.nextInt(3) == 0) proxLeaf() else plainLeaf()
+      } else rnd.nextInt(5) match {
+        case 0 =>
+          val (a1, o1) = gen(depth - 1, conj); val (a2, o2) = gen(depth - 1, conj)
+          (s"($a1 and $a2)", s"($o1 and $o2)")
+        case 1 =>
+          val (a1, o1) = gen(depth - 1, conj = false); val (a2, o2) = gen(depth - 1, conj = false)
+          (s"($a1 or $a2)", s"($o1 or $o2)")
+        case 2 =>
+          val (a1, o1) = gen(depth - 1, conj = false)
+          (s"not $a1", s"not $o1")
+        case 3 =>
+          val (a1, o1) = gen(depth - 1, conj); val (a2, o2) = gen(depth - 1, conj)
+          val (a3, o3) = gen(depth - 1, conj)
+          (s"($a1 and $a2 and $a3)", s"($o1 and $o2 and $o3)")
+        case _ => if (conj && rnd.nextInt(3) == 0) proxLeaf() else plainLeaf()
+      }
+    }
+    def scanIdsP(q: String): Set[String] = {
+      val ast = QueryParser.parse(q)
+      ixP.events.filter(Compiler.compile(ast))
+        .select("docId").collect().map(_.getString(0)).toSet
+    }
+    var checked = 0
+    var proxChecked = 0
+    var synChecked = 0
+    (1 to 120).foreach { i =>
+      val (engQ, oraQ) = gen(1 + rnd.nextInt(3), conj = true)
+      try {
+        val got  = engP.run(engQ).select("docId").collect().map(_.getString(0)).toSet
+        val want = scanIdsP(oraQ)
+        assert(got == want,
+          s"divergence on query #$i:\n engineQ=$engQ\n oracleQ=$oraQ\n engine=${got.toSeq.sorted}\n scan=${want.toSeq.sorted}")
+        // the count fast path must agree on any shape it claims here too
+        engP.fastCount(engQ).foreach { n =>
+          assert(n == want.size.toLong,
+            s"fastCount divergence on #$i: $engQ: fast=$n scan=${want.size}")
+        }
+        checked += 1
+        if (engQ.contains("f:")) proxChecked += 1
+        if (synMap.keys.exists(k =>
+          engQ.contains(s"TEXT == '$k'") || engQ.contains(s"TEXT != '$k'"))) synChecked += 1
+      } catch {
+        case _: IllegalArgumentException => () // rejected placement / all-negation
+      }
+    }
+    assert(checked >= 80, s"only $checked queries actually checked")
+    assert(proxChecked >= 15, s"only $proxChecked proximity-bearing queries checked")
+    assert(synChecked >= 15, s"only $synChecked synonym-bearing queries checked")
+  }
+
   test("40 random EQ/NE-only queries: the count fast path engages and equals the residual truth") {
     // every posting in this corpus is exact (df ≈ 50 spread over 12
     // (partition, language) shards stays under MAX=20), so an EQ/NE-only
