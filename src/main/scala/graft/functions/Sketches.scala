@@ -66,4 +66,75 @@ object Sketches {
           KmvBuf(((us.take(p) :+ u) ++ us.drop(p)).take(k))
       }
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): d rows of w
+    * counters; each key increments one counter per row (row j's bucket
+    * = salted splitmix64 of the key mod w), and the frequency estimate
+    * for a key is the MIN over its d counters — always ≥ the true
+    * count (one-sided error), within εN with high probability.
+    *
+    * Same bounded-state posture as KMV applied to FREQUENCY: the
+    * partial-aggregate buffer is d·w longs no matter how many rows or
+    * distinct keys a partition holds (where an exact per-key count
+    * shuffles every distinct key), the merge is element-wise counter
+    * addition (associative, commutative), and map-side combine applies
+    * — each partition ships one d·w vector, not its key set. This is
+    * the heavy-hitter primitive for unbounded key domains (users,
+    * URLs, n-grams) at stream scale.
+    *
+    * Determinism contract (for the DuckDB oracle): bucket j of key x is
+    * `mix64(x XOR (golden · (j+1))) mod w` — pure integer math the
+    * oracle re-derives in HUGEINT arithmetic (same splitmix64 chain as
+    * the curation hashes), so counter values and estimates are
+    * bit-identical under any parallelism or input order.
+    */
+  def cmsBucket(x: Long, j: Int, w: Int): Int = {
+    val salt = 0x9e3779b97f4a7c15L * (j + 1) // mod-2^64 Long wrap, by design
+    java.lang.Long.remainderUnsigned(
+      graft.pipeline.Dedup.mix64(x ^ salt), w.toLong).toInt
+  }
+
+  /** Flattened row-major d·w counter matrix. */
+  case class CmsBuf(counts: Array[Long])
+
+  class CmsAggregator(d: Int, w: Int) extends Aggregator[Long, CmsBuf, Seq[Long]] {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2: d=$d w=$w")
+
+    def zero: CmsBuf = CmsBuf(new Array[Long](d * w))
+
+    // in-place increment: the ObjectHashAggregate buffer object lives in
+    // memory between reduce calls, so mutation avoids a d·w copy per row
+    def reduce(b: CmsBuf, x: Long): CmsBuf = {
+      var j = 0
+      while (j < d) { b.counts(j * w + cmsBucket(x, j, w)) += 1; j += 1 }
+      b
+    }
+
+    def merge(b1: CmsBuf, b2: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < d * w) { b1.counts(i) += b2.counts(i); i += 1 }
+      b1
+    }
+
+    def finish(b: CmsBuf): Seq[Long] = b.counts.toSeq
+
+    def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** The estimate read side: min over the d counters the key hashes to.
+    * Runs over candidate keys only (bounded rows) — the corpus-scale
+    * pass is the aggregator above.
+    */
+  def cmsEstimate(sketch: Seq[Long], x: Long, d: Int, w: Int): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < d) {
+      val c = sketch(j * w + cmsBucket(x, j, w))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
 }

@@ -24,6 +24,13 @@ object RelationalQueries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(14,$scale)"))
 
+  /** CMS geometry shared by the q36 operator and its oracle SQL.
+    * Declared BEFORE `all`: the oracle string interpolates these at
+    * object init, so a later declaration would read 0.
+    */
+  private final val CmsD = 4
+  private final val CmsW = 512
+
   val all: Seq[NamedQuery] = Seq(
 
     // -- q1: TPC-H Q1 shape — full-scan partial aggregation ---------------
@@ -972,8 +979,66 @@ object RelationalQueries {
         .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
           col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("hour", "event_type")
+    },
+
+    // -- q36: count-min heavy-hitter estimation ---------------------------
+    // CMS over the event stream's user_id: the frequency companion to
+    // q34's KMV cardinality sketch. ONE corpus pass builds the d×w
+    // counter matrix (partial-agg state is d·w longs per partition —
+    // map-side combined, nothing key-shaped shuffles); candidate keys
+    // (a bounded sample set) then read `min` over their d counters from
+    // the broadcast one-row sketch. est_events ≥ n_exact ALWAYS (CMS
+    // one-sided error) and the oracle re-derives the identical bucket
+    // sums — the same salted-splitmix64 chain in HUGEINT arithmetic —
+    // so this is a hash-exact compare, not a tolerance check; n_exact
+    // doubles as the accuracy witness.
+    NamedQuery(
+      "q36_cms_heavy",
+      s"""WITH cand AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+         |${(0 until CmsD).map(j => cmsBucketCtes(s"o$j", "events", j) +
+              s",\nbc$j AS (SELECT bucket, count(*) AS c FROM o${j}f GROUP BY bucket)")
+              .mkString(",\n")},
+         |${(0 until CmsD).map(j => cmsBucketCtes(s"q$j", "cand", j)).mkString(",\n")},
+         |ex AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+         |SELECT cand.user_id, CAST(ex.n AS BIGINT) AS n_exact,
+         |  CAST(least(${(0 until CmsD).map(j => s"x$j.c").mkString(", ")}) AS BIGINT) AS est_events
+         |FROM cand
+         |JOIN ex ON ex.user_id = cand.user_id
+         |${(0 until CmsD).map(j =>
+              s"JOIN q${j}f ON q${j}f.user_id = cand.user_id " +
+              s"JOIN bc$j x$j ON x$j.bucket = q${j}f.bucket").mkString("\n")}
+         |ORDER BY cand.user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Sketches
+      val ev  = Tables.events(s, dir)
+      val cms = udaf(new Sketches.CmsAggregator(CmsD, CmsW))
+      val sk  = ev.agg(cms(col("user_id")).as("sk")) // one row, d·w longs
+      val cands = ev.select("user_id")
+        .filter(pmod(col("user_id"), lit(7)) === 0).distinct()
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      // the estimate UDF runs over |cand| rows against the broadcast
+      // sketch — bounded by the candidate set, never corpus-scaled
+      val est = udf { (u: Long, sk: Seq[Long]) =>
+        Sketches.cmsEstimate(sk, u, CmsD, CmsW) }
+      cands.join(broadcast(exact), "user_id")
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), col("n_exact"),
+          est(col("user_id"), col("sk")).as("est_events"))
+        .orderBy("user_id")
     }
   )
+
+  /** CTE chain re-deriving `Sketches.cmsBucket(x, j, w)` for every
+    * user_id of `src`: salted splitmix64 (salt = golden · (j+1), the
+    * same constant the Scala side wraps mod 2⁶⁴) then mod w — constants
+    * printed from the Scala values so they cannot drift.
+    */
+  private def cmsBucketCtes(tag: String, src: String, j: Int): String = {
+    val salt = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L * (j + 1))
+    s"""${tag}0 AS (SELECT user_id, xor(CAST(user_id AS UBIGINT), CAST($salt AS UBIGINT)) AS h FROM $src),
+       |${tag}1 AS (SELECT user_id, ${kmvMul("xor(h, h >> 30)", 0xbf58476d1ce4e5b9L)} AS h FROM ${tag}0),
+       |${tag}2 AS (SELECT user_id, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM ${tag}1),
+       |${tag}f AS (SELECT user_id, CAST(xor(h, h >> 31) % $CmsW AS INT) AS bucket FROM ${tag}2)""".stripMargin
+  }
 
   /** 64-bit wrapping multiply in DuckDB HUGEINT arithmetic (the oracle
     * side of `Sketches.kmvPoint`'s splitmix64 — same technique as the

@@ -47,4 +47,53 @@ class SketchesSpec extends SparkSuite {
     // 500 distinct per group, k=64 → estimate path; both far from zero
     rows.foreach(r => assert(math.abs(r.getDouble(1) - 500.0) / 500.0 < 0.5))
   }
+
+  private def cms(d: Int, w: Int) = udaf(new Sketches.CmsAggregator(d, w))
+
+  test("CMS estimate is one-sided (est >= exact for EVERY key) and exact when collision-free") {
+    // zipfian-ish multiplicities over 200 keys
+    val rows = (1L to 200L).flatMap(k => Seq.fill((200 / k).toInt)(k))
+    val sk = rows.toDF("id").agg(cms(4, 512)(col("id"))).head.getSeq[Long](0)
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, n) =>
+      val est = Sketches.cmsEstimate(sk, k, 4, 512)
+      assert(est >= n, s"CMS underestimated key $k: est=$est exact=$n")
+    }
+    // 200 keys into 512 buckets collide per-row at birthday rates
+    // (~32% of keys share a bucket in any one row), but a key is only
+    // OVERestimated when it collides in ALL 4 independent rows (~1%):
+    // most keys must come back exact, and every overestimate obeys the
+    // CMS bound est - exact <= (e/w)·N up to small-N slack (use 4x).
+    val n = rows.size.toLong
+    val exactKeys = exact.count { case (k, c) => Sketches.cmsEstimate(sk, k, 4, 512) == c }
+    assert(exactKeys >= (exact.size * 9) / 10,
+      s"only $exactKeys/${exact.size} keys exact")
+    exact.foreach { case (k, c) =>
+      val over = Sketches.cmsEstimate(sk, k, 4, 512) - c
+      assert(over <= 4 * (math.E / 512 * n).ceil.toLong,
+        s"key $k overestimate $over beyond the CMS envelope")
+    }
+  }
+
+  test("CMS sketch is invariant to partitioning (merge = counter addition)") {
+    val rows = (1L to 3000L).map(i => i % 97).toDF("id")
+    val s1 = rows.repartition(1).agg(cms(4, 256)(col("id"))).head.getSeq[Long](0)
+    val s17 = rows.repartition(17).agg(cms(4, 256)(col("id"))).head.getSeq[Long](0)
+    val s64 = rows.repartition(64).agg(cms(4, 256)(col("id"))).head.getSeq[Long](0)
+    assert(s1 == s17 && s17 == s64)
+    // total mass per row equals the input row count — counters only add
+    (0 until 4).foreach(j => assert(s1.slice(j * 256, (j + 1) * 256).sum == 3000L))
+  }
+
+  test("CMS under-capacity forces collisions but min-of-rows still bounds them") {
+    // 500 distinct keys into w=64: every row collides heavily; est must
+    // stay >= exact everywhere yet beat any single row's counter
+    val rows = (1L to 500L).toDF("id")
+    val sk = rows.agg(cms(4, 64)(col("id"))).head.getSeq[Long](0)
+    (1L to 500L).foreach { k =>
+      val est = Sketches.cmsEstimate(sk, k, 4, 64)
+      val worst = (0 until 4).map(j => sk(j * 64 + Sketches.cmsBucket(k, j, 64))).max
+      assert(est >= 1L && est <= worst)
+    }
+  }
 }
