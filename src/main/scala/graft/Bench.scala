@@ -118,11 +118,22 @@ object Bench {
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")
 
-  def shortName(name: String): String = name match {
-    case s if shortMap.contains(s)     => shortMap(s)
-    case s if s.matches("q\\d+_.*")    => s.takeWhile(_ != '_')
-    case s if s.matches("ws_q\\d+_.*") => "ws_" + s.drop(3).takeWhile(_ != '_')
-    case s => s
+  def shortName(name: String): String = {
+    val s = name match {
+      case s0 if shortMap.contains(s0)     => shortMap(s0)
+      case s0 if s0.matches("q\\d+_.*")    => s0.takeWhile(_ != '_')
+      case s0 if s0.matches("ws_q\\d+_.*") => "ws_" + s0.drop(3).takeWhile(_ != '_')
+      case s0 => s0
+    }
+    // Final line-budget compression (round 10: 136 entries pushed the
+    // line to 1768 chars, past the 1650 alarm): the family prefix keeps
+    // ONE char and the separator drops — "ws_q1" -> "wq1", "ws_inc" ->
+    // "winc", "dd_mh" -> "dmh", "s_rg" -> "srg", "t_nb" -> "tnb".
+    // Registry/CORRECTNESS names are UNCHANGED; the startup collision
+    // `require` still guards the whole composed mapping.
+    if (s.startsWith("ws_")) "w" + s.drop(3)
+    else if (s.startsWith("dd_")) "d" + s.drop(3)
+    else s.replaceFirst("_", "")
   }
 
   def main(args: Array[String]): Unit = {
@@ -275,7 +286,9 @@ object Bench {
     // README; wall = n/qps): same information, ~50 chars back for the
     // per-query map.
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","concurrent":{"n":$nQueries,"qps":${f2(nQueries / concWall)},"qps_best":${f2(nQueries / concWallBest)}}}"""
+    // "best" = best-of-five-passes qps (named "qps_best" through round
+    // 9's BENCH_r json; shortened for line budget).
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","concurrent":{"n":$nQueries,"qps":${f2(nQueries / concWall)},"best":${f2(nQueries / concWallBest)}}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)
