@@ -65,7 +65,9 @@ object Plans {
       "ws_stats_q" -> "index catalog statistics: one partial-aggregable pass over the postings store, keyed on the bounded language domain — the batch ANALYZE surface",
       "ta_nb_langid" -> "trained NB classifier: vocabulary-x-labels model broadcast into a token join, one keyed integer sum per (doc,label), per-doc argmax — quantized log-likelihoods make inference exact integer arithmetic",
       "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent",
-      "ws_complete_q" -> "prefix autocomplete: StringStartsWith pushed to the value-sorted global-index scan (the forward twin of the reverse-index suffix probe) + bounded TakeOrderedAndProject")
+      "ws_complete_q" -> "prefix autocomplete: StringStartsWith pushed to the value-sorted global-index scan (the forward twin of the reverse-index suffix probe) + bounded TakeOrderedAndProject",
+      "sim_range" -> "radius similarity search: broadcast queries x streamed corpus + ONE codegen'd threshold filter — no window, no global sort, no task holds more than its input split",
+      "q36_cms_heavy" -> "count-min heavy hitters: ObjectHashAggregate whose partial state is the d*w counter matrix (map-side combined, nothing key-shaped shuffles); candidates read min-of-counters from the broadcast one-row sketch")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")
