@@ -397,9 +397,29 @@ object Similarity {
   case class IvfIndex(
       cents: Array[Array[Double]], assigned: DataFrame, pruneScan: Boolean = false)
 
+  /** Pass `cells = AutoCells` (the default) to size the cell count to
+    * the corpus: ~√n clamped to [16, 4096]. A FIXED cell count is the
+    * quadratic trap the round-10 sf10 scaling audit caught: with
+    * constant cells, each probe reranks nprobe/cells of the CORPUS —
+    * a constant fraction — so probe work grows n·(n·nprobe/cells) = n²
+    * as corpus and query count scale together (measured: sim_ivf_topk
+    * 1.0 s at 20k vectors → 167 s at 200k under cells=16). √n cells
+    * keep per-cell size ~√n, so the same probe costs n^1.5 in
+    * aggregate — the standard IVF sizing rule. Driver state stays
+    * cells·dim doubles (≤ 4096·dim).
+    */
+  final val AutoCells = -1
+
   def buildIvf(
-      emb: DataFrame, cells: Int = 16, iters: Int = 2, persist: Boolean = true): IvfIndex = {
-    val cents = trainIvf(emb, cells, iters)
+      emb: DataFrame, cells: Int = AutoCells, iters: Int = 2,
+      persist: Boolean = true): IvfIndex = {
+    val k =
+      if (cells > 0) cells
+      else {
+        val n = emb.count() // build-time-only job; the index amortizes it
+        math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+      }
+    val cents = trainIvf(emb, k, iters)
     val assigned = assignIvf(cents, emb)
     IvfIndex(cents, if (persist) assigned.cache() else assigned)
   }

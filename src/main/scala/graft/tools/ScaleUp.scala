@@ -15,14 +15,22 @@ import org.apache.spark.sql.functions._
   *  - `documents`: verbatim copies would make every doc a 10-way exact
   *    near-dup, so LSH/MinHash pair output would scale ~N^2 by data
   *    construction and any dedup curve would be meaningless. Instead
-  *    ~30% of tokens (hash-selected, deterministic) get a per-copy
-  *    suffix: cross-copy Jaccard drops to ~0.54 (below near-dup
-  *    thresholds) while within-copy structure is exact, so pair counts
-  *    scale Nx like a real corpus. The serving-query vocabulary
-  *    (ws_q1/q8/bm25/hybrid terms) is exempted so those terms' document
-  *    frequency — and the postings the queries touch — scales Nx too.
-  *    n_chars is recomputed from the rewritten text (NCHARS range
-  *    queries must see the real value).
+  *    ~60% of tokens (hash-selected, deterministic) get a per-copy
+  *    suffix, which pushes cross-copy SHINGLE Jaccard to ~0.4³ ≈ 0.06
+  *    — realistic independence for unrelated docs. (The first cut
+  *    renamed 30%, leaving cross-copy shingle Jaccard ≈ 0.34/(2−0.34)
+  *    ≈ 0.2: inside the 32×2 minhash banding's candidate zone, so
+  *    EVERY doc had N−1 candidate partners that failed exact verify —
+  *    a pathologically dense near-miss band no real corpus has, which
+  *    made dd_minhash_lsh's exact-verify join look quadratic. That IS
+  *    a true LSH property worth knowing — candidate density, not
+  *    corpus size, drives its cost — but a scaling fixture should
+  *    model independent copies.) Within-copy structure is exact, so
+  *    true pair counts scale Nx like a real corpus. The serving-query
+  *    vocabulary (ws_q1/q8/bm25/hybrid terms) is exempted so those
+  *    terms' document frequency — and the postings the queries touch —
+  *    scales Nx too. n_chars is recomputed from the rewritten text
+  *    (NCHARS range queries must see the real value).
   *  - `embeddings`: verbatim vectors would collapse ANN to exact-dup
   *    retrieval and IVF training to 10x-weighted duplicate points; a
   *    deterministic per-(copy, vec, dim) jitter of ~±0.01 keeps copies
@@ -89,7 +97,7 @@ object ScaleUp {
       if (i == 0) d
       else {
         val renamed = transform(split(col("text"), " "),
-          t => when(pmod(hash(t), lit(10)) < 3 && !array_contains(keepArr, t),
+          t => when(pmod(hash(t), lit(10)) < 6 && !array_contains(keepArr, t),
             concat(t, lit("_" + i))).otherwise(t))
         d.withColumn("text", array_join(renamed, " "))
           .withColumn("n_chars", length(col("text")))
