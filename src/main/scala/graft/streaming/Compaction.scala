@@ -84,11 +84,32 @@ object Compaction {
 
   /** Compact the ANN maintainer's assignment deltas at `dir`
     * (concatenation with tombstones applied PHYSICALLY — same
-    * right-to-be-forgotten contract as `compactEngine`; the frozen
-    * codebook at `<dir>/centroids` is store-level state, untouched).
+    * right-to-be-forgotten contract as `compactEngine`).
+    *
+    * `retrainCells` re-sizes the IVF index while it has the full pass
+    * in hand — the LIVE-store arm of the round-10 scaling fix (a cell
+    * count frozen at first-batch size becomes the fixed-cells
+    * quadratic trap once the store grows 100×):
+    *  - 0 (default): keep the frozen centroids. If the read-set base
+    *    carried a retrained centroid part, it is COPIED FORWARD into
+    *    the new base, so a later default compaction never silently
+    *    reverts a retrain.
+    *  - `Similarity.AutoCells` (−1): retrain on the masked live
+    *    vectors with ~√n cells (clamped [16, 4096]); > 0: explicit
+    *    cell count. New centroids are written as a `centroids` PART of
+    *    the compacted dir (BEFORE the core parts, so the base is never
+    *    visible without them) and every live vector is re-assigned
+    *    under them; readers resolve centroids base-first (see
+    *    `LiveAnnMaintainer.centroids`), store-level `<dir>/centroids`
+    *    remains the pre-retrain fallback. PQ codes are cell-independent
+    *    (subspace quantizers), so the codes rebuild is unchanged.
+    *    Ingest should be quiescent across a RETRAIN compaction: a
+    *    delta racing the retrain keeps old-geometry cell ids (recall
+    *    loss for those vectors, never wrong results) until the next
+    *    compaction folds and re-assigns it.
     */
   def compactAnn(spark: SparkSession, dir: String,
-      deleteSubsumed: Boolean = true): Long = {
+      deleteSubsumed: Boolean = true, retrainCells: Int = 0): Long = {
     // committed-version detection keys on the CORE parts (a round-8
     // store has no codes part anywhere); the codes base is REBUILT from
     // the masked assignments whenever PQ books exist — encodePq is
@@ -110,9 +131,49 @@ object Compaction {
     // the masked assignment union feeds BOTH the assigned base and the
     // codes re-encode — cache it so the store's largest table is read
     // and tombstone-masked once (the foldedGlobal discipline)
-    val maskedAssigned = VersionedState.maskDeleted(
+    val maskedAssigned0 = VersionedState.maskDeleted(
       VersionedState.withVer(readPart("assigned")), tombs, "vec_id").cache()
     try {
+      import graft.pipeline.Similarity
+      // resolve the retrain FIRST: the re-assigned rows feed both the
+      // assigned base and the codes re-encode below
+      val newCents: Option[Seq[(Int, Seq[Double])]] =
+        if (retrainCells == 0) None
+        else {
+          val live = maskedAssigned0.select("vec_id", "embedding")
+          val k =
+            if (retrainCells > 0) retrainCells
+            else {
+              val n = live.count()
+              math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+            }
+          Some(Similarity.trainIvf(live, k).zipWithIndex
+            .map { case (c, i) => (i, c.toSeq) }.toSeq)
+        }
+      val maskedAssigned = newCents match {
+        case None => maskedAssigned0
+        case Some(cs) =>
+          Similarity.assignIvf(cs.sortBy(_._1).map(_._2.toArray).toArray,
+            maskedAssigned0.select("vec_id", "embedding")).cache()
+      }
+      // centroid part FIRST: the base must never become visible (core
+      // parts committed) without the centroids its assignments assume.
+      // A retrain writes the new set; otherwise a base-carried part is
+      // copied forward so later compactions preserve an earlier retrain.
+      val carryCents: Option[org.apache.spark.sql.DataFrame] = newCents match {
+        case Some(cs) =>
+          import spark.implicits._
+          Some(cs.toDF("cell", "centroid"))
+        case None =>
+          VersionedState.readPaths(dir, core, Some("centroids"), through)
+            .filter(p => new java.io.File(s"$p/_SUCCESS").exists()) match {
+            case Nil => None
+            case ps  => Some(spark.read.parquet(ps.last)) // newest carried set
+          }
+      }
+      carryCents.foreach(_.coalesce(1).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$dir/c$through/centroids"))
       for (p <- LiveAnnMaintainer.Parts) {
         val folded = p match {
           case "assigned" => maskedAssigned // per-vector rows — erase deleted physically
@@ -128,7 +189,8 @@ object Compaction {
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(s"$dir/c$through/$p")
       }
-    } finally maskedAssigned.unpersist()
+      if (maskedAssigned ne maskedAssigned0) maskedAssigned.unpersist()
+    } finally maskedAssigned0.unpersist()
     if (deleteSubsumed) sweep(dir, core, through)
     through
   }
@@ -307,15 +369,18 @@ object Compaction {
       s"unknown store kind '$other': usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep]")
   }
 
-  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir> [keep|sweep]`
+  /** CLI: `runMain graft.streaming.Compaction <index|dedup|engine|ann> <dir> [keep|sweep|retrain[=N]]`
     * — `keep` compacts but defers the delete of subsumed dirs (reader
-    * grace period); `sweep` performs only that deferred delete.
+    * grace period); `sweep` performs only that deferred delete;
+    * `retrain` (ann only) re-sizes the IVF index during the compaction
+    * (auto ~√n cells, or `retrain=N` explicit).
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 && args.length <= 3 &&
         Set("index", "dedup", "engine", "ann")(args(0)) &&
-        (args.length == 2 || Set("keep", "sweep")(args(2))),
-      "usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep]")
+        (args.length == 2 || Set("keep", "sweep")(args(2)) ||
+          (args(0) == "ann" && args(2).startsWith("retrain"))),
+      "usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep|retrain[=N]]")
     val mode = if (args.length == 3) args(2) else "full"
     if (mode == "sweep") {
       sweepSubsumed(args(1), partsOf(args(0)))
@@ -329,7 +394,14 @@ object Compaction {
       case "index"  => compactIndex(spark, args(1), del)
       case "dedup"  => compactDedup(spark, args(1), del)
       case "engine" => compactEngine(spark, args(1), del)
-      case "ann"    => compactAnn(spark, args(1), del)
+      case "ann" =>
+        val cellsArg =
+          if (!mode.startsWith("retrain")) 0
+          else mode.split("=") match {
+            case Array(_, n) => n.toInt
+            case _           => graft.pipeline.Similarity.AutoCells
+          }
+        compactAnn(spark, args(1), del, retrainCells = cellsArg)
     }
     println(s"compacted ${args(1)} through v$through" +
       (if (del) "" else " (subsumed dirs kept; run with 'sweep' after the grace period)"))

@@ -58,10 +58,23 @@ class LiveAnnMaintainer(
 
   def latestVersion: Long = version
 
-  /** The frozen codebook, if trained yet. */
+  /** The current centroid set, resolved BASE-FIRST: a compaction that
+    * retrained (`Compaction.compactAnn(retrainCells = …)`) writes the
+    * new set as a `centroids` part of the compacted dir — the
+    * assignments in that base assume it, so it must win over the
+    * store-level `<dir>/centroids` (the first-batch frozen set, which
+    * remains the fallback for never-retrained stores). Deltas ingested
+    * after a retrain resolve through the same rule, so their
+    * assignments use the live geometry. Not memoized: the set can
+    * change at any compaction.
+    */
   def centroids: Option[Array[Array[Double]]] = {
-    if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists()) return None
-    Some(spark.read.parquet(s"$dir/centroids")
+    val fromBase = VersionedState
+      .readPaths(dir, LiveAnnMaintainer.CoreParts, Some("centroids"), version)
+      .filter(p => new java.io.File(s"$p/_SUCCESS").exists()).headOption
+    val path = fromBase.getOrElse(s"$dir/centroids")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) return None
+    Some(spark.read.parquet(path)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2))
   }
@@ -150,7 +163,16 @@ class LiveAnnMaintainer(
       version = math.max(version, batchId)
     else {
       val cents = centroids.getOrElse {
-        val trained = Similarity.trainIvf(batch, cells, iters)
+        // cells = Similarity.AutoCells sizes from the FIRST batch
+        // (~√n clamped [16, 4096]); as the store outgrows that, a
+        // `compactAnn(retrainCells = AutoCells)` re-sizes with the
+        // full pass in hand — frozen-between-compactions, not
+        // frozen-forever (the round-10 fixed-cells audit finding).
+        val k =
+          if (cells > 0) cells
+          else math.max(16, math.min(4096,
+            math.ceil(math.sqrt(batch.count().toDouble)).toInt))
+        val trained = Similarity.trainIvf(batch, k, iters)
         import spark.implicits._
         trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("cell", "centroid")

@@ -633,6 +633,65 @@ class StreamingSpec extends SparkSuite {
       (pre ++ post).map(_._1).toSet, "offline-books first batch must backfill")
   }
 
+  test("compactAnn retrain: re-sizes the IVF index at compaction; ingest-after and default compactions preserve it") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-retrain").toString
+    val rnd = new scala.util.Random(29)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val b0 = (0L until 30L).map(i => (i, vec()))
+    val b1 = (30L until 120L).map(i => (i, vec()))
+    val queries = (1000L until 1005L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val m = new LiveAnnMaintainer(spark, dir, cells = 4, iters = 2)
+    m.processBatch(b0.toDF("vec_id", "embedding"), 0L)
+    m.processBatch(b1.toDF("vec_id", "embedding"), 1L)
+    m.processDeletes(Seq(Tuple1(7L)).toDF("vec_id"), 2L)
+    assert(m.centroids.get.length == 4)
+    // FULL-probe serving must equal brute force over the live vectors —
+    // the exactness invariant that must survive every step below (cells
+    // partition candidates, they never drop them)
+    def fullProbe(mm: LiveAnnMaintainer): Seq[String] = {
+      val ivf = mm.latestIndex.get
+      Similarity.ivfTopKWith(ivf, queries, k = 3, nprobe = ivf.cents.length)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def brute(live: Seq[(Long, Seq[Float])]): Seq[String] =
+      Similarity.topK(live.toDF("vec_id", "embedding"), queries, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    val live0 = (b0 ++ b1).filterNot(_._1 == 7L)
+    assert(fullProbe(m) == brute(live0))
+    // retrain at compaction: auto-cells from the 119 live vectors →
+    // max(16, ceil(√119)=11) = 16; the new centroid set rides IN the
+    // compacted dir and wins over the store-level frozen set
+    assert(Compaction.compactAnn(spark, dir, retrainCells = Similarity.AutoCells) == 2L)
+    val r = new LiveAnnMaintainer(spark, dir, cells = 4)
+    assert(r.centroids.get.length == 16, "retrained cell count")
+    assert(r.latestIndex.get.assigned.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == live0.map(_._1).toSet,
+      "re-assignment covers exactly the live vectors (deleted erased)")
+    assert(fullProbe(r) == brute(live0), "post-retrain serving is exact")
+    // ingest AFTER the retrain: the delta must assign under the NEW
+    // geometry (base-first centroid resolution in processBatch)
+    val b3 = (200L until 230L).map(i => (i, vec()))
+    r.processBatch(b3.toDF("vec_id", "embedding"), 3L)
+    val live1 = live0 ++ b3
+    assert(fullProbe(r) == brute(live1), "post-retrain ingest serves exactly")
+    // a DEFAULT compaction must carry the retrained set forward, not
+    // silently revert to the store-level 4-cell codebook
+    assert(Compaction.compactAnn(spark, dir) == 3L)
+    val c = new LiveAnnMaintainer(spark, dir, cells = 4)
+    assert(c.centroids.get.length == 16, "default compaction carries the retrain")
+    assert(fullProbe(c) == brute(live1))
+    // explicit cell count wins over auto (fresh delta first — compaction
+    // reads the current base, so it must land in a NEW c-dir)
+    val v300 = vec()
+    c.processBatch(Seq((300L, v300)).toDF("vec_id", "embedding"), 4L)
+    val live2 = live1 :+ (300L -> v300)
+    assert(Compaction.compactAnn(spark, dir, retrainCells = 8) == 4L)
+    val e = new LiveAnnMaintainer(spark, dir, cells = 4)
+    assert(e.centroids.get.length == 8)
+    assert(fullProbe(e) == brute(live2))
+  }
+
   test("LiveEngineMaintainer: tombstone deletes mask version-ordered, count exactly, and erase physically at compaction") {
     import graft.query.WikiSearchEngine
     val dir = java.nio.file.Files.createTempDirectory("graft-live-del").toString
