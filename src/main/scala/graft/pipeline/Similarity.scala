@@ -770,6 +770,36 @@ object Similarity {
   def ivfTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
       allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = ivfScored(ivf, queries, nprobe, allowed)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Radius search over a prebuilt IVF index: `rangeSearch`'s threshold
+    * semantics restricted to the probed cells — the scale path for
+    * all-neighbors queries (similarity-graph edges, near-dup
+    * thresholding) when the corpus outgrows a streamed broadcast join.
+    * Same recall dial as `ivfTopKWith` (nprobe = cells degenerates to
+    * the exact result — pinned in PipelineSpec); the threshold filter
+    * replaces the per-query window, so nothing is sorted and no task
+    * holds more than its probed-cell slice.
+    */
+  def rangeSearchWith(ivf: IvfIndex, queries: DataFrame, tau: Double,
+      nprobe: Int = 4, allowed: Option[DataFrame] = None): DataFrame =
+    ivfScored(ivf, queries, nprobe, allowed)
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+
+  /** The shared probe-join-score stage behind `ivfTopKWith` (bounded
+    * top-k window on top) and `rangeSearchWith` (threshold filter on
+    * top): per-query nprobe nearest cells, corpus joined on cell,
+    * exact cosine per candidate.
+    */
+  private def ivfScored(ivf: IvfIndex, queries: DataFrame, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val spark = ivf.assigned.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val bc = spark.sparkContext.broadcast(ivf.cents)
@@ -802,14 +832,10 @@ object Similarity {
       }
     val filtered = allowed.fold(corpus)(a =>
       corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
-    val scored = filtered.join(broadcast(qs), Seq("cell"))
+    filtered.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
   }
 
   /** Recall@k of an approximate ANN result against the exact one — the

@@ -228,6 +228,32 @@ class PipelineSpec extends SparkSuite {
     assert(probed == direct)
   }
 
+  test("IVF radius search: full probe equals exact rangeSearch; partial probe returns a subset") {
+    val emb = (0 until 60).map { i =>
+      val base = if (i < 30) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i % 7) + d) })
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 15 === 0).select("vec_id", "embedding")
+    val ivf = Similarity.buildIvf(emb, cells = 4)
+    // nprobe = cells removes the recall approximation: the thresholded
+    // set must EQUAL the exact broadcast-join rangeSearch
+    val got = Similarity.rangeSearchWith(ivf, queries, tau = 0.9, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.rangeSearch(emb, queries, tau = 0.9)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // partial probe: never a superset, and every row still clears tau
+    val partial = Similarity.rangeSearchWith(ivf, queries, tau = 0.9, nprobe = 1)
+      .collect().map(_.toString).toSet
+    assert(partial.subsetOf(want.toSet))
+    // allowed-set restriction composes: results ⊆ allowed ids
+    val allowed = emb.filter($"vec_id" % 2 === 0)
+    val restricted = Similarity.rangeSearchWith(ivf, queries, tau = 0.9,
+        nprobe = 4, allowed = Some(allowed))
+      .select("neighbor_id").as[Long].collect()
+    assert(restricted.nonEmpty && restricted.forall(_ % 2 == 0))
+  }
+
   test("filtered ANN: pre-filter equals brute-force top-k over the allowed subset at full probe") {
     val emb = (0 until 40).map { i =>
       val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
