@@ -44,7 +44,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `/query` and `/count` accept `asOf=<version>` — LSM time-travel
   *    serving against the snapshot a `serviceAt` resolver returns
   *    (`QueryService.versioned` over a live maintainer); 404 for an
-  *    uncommitted or swept version.
+  *    uncommitted or swept version. Every OTHER route serves only the
+  *    live store and answers `asOf=` with a 400 (`liveOnly`) — a
+  *    silently-ignored snapshot request would be recorded as one.
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -93,7 +95,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   })
 
   server.createContext("/content", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val id = params.getOrElse("id",
       throw new IllegalArgumentException("missing required parameter: id"))
     service.content(id) match {
@@ -103,7 +105,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   })
 
   server.createContext("/explain", (ex: HttpExchange) => safely(ex) {
-    val (q, auths) = queryAndAuths(queryParams(ex))
+    val (q, auths) = queryAndAuths(liveOnly(queryParams(ex)))
     // All-negation is a client error on this route too, but explain is a
     // diagnostic — report the rejection as the BODY, like a planner would
     ("text/plain; charset=utf-8", service.explain(q, auths))
@@ -114,7 +116,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //  - `GET /rank?terms=a,b,c&limit=N` → BM25 top-N as JSON
   //  - `GET /facets?query=…&field=SOURCE&auths=…` → facet counts as JSON
   server.createContext("/rank", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val terms = params.getOrElse("terms",
       throw new IllegalArgumentException("missing required parameter: terms"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -151,7 +153,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //    embeddings table, as JSON [{rank,id,score}] — the hybrid
   //    retrieval serving edge (400 when the server has no embeddings)
   server.createContext("/hybrid", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val terms = params.getOrElse("terms",
       throw new IllegalArgumentException("missing required parameter: terms"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -174,7 +176,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions
   //    (edit distance ≤ 1) with document frequency, best-first, as JSON
   server.createContext("/fuzzy", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val term = params.getOrElse("term",
       throw new IllegalArgumentException("missing required parameter: term"))
     if (term.trim.isEmpty) throw new IllegalArgumentException("term is empty")
@@ -185,7 +187,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //  - `GET /histogram?query=…&field=NCHARS&lo=0&width=100&buckets=10`
   //    → numeric range-facet counts over the hit set, as JSON
   server.createContext("/histogram", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val (q, auths) = queryAndAuths(params)
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field")).toUpperCase
@@ -206,7 +208,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //    sharing vocabulary with the source doc, rarity-weighted,
   //    best-first, as JSON
   server.createContext("/mlt", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val doc = params.getOrElse("doc",
       throw new IllegalArgumentException("missing required parameter: doc"))
     if (doc.trim.isEmpty) throw new IllegalArgumentException("doc is empty")
@@ -215,7 +217,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   })
 
   server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val (q, auths) = queryAndAuths(params)
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
@@ -226,7 +228,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //    hit per field value + collapsed group size, as JSON (auth-gated
   //    like every content-returning route)
   server.createContext("/collapse", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val (q, auths) = queryAndAuths(params)
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
@@ -236,14 +238,14 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //  - `GET /stats?auths=…` → per-language index catalog statistics
   //    (docs, vocabulary, postings, tokens) as JSON — the ANALYZE surface
   server.createContext("/stats", (ex: HttpExchange) => safely(ex) {
-    ("application/json", service.stats(authsOf(queryParams(ex))))
+    ("application/json", service.stats(authsOf(liveOnly(queryParams(ex)))))
   })
 
   //  - `GET /complete?prefix=sp&limit=N` → top-N indexed terms for the
   //    prefix with document frequencies (the query-box autocomplete),
   //    auth-gated like every vocabulary-returning route
   server.createContext("/complete", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     val prefix = params.getOrElse("prefix",
       throw new IllegalArgumentException("missing required parameter: prefix"))
     if (prefix.trim.isEmpty) throw new IllegalArgumentException("prefix is empty")
@@ -256,7 +258,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
   //  - `GET /snippets?phrase=a,b&window=3` → adjacent-phrase context
   //    windows as JSON (exactly one of terms/phrase must be present)
   server.createContext("/snippets", (ex: HttpExchange) => safely(ex) {
-    val params = queryParams(ex)
+    val params = liveOnly(queryParams(ex))
     def csv(k: String) = params.get(k).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val (terms, phrase) = (csv("terms"), csv("phrase"))
@@ -298,6 +300,18 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
         serviceAt(ver).getOrElse(throw new NoSuchElementException(
           s"no committed snapshot at version $ver"))
     }
+
+  /** Guard for every route that serves ONLY the live store: a
+    * time-travel request there must be an explicit 400, not a silent
+    * 200 built from latest data that the client records as a snapshot.
+    * (Only /query and /count resolve `asOf=` — `serviceFor`.)
+    */
+  private def liveOnly(params: Map[String, String]): Map[String, String] = {
+    if (params.contains("asOf"))
+      throw new IllegalArgumentException(
+        "asOf is not supported on this route (snapshots serve on /query and /count)")
+    params
+  }
 
   /** The required `query` param + parsed `auths` CSV — ONE parser for
     * every route that takes them, so the routes cannot drift.

@@ -154,9 +154,14 @@ class QueryService(engine: WikiSearchEngine,
     import org.apache.spark.sql.functions._
     val emb = embeddings.getOrElse(throw new IllegalArgumentException(
       "hybrid retrieval is not configured on this server (no embeddings table)"))
-    val qVec = emb.filter(col("vec_id") === queryVecId)
-    if (qVec.isEmpty)
+    // ONE job resolves the query row: the collected row both answers
+    // the 404 probe and re-enters the plan as a local relation, so the
+    // not-found check costs no scan beyond the lookup topK needs anyway
+    val qRows = emb.filter(col("vec_id") === queryVecId).collect()
+    if (qRows.isEmpty)
       throw new NoSuchElementException(s"query vector not found: $queryVecId")
+    val qVec = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), emb.schema)
     val bm = engine.rankTopK(terms, k = depth,
         tieBreak = col("docId").cast("bigint"), auths = auths)
       .select(col("docId").cast("bigint").as("id"),
@@ -343,30 +348,43 @@ object QueryService {
     * (ingests AND deletes after it invisible), or None when the version
     * was never committed or its deltas were swept by compaction.
     * Resolved services are cached (an engine per snapshot collects its
-    * catalog once); misses are NOT cached — a version can commit after
-    * it was first asked for. Live stores are documents-table builds, so
-    * the default tokenizer here is the whitespace one (it must match
-    * the tokenizer that built the index — the snippet-window contract).
+    * catalog once) KEYED BY the directory read-set they were resolved
+    * from (`m.snapshotKey`, one driver-side listing per request): a
+    * compaction that sweeps or rebases those dirs changes the key, so
+    * the stale service is evicted and the version re-resolves — to a
+    * fresh snapshot when a new base still covers it, or to the
+    * documented None/404 when it was swept — instead of serving
+    * DataFrames whose resolved paths no longer exist (permanent 500s).
+    * Misses are NOT cached — a version can commit after it was first
+    * asked for. Live stores are documents-table builds, so the default
+    * tokenizer here is the whitespace one (it must match the tokenizer
+    * that built the index — the snippet-window contract).
     */
   def versioned(m: graft.streaming.LiveEngineMaintainer,
       tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.functions.TextFunctions.tokenizeWs(_),
       embeddings: Option[org.apache.spark.sql.DataFrame] = None)
       : Long => Option[QueryService] = {
-    val cache = new java.util.concurrent.ConcurrentHashMap[Long, QueryService]()
+    val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, ((Option[Long], Seq[Long]), QueryService)]()
     (ver: Long) =>
       // indexAt(v) resolves "everything ≤ v", so an uncommitted future
       // version would silently serve latest — reject it here (a typo'd
       // asOf must be a 404, not a surprise snapshot)
       if (ver > m.latestVersion) None
-      else Option(cache.get(ver)).orElse {
-        m.indexAt(ver).map { ix =>
-          val svc = new QueryService(
-            new graft.query.WikiSearchEngine(ix.metadata.sparkSession, ix),
-            tokenizer, embeddings)
-          cache.putIfAbsent(ver, svc)
-          cache.get(ver)
-        }
+      else {
+        val key = m.snapshotKey(ver)
+        Option(cache.get(ver)).collect { case (k, svc) if k == key => svc }
+          .orElse {
+            cache.remove(ver)
+            m.indexAt(ver).map { ix =>
+              val svc = new QueryService(
+                new graft.query.WikiSearchEngine(ix.metadata.sparkSession, ix),
+                tokenizer, embeddings)
+              cache.putIfAbsent(ver, (key, svc))
+              cache.get(ver)._2
+            }
+          }
       }
   }
 }

@@ -410,15 +410,20 @@ object Similarity {
     */
   final val AutoCells = -1
 
+  /** THE sizing rule, in one place: batch builds (`buildIvf`), the live
+    * store's first train (`LiveAnnMaintainer`), and retrain-at-compaction
+    * (`Compaction.compactAnn`) must all size by the same formula, or a
+    * tuning edit leaves the three geometries silently divergent.
+    */
+  def autoCellCount(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   def buildIvf(
       emb: DataFrame, cells: Int = AutoCells, iters: Int = 2,
       persist: Boolean = true): IvfIndex = {
     val k =
       if (cells > 0) cells
-      else {
-        val n = emb.count() // build-time-only job; the index amortizes it
-        math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-      }
+      else autoCellCount(emb.count()) // build-time-only job; the index amortizes it
     val cents = trainIvf(emb, k, iters)
     val assigned = assignIvf(cents, emb)
     IvfIndex(cents, if (persist) assigned.cache() else assigned)

@@ -987,7 +987,7 @@ object RelationalQueries {
     // counter matrix (partial-agg state is d·w longs per partition —
     // map-side combined, nothing key-shaped shuffles); candidate keys
     // (a bounded sample set) then read `min` over their d counters from
-    // the broadcast one-row sketch. est_events ≥ n_exact ALWAYS (CMS
+    // the driver-collected sketch. est_events ≥ n_exact ALWAYS (CMS
     // one-sided error) and the oracle re-derives the identical bucket
     // sums — the same salted-splitmix64 chain in HUGEINT arithmetic —
     // so this is a hash-exact compare, not a tolerance check; n_exact
@@ -1011,18 +1011,26 @@ object RelationalQueries {
       import graft.functions.Sketches
       val ev  = Tables.events(s, dir)
       val cms = udaf(new Sketches.CmsAggregator(CmsD, CmsW))
-      val sk  = ev.agg(cms(col("user_id")).as("sk")) // one row, d·w longs
+      // ONE corpus pass folds the d·w counter matrix; the single-row
+      // result is collected driver-side (d·w longs — 16 KB at the
+      // default geometry, a CONSTANT of the sketch, never the corpus)
+      // and enters the estimate UDF as closure state, so no per-row
+      // array ships with a crossJoin
+      val skArr: Seq[Long] = ev.agg(cms(col("user_id")).as("sk"))
+        .collect()(0).getAs[scala.collection.Seq[Long]]("sk").toSeq
       val cands = ev.select("user_id")
         .filter(pmod(col("user_id"), lit(7)) === 0).distinct()
-      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      // the estimate UDF runs over |cand| rows against the broadcast
-      // sketch — bounded by the candidate set, never corpus-scaled
-      val est = udf { (u: Long, sk: Seq[Long]) =>
-        Sketches.cmsEstimate(sk, u, CmsD, CmsW) }
-      cands.join(broadcast(exact), "user_id")
-        .crossJoin(broadcast(sk))
+      // the exact accuracy witness aggregates ONLY candidate users
+      // (broadcast semi-join on the bounded candidate set): the corpus-
+      // keyed all-users count table is never formed, so nothing
+      // candidate-independent shuffles or broadcasts — the sketch is
+      // the whole point at an unbounded key domain
+      val exact = ev.join(broadcast(cands), Seq("user_id"), "leftsemi")
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val est = udf { (u: Long) => Sketches.cmsEstimate(skArr, u, CmsD, CmsW) }
+      cands.join(exact, "user_id")
         .select(col("user_id"), col("n_exact"),
-          est(col("user_id"), col("sk")).as("est_events"))
+          est(col("user_id")).as("est_events"))
         .orderBy("user_id")
     }
   )

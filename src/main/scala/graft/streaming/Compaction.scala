@@ -133,6 +133,10 @@ object Compaction {
     // and tombstone-masked once (the foldedGlobal discipline)
     val maskedAssigned0 = VersionedState.maskDeleted(
       VersionedState.withVer(readPart("assigned")), tombs, "vec_id").cache()
+    // the retrain path caches a SECOND corpus-sized table (the
+    // re-assignment); track it here so the finally releases it on the
+    // failure path too, not just after a clean parts loop
+    var retrainCache: Option[org.apache.spark.sql.DataFrame] = None
     try {
       import graft.pipeline.Similarity
       // resolve the retrain FIRST: the re-assigned rows feed both the
@@ -143,18 +147,17 @@ object Compaction {
           val live = maskedAssigned0.select("vec_id", "embedding")
           val k =
             if (retrainCells > 0) retrainCells
-            else {
-              val n = live.count()
-              math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-            }
+            else Similarity.autoCellCount(live.count())
           Some(Similarity.trainIvf(live, k).zipWithIndex
             .map { case (c, i) => (i, c.toSeq) }.toSeq)
         }
       val maskedAssigned = newCents match {
         case None => maskedAssigned0
         case Some(cs) =>
-          Similarity.assignIvf(cs.sortBy(_._1).map(_._2.toArray).toArray,
+          val re = Similarity.assignIvf(cs.sortBy(_._1).map(_._2.toArray).toArray,
             maskedAssigned0.select("vec_id", "embedding")).cache()
+          retrainCache = Some(re)
+          re
       }
       // centroid part FIRST: the base must never become visible (core
       // parts committed) without the centroids its assignments assume.
@@ -189,8 +192,10 @@ object Compaction {
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(s"$dir/c$through/$p")
       }
-      if (maskedAssigned ne maskedAssigned0) maskedAssigned.unpersist()
-    } finally maskedAssigned0.unpersist()
+    } finally {
+      retrainCache.foreach(_.unpersist())
+      maskedAssigned0.unpersist()
+    }
     if (deleteSubsumed) sweep(dir, core, through)
     through
   }
@@ -376,11 +381,20 @@ object Compaction {
     * (auto ~√n cells, or `retrain=N` explicit).
     */
   def main(args: Array[String]): Unit = {
+    val usage = "usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep|retrain[=N]]"
+    // retrain parses STRICTLY before any Spark work: "retrained" or
+    // "retrain=4O" must die with the usage line, not silently trigger
+    // (or crash mid-) an expensive geometry-changing compaction
+    def retrainArg(m: String): Option[Int] = m.split("=", -1) match {
+      case Array("retrain")    => Some(graft.pipeline.Similarity.AutoCells)
+      case Array("retrain", n) => n.toIntOption.filter(_ > 0)
+      case _                   => None
+    }
     require(args.length >= 2 && args.length <= 3 &&
         Set("index", "dedup", "engine", "ann")(args(0)) &&
         (args.length == 2 || Set("keep", "sweep")(args(2)) ||
-          (args(0) == "ann" && args(2).startsWith("retrain"))),
-      "usage: Compaction <index|dedup|engine|ann> <stateDir> [keep|sweep|retrain[=N]]")
+          (args(0) == "ann" && retrainArg(args(2)).isDefined)),
+      usage)
     val mode = if (args.length == 3) args(2) else "full"
     if (mode == "sweep") {
       sweepSubsumed(args(1), partsOf(args(0)))
@@ -395,13 +409,8 @@ object Compaction {
       case "dedup"  => compactDedup(spark, args(1), del)
       case "engine" => compactEngine(spark, args(1), del)
       case "ann" =>
-        val cellsArg =
-          if (!mode.startsWith("retrain")) 0
-          else mode.split("=") match {
-            case Array(_, n) => n.toInt
-            case _           => graft.pipeline.Similarity.AutoCells
-          }
-        compactAnn(spark, args(1), del, retrainCells = cellsArg)
+        compactAnn(spark, args(1), del,
+          retrainCells = retrainArg(mode).getOrElse(0))
     }
     println(s"compacted ${args(1)} through v$through" +
       (if (del) "" else " (subsumed dirs kept; run with 'sweep' after the grace period)"))

@@ -170,8 +170,7 @@ class LiveAnnMaintainer(
         // frozen-forever (the round-10 fixed-cells audit finding).
         val k =
           if (cells > 0) cells
-          else math.max(16, math.min(4096,
-            math.ceil(math.sqrt(batch.count().toDouble)).toInt))
+          else Similarity.autoCellCount(batch.count())
         val trained = Similarity.trainIvf(batch, k, iters)
         import spark.implicits._
         trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }

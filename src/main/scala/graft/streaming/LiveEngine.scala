@@ -108,6 +108,17 @@ class LiveEngineMaintainer(
 
   def latestVersion: Long = version
 
+  /** The (base, delta-list) directory set `indexAt(upTo)` would read
+    * RIGHT NOW — one driver-side directory listing, no Spark job.
+    * Snapshot caches (`QueryService.versioned`) key memoized engines on
+    * this: a compaction that sweeps or rebases the dirs a cached
+    * snapshot was resolved from changes the key, telling the cache to
+    * evict and re-resolve instead of serving DataFrames whose resolved
+    * paths no longer exist.
+    */
+  def snapshotKey(upTo: Long): (Option[Long], Seq[Long]) =
+    VersionedState.readSet(dir, parts, upTo)
+
   private def readUnion(part: String, upTo: Long): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), upTo)
     if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))

@@ -350,6 +350,22 @@ class HttpShimSpec extends SparkSuite {
       val (cs, cb) = get2("/count?" + java.net.URLEncoder.encode("query", UTF_8) +
         "=" + java.net.URLEncoder.encode("TEXT == 'alpha'", UTF_8) + "&asOf=0")
       assert(cs == 200 && cb.contains("\"count\":2"), cb)
+      // snapshot-only param on a live-only route → explicit 400, on the
+      // resolver-equipped shim AND the resolver-less one (the silent-
+      // ignore would record latest data as a snapshot)
+      assert(get2("/rank?terms=alpha&asOf=0")._1 == 400)
+      assert(get2("/hybrid?terms=alpha&vec=1&asOf=0")._1 == 400)
+      assert(get("/rank?terms=abacus&asOf=0")._1 == 400)
+
+      // a compaction that sweeps the deltas must EVICT the memoized
+      // snapshots (they were resolved from the now-deleted v-dirs):
+      // asOf=0 re-resolves to the documented 404 (no base covers it),
+      // asOf=1 re-resolves against the new base and still serves —
+      // neither may 500 off stale cached paths
+      graft.streaming.Compaction.compactEngine(spark, dir)
+      assert(get2(s"/query?$aq&asOf=0")._1 == 404)
+      val (sc, bc) = get2(s"/query?$aq&format=json&asOf=1")
+      assert(sc == 200 && bc.contains("\"id\":\"3\""), s"post-sweep asOf=1: $sc $bc")
     } finally shim2.stop()
   }
 
