@@ -67,7 +67,7 @@ object Plans {
       "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent",
       "ws_complete_q" -> "prefix autocomplete: StringStartsWith pushed to the value-sorted global-index scan (the forward twin of the reverse-index suffix probe) + bounded TakeOrderedAndProject",
       "sim_range" -> "radius similarity search: broadcast queries x streamed corpus + ONE codegen'd threshold filter — no window, no global sort, no task holds more than its input split",
-      "q36_cms_heavy" -> "count-min heavy hitters: ObjectHashAggregate whose partial state is the d*w counter matrix (map-side combined, nothing key-shaped shuffles); candidates read min-of-counters from the broadcast one-row sketch")
+      "q36_cms_heavy" -> "count-min heavy hitters: ObjectHashAggregate whose partial state is the d*w counter matrix (map-side combined, nothing key-shaped shuffles); the one-row sketch is driver-collected closure state (16 KB, a sketch constant), and the exact witness aggregates only the candidate-gated semi-join — no corpus-keyed count table, no per-row sketch array")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")
