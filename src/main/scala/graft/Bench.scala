@@ -47,6 +47,7 @@ object Bench {
     "ws_infix_q"           -> "ws_ix",
     "ws_syn_q"             -> "ws_sy",
     "ws_syn_persist_q"     -> "ws_sp",
+    "ws_live_syn_q"        -> "ws_ls",
     "ws_fld_q"             -> "ws_fd",
     "ws_live_fld_q"        -> "ws_lf",
     "ws_asof_q"            -> "ws_ao",

@@ -141,15 +141,9 @@ case class WikiIndex(
     * store; semantics are order-free (EQ expands to an OR over the set).
     */
   def withSynonyms(synonyms: Map[String, Seq[String]],
-      fields: Set[String] = Set("TEXT")): WikiIndex = {
-    val rows =
-      synonyms.toSeq.sortBy(_._1).flatMap { case (t, alts) =>
-        alts.sorted.map(a => ("syn", t, a)) } ++
-      fields.toSeq.sorted.map(f => ("fld", f, null: String))
-    val s = metadata.sparkSession
-    import s.implicits._
-    copy(storedSynonyms = Some(rows.toDF("kind", "name", "value")))
-  }
+      fields: Set[String] = Set("TEXT")): WikiIndex =
+    copy(storedSynonyms =
+      Some(WikiIndex.synonymRows(metadata.sparkSession, synonyms, fields)))
 
   def cacheAll(): WikiIndex = {
     docsFields.cache(); documents.cache(); globalIndex.cache(); metadata.cache()
@@ -251,6 +245,22 @@ object WikiIndex {
       try Some(spark.read.parquet(s"$dir/synonyms"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
   )
+
+  /** The persisted (kind, name, value) synonym table — the ONE
+    * serialization shared by batch stores (`withSynonyms` → `save`) and
+    * live stores (`LiveEngineMaintainer` writes it once at store level),
+    * so the two cannot drift. Rows are sorted for a deterministic
+    * store; semantics are order-free (EQ expands to an OR over the set).
+    */
+  def synonymRows(spark: SparkSession, synonyms: Map[String, Seq[String]],
+      fields: Set[String]): DataFrame = {
+    val rows =
+      synonyms.toSeq.sortBy(_._1).flatMap { case (t, alts) =>
+        alts.sorted.map(a => ("syn", t, a)) } ++
+      fields.toSeq.sorted.map(f => ("fld", f, null: String))
+    import spark.implicits._
+    rows.toDF("kind", "name", "value")
+  }
 
   /** (fieldName, gram, fieldValue) for every distinct vocabulary value —
     * the derivation shared by `save` (persisted, gram-sorted) and the

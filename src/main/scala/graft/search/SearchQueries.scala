@@ -117,6 +117,26 @@ object SearchQueries {
       new WikiSearchEngine(serving, WikiIndex.load(serving, tmp))
     })
 
+  /** Synonyms as LIVE-store state: a maintainer that DECLARES the
+    * equivalence sets writes them once at store level (beside the
+    * versioned parts; sweeps never touch them), then a SECOND
+    * maintainer opened on the same dir with NO synonym wiring serves
+    * the rehydrated semantics — the live twin of `ws_syn_persist_q`'s
+    * two-sessions-one-store agreement proof.
+    */
+  private val liveSynCache = TrieMap.empty[String, WikiSearchEngine]
+  def liveSynonymEngine(s: SparkSession, dir: String): WikiSearchEngine =
+    liveSynCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-syn").toString
+      val writer = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions,
+        synonyms = SynTable)
+      (0 until 3).foreach(b =>
+        writer.processBatch(docs.filter(col("doc_id") % 3 === b), b.toLong))
+      val reader = new graft.streaming.LiveEngineMaintainer(s, tmp, NumPartitions)
+      new WikiSearchEngine(s, reader.latestIndex.get)
+    })
+
   /** An engine whose index declares a SECOND positional field — HEAD =
     * the document's first five whitespace tokens (derived; the harness
     * documents table has one text column) — via `fromDocumentsTable`'s
@@ -343,6 +363,15 @@ object SearchQueries {
     // sharing the store cannot disagree on expanded semantics
     NamedQuery("ws_syn_persist_q", synOracle) { (s, dir) =>
       ids(synonymPersistEngine(s, dir).run(synQuery))
+    },
+
+    // the same agreement proof for a LIVE store: the writing maintainer
+    // declares the table (persisted once at store level), the SERVING
+    // maintainer is a fresh one with no synonym wiring — identical
+    // oracle, so a pass proves live stores carry query semantics the
+    // way batch stores do
+    NamedQuery("ws_live_syn_q", synOracle) { (s, dir) =>
+      ids(liveSynonymEngine(s, dir).run(synQuery))
     },
 
     // unfielded bare term → index-driven field discovery

@@ -90,7 +90,20 @@ class LiveEngineMaintainer(
       * without the declared columns.
       */
     extraFields: Map[String, org.apache.spark.sql.Column] = Map.empty,
-    offsetsFields: Set[String] = Set.empty) {
+    offsetsFields: Set[String] = Set.empty,
+    /** Query-time synonym equivalence sets, persisted ONCE at store
+      * level (`<dir>/synonyms`, the batch `WikiIndex.save` layout —
+      * sweep never touches non-v/c dirs, so it survives compaction)
+      * and rehydrated into every `indexAt` snapshot: two sessions
+      * serving the same live store must agree on expanded semantics,
+      * the same argument that made synonyms index state for batch
+      * stores. Like the build declarations above, this is store
+      * configuration — the FIRST writer wins; a maintainer opened on a
+      * store that already carries a synonyms table serves the STORED
+      * table (pass Map.empty to inherit, the common case).
+      */
+    synonyms: Map[String, Seq[String]] = Map.empty,
+    synonymFields: Set[String] = Set("TEXT")) {
 
   import LiveEngineMaintainer._
 
@@ -105,6 +118,18 @@ class LiveEngineMaintainer(
   private val parts = CoreParts
 
   @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
+
+  private val synPath = s"$dir/synonyms"
+  if (synonyms.nonEmpty && !new java.io.File(s"$synPath/_SUCCESS").exists())
+    graft.ingest.WikiIndex.synonymRows(spark, synonyms, synonymFields)
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(synPath)
+
+  private def storeSynonyms: Option[DataFrame] =
+    if (new java.io.File(s"$synPath/_SUCCESS").exists())
+      Some(spark.read.parquet(synPath))
+    else None
 
   def latestVersion: Long = version
 
@@ -201,7 +226,11 @@ class LiveEngineMaintainer(
         fieldPostings = Some(
           derivedUnion("field_postings", upTo)
             .map(fp => maskDeleted(withVer(fp), tombs))
-            .getOrElse(IndexBuilder.deriveFieldPostings(maskedFields, metadata))))
+            .getOrElse(IndexBuilder.deriveFieldPostings(maskedFields, metadata))),
+        // store-level query-semantics state, version-independent: every
+        // snapshot (including historical ones) serves the store's
+        // synonym table, exactly as a loaded batch store would
+        storedSynonyms = storeSynonyms)
     }
 
   private def write(df: DataFrame, path: String): Unit =

@@ -879,6 +879,52 @@ class StreamingSpec extends SparkSuite {
       "compacted, undeclared reader")
   }
 
+  test("live stores carry synonyms as store-level state: rehydrated by fresh sessions, surviving compaction, first writer wins") {
+    import graft.query.WikiSearchEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-syn").toString
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Seq(
+      (1L, "spark join table", "en", "s1", 16),
+      (2L, "vector join table", "en", "s1", 17), // hits only via spark→vector
+      (3L, "spark scan", "en", "s2", 10),
+      (4L, "merge join spark", "en", "s2", 16))  // excluded only via hash→merge
+    val syn = Map("spark" -> Seq("vector"), "hash" -> Seq("merge"))
+    val q = "TEXT == 'spark' and TEXT == 'join' and TEXT != 'hash'"
+    def ids(e: WikiSearchEngine) =
+      e.run(q).select("docId").collect().map(_.getString(0)).toSet
+
+    val writer = new LiveEngineMaintainer(spark, dir, numPartitions = 2,
+      synonyms = syn)
+    writer.processBatch(df(docs.take(2)), 0L)
+    writer.processBatch(df(docs.drop(2)), 1L)
+    // expanded semantics: doc 1 (direct), doc 2 (spark→vector); doc 4
+    // excluded (hash→merge); doc 3 lacks 'join'
+    val expanded = Set("1", "2")
+    assert(ids(new WikiSearchEngine(spark, writer.latestIndex.get)) == expanded)
+
+    // a FRESH maintainer with no synonym wiring rehydrates from the store
+    val reader = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(ids(new WikiSearchEngine(spark, reader.latestIndex.get)) == expanded,
+      "fresh session must serve the stored synonym semantics")
+    // ... and so do historical snapshots
+    assert(ids(new WikiSearchEngine(spark, reader.indexAt(0L).get)) == Set("1", "2"),
+      "snapshots carry the store's synonym table too")
+
+    // first writer wins: a maintainer declaring a DIFFERENT table on an
+    // existing store must not overwrite the persisted semantics
+    val usurper = new LiveEngineMaintainer(spark, dir, numPartitions = 2,
+      synonyms = Map("spark" -> Seq("scan")))
+    assert(ids(new WikiSearchEngine(spark, usurper.latestIndex.get)) == expanded,
+      "store configuration is write-once")
+
+    // store-level state survives a sweep-everything compaction
+    Compaction.compactEngine(spark, dir)
+    val postCompact = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(ids(new WikiSearchEngine(spark, postCompact.latestIndex.get)) == expanded,
+      "compaction must not drop the synonyms table")
+  }
+
   test("LiveAnnMaintainer: incremental assignment under frozen centroids equals batch assignment") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
