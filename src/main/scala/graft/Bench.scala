@@ -91,6 +91,7 @@ object Bench {
     "sim_ivfpq_topk"       -> "s_ivfpq",
     "sim_recall"           -> "s_rec",
     "sim_range"            -> "s_rg",
+    "sim_rp"               -> "s_rp",
     "ta_stats"             -> "t_st",
     "ta_quality"           -> "t_q",
     "ta_langid"            -> "t_l",
@@ -115,6 +116,8 @@ object Bench {
     "cu_temp"              -> "c_tp",
     "cu_budget"            -> "c_bu",
     "cu_manifest"          -> "c_mf",
+    "cu_chunk"             -> "c_ck",
+    "cu_dsir"              -> "c_dr",
     "mm_binary_meta"       -> "m_bm",
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")

@@ -137,4 +137,78 @@ object Sketches {
     }
     best
   }
+
+  /** Bottom-k uniform sample with a value payload, finished as quantile
+    * estimates — the DISTRIBUTION member of the sketch family (KMV =
+    * cardinality, CMS = frequency). Keeping the rows whose key hashes
+    * to the k smallest normalized points is a uniform-without-
+    * replacement sample of k rows determined solely by the row-key
+    * MULTISET — independent of input order, partitioning, and merge
+    * tree — so unlike a compactor/GK sketch (whose state depends on
+    * arrival order) the estimate is bit-identical under any parallelism
+    * and a SQL oracle re-derives the exact same sample. Quantiles of
+    * the k-sample estimate population quantiles with standard sampling
+    * error O(sqrt(p(1-p)/k)); the state is ≤ k (double, double) pairs
+    * per group at ANY row count, the merge is merge-take-k, and
+    * map-side combine applies.
+    *
+    * Contract: `key` must be unique per row (it IS the sample frame —
+    * duplicate keys would collapse to one sample slot). `kmvPoint`'s
+    * splitmix64 is a 64-bit bijection, so distinct keys give distinct
+    * points; ties in the (point, value) insertion order are therefore
+    * impossible in-contract, and the value tiebreak below only pins
+    * behavior if the contract is broken.
+    */
+  case class QsBuf(us: Seq[Double], vs: Seq[Double])
+
+  /** n_sample plus the rank-defined p50/p90/p99 of the sample: value at
+    * ascending 1-based rank ceil(p·m/100), stated in integers as the
+    * least rank rn with 100·rn ≥ p·m (the cu_quality_gate rank rule).
+    */
+  case class QsOut(n_sample: Long, p50: Double, p90: Double, p99: Double)
+
+  class BottomKQuantiles(k: Int) extends Aggregator[(Long, Double), QsBuf, QsOut] {
+    require(k >= 2, s"bottom-k sample needs k >= 2: $k")
+
+    def zero: QsBuf = QsBuf(Vector.empty, Vector.empty)
+
+    def reduce(b: QsBuf, row: (Long, Double)): QsBuf = {
+      val u = kmvPoint(row._1)
+      // skip without search when u can't enter a full sample
+      if (b.us.size == k && u >= b.us.last) b else insert(b, u, row._2)
+    }
+
+    def merge(b1: QsBuf, b2: QsBuf): QsBuf = {
+      val all = (b1.us.zip(b1.vs) ++ b2.us.zip(b2.vs)).sorted.take(k)
+      QsBuf(all.map(_._1), all.map(_._2))
+    }
+
+    def finish(b: QsBuf): QsOut = {
+      val m = b.vs.size
+      if (m == 0) QsOut(0L, 0.0, 0.0, 0.0)
+      else {
+        val sorted = b.vs.sorted
+        def at(p: Int): Double = sorted((p * m + 99) / 100 - 1)
+        QsOut(m.toLong, at(50), at(90), at(99))
+      }
+    }
+
+    def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
+    def outputEncoder: Encoder[QsOut] = Encoders.product[QsOut]
+
+    private def insert(b: QsBuf, u: Double, v: Double): QsBuf = {
+      // lexicographic (u, v) insertion point over the parallel arrays
+      var lo = 0; var hi = b.us.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Double.compare(b.us(mid), u) match {
+          case 0 => java.lang.Double.compare(b.vs(mid), v)
+          case x => x
+        }
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      QsBuf(((b.us.take(lo) :+ u) ++ b.us.drop(lo)).take(k),
+        ((b.vs.take(lo) :+ v) ++ b.vs.drop(lo)).take(k))
+    }
+  }
 }

@@ -653,4 +653,87 @@ object Curation {
       .crossJoin(broadcast(threshold))
       .filter(col("distinct_permille") >= col("p_threshold"))
   }
+
+  /** Fixed-size sliding-window token chunking with stride — the
+    * long-document complement of `packSequences` (which CONCATENATES
+    * short docs; this SPLITS long ones): every `stride`-aligned window
+    * of up to `chunkSize` tokens becomes one row, the standard
+    * context-window / RAG-passage preparation step (overlap =
+    * chunkSize − stride keeps boundary-spanning content retrievable).
+    * Contract: one chunk per window start in {0, stride, 2·stride, …}
+    * strictly below the token count (so trailing sub-stride windows ARE
+    * emitted — the simple rule both engines state identically); chunk
+    * text is the tokens rejoined on single spaces (whitespace runs
+    * normalize); zero-token docs emit nothing.
+    *
+    * Scale posture: a pure narrow per-row projection — tokenize, one
+    * `sequence`/`explode` over the window starts, `slice`+`array_join`
+    * per chunk. No shuffle anywhere; output size is input tokens ×
+    * (chunkSize/stride) by construction, and the whole pipeline stays
+    * in one WholeStageCodegen span over the documents scan.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"chunking needs 1 <= stride <= chunkSize: size=$chunkSize stride=$stride")
+    docs
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(lit(chunkSize), size(col("tk")) - col("start")).cast("int")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced to its
+    * exactly-reproducible unigram core): score every document by how
+    * much more likely its tokens are under the TARGET distribution
+    * (the rows where `isTarget`) than under the RAW corpus — the
+    * per-doc sum over token occurrences of
+    * ln P̂_target(w) − ln P̂_raw(w), both add-one smoothed over the raw
+    * vocabulary. Selecting the top-scored documents shifts a crawl
+    * toward a curated reference distribution. Output: (doc_id,
+    * n_tokens, dsir_score), score quantized like ta_nb_langid — each
+    * log-likelihood is round(ln(p)·10⁶) BIGINT at MODEL time, so the
+    * per-doc fold is exact integer arithmetic: order-independent under
+    * any partitioning and oracle-re-derivable with no float-association
+    * hazard.
+    *
+    * Scale posture (the nbClassify shape): ONE pass over the exploded
+    * corpus builds the (token, raw-count, target-count) table — target
+    * counts ride the same aggregation as a conditional sum, so the
+    * target subset is never re-scanned; the totals and vocab size
+    * DERIVE from that table (model-sized, not corpus-sized). Scoring
+    * is the model join on token + one keyed per-doc sum. The model is
+    * vocab-bounded; `broadcastModel` is the same size dial as
+    * nbClassify's for a web-scale vocabulary (false → shuffled hash
+    * join, same rows, no memory ceiling).
+    */
+  def dsirScore(docs: DataFrame, isTarget: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    val scale = lit(1000000.0)
+    val tok = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(TextAnalysis.toks(col("text"))).as("token"))
+    val cnt = tok.groupBy("token").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    val model = cnt.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (round(log((col("ct") + lit(1)).cast("double") /
+            (col("tt") + col("v")).cast("double")) * scale).cast("bigint") -
+          round(log((col("cr") + lit(1)).cast("double") /
+            (col("tr") + col("v")).cast("double")) * scale).cast("bigint"))
+          .as("lr"))
+    val occ = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+    val modelSide = if (broadcastModel) broadcast(model) else model
+    occ.join(modelSide, "token")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(col("occ") * col("lr")).as("dsir_score"))
+  }
 }

@@ -193,14 +193,18 @@ object PipelineQueries {
     * `aggregate(zip_with(...))` both fold left-to-right in double
     * precision, so the sign bits agree bit-exactly.
     */
-  private def lshOracleSql(tables: Int, bits: Int, tau: Double): String = {
-    val nPlanes = tables * bits
-    s"""WITH p0 AS (SELECT pidx, d,
+  /** The p0→p1→pw→pl CTE chain re-deriving `Similarity.planeWeight` for
+    * planes `lo..hi` over dims 0..63 — `pl` is (pidx, 64-element ±1.0
+    * list). Shared by the LSH oracles (planes 0..tables·bits−1) and the
+    * random-projection oracle (the RpPlaneOffset block).
+    */
+  private def planesCteSql(lo: Int, hi: Int): String =
+    s"""p0 AS (SELECT pidx, d,
        |  CAST((CAST(xor(
        |    CAST((CAST(xor(CAST(14695981039346656037 AS UBIGINT), CAST(pidx AS UBIGINT)) AS HUGEINT)
        |          * 1099511628211) % 18446744073709551616 AS UBIGINT),
        |    CAST(d AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT) AS h
-       |  FROM generate_series(0, ${nPlanes - 1}) g1(pidx), generate_series(0, 63) g2(d)),
+       |  FROM generate_series($lo, $hi) g1(pidx), generate_series(0, 63) g2(d)),
        | p1 AS (SELECT pidx, d,
        |  ${mulModSql("xor(h, h >> 33)", 0xff51afd7ed558ccdL)} AS h
        |  FROM p0),
@@ -208,7 +212,11 @@ object PipelineQueries {
        |  CASE WHEN xor(h, h >> 33) >= CAST(9223372036854775808 AS UBIGINT)
        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS w
        |  FROM p1),
-       | pl AS (SELECT pidx, list(w ORDER BY d) AS wv FROM pw GROUP BY pidx),
+       | pl AS (SELECT pidx, list(w ORDER BY d) AS wv FROM pw GROUP BY pidx)""".stripMargin
+
+  private def lshOracleSql(tables: Int, bits: Int, tau: Double): String = {
+    val nPlanes = tables * bits
+    s"""WITH ${planesCteSql(0, nPlanes - 1)},
        | sig AS (SELECT e.vec_id, p.pidx // $bits AS t, p.pidx % $bits AS bp,
        |    CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.wv) >= 0
        |         THEN 1 ELSE 0 END AS bit
@@ -566,6 +574,44 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.rangeSearch(emb, emb.filter(col("vec_id") % 100 === 0), tau = 0.3)
         .orderBy("query_id", "neighbor_id")
+    },
+
+    // Rademacher random projection (JL compression, 64→16 dims) with
+    // top-k ranked in the PROJECTED space and the true cosine reported
+    // beside it as the quality witness. Fully oracled: the projection
+    // planes are the SAME portable planeWeight hash as the LSH family
+    // (a disjoint plane block at RpPlaneOffset), so DuckDB re-derives
+    // the exact projected vectors (list_dot_product ≡ the engine's
+    // sequential double fold), the exact projected-space ranking, and
+    // both cosines — cell-exact. The scale story: project once at
+    // ingest, scan the 4×-narrower rp column as the cheap first pass,
+    // rerank survivors by true cosine. Bench: s_rp.
+    NamedQuery(
+      "sim_rp",
+      s"""WITH ${planesCteSql(Similarity.RpPlaneOffset, Similarity.RpPlaneOffset + 15)},
+         |rp AS (SELECT e.vec_id,
+         |    list(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.wv)
+         |         ORDER BY p.pidx) AS rp
+         |  FROM embeddings e CROSS JOIN pl p GROUP BY e.vec_id)
+         |SELECT query_id, rank, neighbor_id, rp_cosine, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.rp, c.rp) /
+         |      (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))), 4)
+         |      AS rp_cosine,
+         |    ROUND(${cosSql("eq.embedding", "ec.embedding")}, 4) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.rp, c.rp) /
+         |        (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))) DESC,
+         |        c.vec_id) AS INTEGER) AS rank
+         |  FROM rp q JOIN rp c ON q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id % 100 = 0) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.rpTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 5, dim = 64)
+        .orderBy("query_id", "rank")
     },
 
     // k-NN majority-vote classification (the standard embedding-space
@@ -1429,6 +1475,64 @@ object PipelineQueries {
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.packSequences(Tables.load(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")
+    },
+
+    // Sliding-window chunking (size 32, stride 24 → 8-token overlap):
+    // cu_pack's complement — packing CONCATENATES short docs, this
+    // SPLITS long ones into context-window/RAG passages. Pure narrow
+    // per-row projection (tokenize → window starts → slice+rejoin), no
+    // shuffle; the oracle re-derives every window from the same simple
+    // contract (one chunk per stride-aligned start below the token
+    // count). Bench: c_ck.
+    NamedQuery(
+      "cu_chunk",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |    unnest(generate_series(0, len(tk) - 1, 24)) AS start
+         |  FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+         |  CAST(least(32, len(tk) - start) AS INT) AS n_chunk_tokens,
+         |  array_to_string(tk[start + 1 : start + 32], ' ') AS chunk
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Curation.chunkDocuments(Tables.load(s, dir, "documents"),
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // DSIR-style importance scoring (unigram log-likelihood ratio
+    // toward a target distribution — here lang='en' stands in for the
+    // curated reference corpus) and top-200 selection. Integer-exact
+    // end-to-end per the ta_nb_langid quantization contract
+    // (round(ln·10⁶) BIGINT at model time), so the oracle re-derives
+    // model and scores bit-exactly; ties across the selection boundary
+    // break on doc_id on both sides. Bench: c_dr.
+    NamedQuery(
+      "cu_dsir",
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS token
+         |  FROM documents),
+         |cnt AS (SELECT token, count(*) AS cr, count(*) FILTER (tgt) AS ct
+         |  FROM tok GROUP BY 1),
+         |tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM cnt),
+         |model AS (SELECT token,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt.tt + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tt.tr + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+         |    AS lr
+         |  FROM cnt CROSS JOIN tt),
+         |occ AS (SELECT doc_id, token, count(*) AS occ FROM tok GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |    CAST(sum(occ * lr) AS BIGINT) AS dsir_score
+         |  FROM occ JOIN model USING (token) GROUP BY 1)
+         |SELECT sc.doc_id, d.lang, sc.n_tokens, sc.dsir_score
+         |FROM sc JOIN documents d USING (doc_id)
+         |ORDER BY dsir_score DESC, sc.doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val top = Curation.dsirScore(docs, col("lang") === "en")
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(200)
+      // witness-join AFTER the top-k: 200 rows broadcast against the
+      // doc_id-keyed lang projection, never a corpus-sized join
+      broadcast(top).join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
     },
 
     // Exact corpus-quantile quality gate (drop the worst quartile by

@@ -20,6 +20,17 @@ object VectorStatics {
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
+
+  /** `array<double>` twin (random-projected vectors are double-typed —
+    * they are sums of products of doubles). Same sequential fold.
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
 }
 
 /** Native double-precision dot product over two `array<float>` columns —
@@ -36,24 +47,35 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullIntolerant: Boolean = true
   override def prettyName: String      = "graft_dot"
 
-  private def isFloatArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
 
+  // both sides must be float arrays or both double arrays — a mixed
+  // pair would silently reinterpret Tungsten bytes, so it is rejected
+  // at analysis, not coerced
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"graft_dot requires two array<float> arguments, got " +
-          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot requires two array<float> or two array<double> arguments, got " +
+            s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private def static: String =
+    if (elem(left.dataType).contains(DoubleType)) "dotD" else "dotF"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorStatics.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elem(left.dataType).contains(DoubleType))
+      VectorStatics.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorStatics.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorStatics.dotF($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorStatics.$static($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

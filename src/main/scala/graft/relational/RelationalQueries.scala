@@ -1032,6 +1032,56 @@ object RelationalQueries {
         .select(col("user_id"), col("n_exact"),
           est(col("user_id")).as("est_events"))
         .orderBy("user_id")
+    },
+
+    // -- q37: bottom-k sampled quantiles ----------------------------------
+    // The DISTRIBUTION sketch beside q34 (cardinality) and q36
+    // (frequency): per-group quantiles from a bottom-k uniform row
+    // sample (Sketches.BottomKQuantiles, k=512). Where an exact
+    // quantile sorts the group (q30 needed the histogram-bracket trick
+    // to avoid that), the sketch's partial-agg state is ≤k (hash, value)
+    // pairs per group at ANY row count — map-side combined, mergeable,
+    // and ORDER-INDEPENDENT: the sample is "the rows whose unique key
+    // (l_orderkey·8+l_linenumber) hashes to the k smallest splitmix64
+    // points", a function of the row multiset alone, which is what lets
+    // the oracle re-derive the exact same sample (same HUGEINT hash
+    // chain, same (rank·100 ≥ p·m) quantile rule) — hash-exact, not a
+    // tolerance check. Sampling error is the standard O(sqrt(p(1-p)/k)).
+    NamedQuery(
+      "q37_bottomk_quantile",
+      s"""WITH k0 AS (SELECT l_returnflag, l_quantity,
+         |    CAST(l_orderkey * 8 + l_linenumber AS UBIGINT) AS x FROM lineitem),
+         |h0 AS (SELECT l_returnflag, l_quantity, xor(x, x >> 30) AS h FROM k0),
+         |h1 AS (SELECT l_returnflag, l_quantity, ${kmvMul("h", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
+         |h2 AS (SELECT l_returnflag, l_quantity, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
+         |u AS (SELECT l_returnflag, l_quantity,
+         |    CAST(xor(h, h >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM h2),
+         |s AS (SELECT l_returnflag, l_quantity FROM (
+         |    SELECT l_returnflag, l_quantity,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_quantity) AS rn
+         |    FROM u) t WHERE rn <= 512),
+         |m AS (SELECT l_returnflag, count(*) AS m FROM s GROUP BY 1),
+         |r AS (SELECT l_returnflag, l_quantity,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn2 FROM s)
+         |SELECT r.l_returnflag, CAST(m.m AS BIGINT) AS n_sample,
+         |  min(CASE WHEN rn2 * 100 >= 50 * m.m THEN l_quantity END) AS p50,
+         |  min(CASE WHEN rn2 * 100 >= 90 * m.m THEN l_quantity END) AS p90,
+         |  min(CASE WHEN rn2 * 100 >= 99 * m.m THEN l_quantity END) AS p99
+         |FROM r JOIN m USING (l_returnflag)
+         |GROUP BY r.l_returnflag, m.m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val qs = udaf(new graft.functions.Sketches.BottomKQuantiles(512),
+        ExpressionEncoder[(Long, Double)]())
+      // the sketch aggregates RAW rows (one partial/final ObjectHashAgg
+      // pass, ≤k-pair buffers are all that shuffles — q34's posture);
+      // the unique row key doubles as the sample frame
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(qs(col("l_orderkey") * 8 + col("l_linenumber").cast("long"),
+          col("l_quantity")).as("sk"))
+        .select(col("l_returnflag"), col("sk.n_sample"),
+          col("sk.p50"), col("sk.p90"), col("sk.p99"))
+        .orderBy("l_returnflag")
     }
   )
 

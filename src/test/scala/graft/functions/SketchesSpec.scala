@@ -85,6 +85,56 @@ class SketchesSpec extends SparkSuite {
     (0 until 4).foreach(j => assert(s1.slice(j * 256, (j + 1) * 256).sum == 3000L))
   }
 
+  private def bkq(k: Int) = udaf(new Sketches.BottomKQuantiles(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+
+  test("bottom-k quantiles: exact when n <= k, matching the integer rank rule") {
+    // values 1..100 with distinct keys; k=128 keeps every row, so the
+    // output IS the rank-defined quantile: value at rank ceil(p·m/100)
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("key", "v")
+    val r = df.agg(bkq(128)(col("key"), col("v")).as("sk"))
+      .select("sk.n_sample", "sk.p50", "sk.p90", "sk.p99").head
+    assert(r.getLong(0) == 100L)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((50.0, 90.0, 99.0)))
+  }
+
+  test("bottom-k quantiles: sample is invariant to partitioning and input order") {
+    val rows = (1L to 20000L).map(i => (i, (graft.pipeline.Dedup.mix64(i) % 1000).toDouble))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(bkq(512)(col("key"), col("v")).as("sk"))
+        .select("sk.n_sample", "sk.p50", "sk.p90", "sk.p99")
+        .head.toSeq
+    val base = run(rows.toDF("key", "v").repartition(1))
+    assert(run(rows.toDF("key", "v").repartition(29)) == base)
+    assert(run(new scala.util.Random(3).shuffle(rows).toDF("key", "v").repartition(64)) == base)
+    assert(base.head == 512L) // capped at k
+  }
+
+  test("bottom-k quantiles: estimates land within the sampling envelope of the true quantiles") {
+    // uniform values 0..9999 under distinct keys: true p50/p90/p99 are
+    // ~5000/9000/9900; a k=512 uniform sample's quantile error is
+    // ~sqrt(p(1-p)/k)·n — assert a loose 5-sigma band (±0.11·n)
+    val n = 50000L
+    val rows = (1L to n).map(i => (i, (i % 10000).toDouble)).toDF("key", "v")
+    val r = rows.agg(bkq(512)(col("key"), col("v")).as("sk"))
+      .select("sk.p50", "sk.p90", "sk.p99").head
+    assert(math.abs(r.getDouble(0) - 5000.0) < 1100, s"p50 ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 9000.0) < 1100, s"p90 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 9900.0) < 1100, s"p99 ${r.getDouble(2)}")
+  }
+
+  test("bottom-k quantiles: grouped sketches sample independently per group") {
+    // two groups with disjoint value ranges; each group's quantiles must
+    // come from its own values only
+    val rows = (1L to 4000L).map(i =>
+      (if (i % 2 == 0) "lo" else "hi", i, if (i % 2 == 0) 1.0 else 1000.0))
+      .toDF("g", "key", "v")
+    val out = rows.groupBy("g").agg(bkq(64)(col("key"), col("v")).as("sk"))
+      .select(col("g"), col("sk.p50"), col("sk.p99")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("lo") == ((1.0, 1.0)) && out("hi") == ((1000.0, 1000.0)))
+  }
+
   test("CMS under-capacity forces collisions but min-of-rows still bounds them") {
     // 500 distinct keys into w=64: every row collides heavily; est must
     // stay >= exact everywhere yet beat any single row's counter

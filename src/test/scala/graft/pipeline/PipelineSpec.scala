@@ -1012,4 +1012,88 @@ class PipelineSpec extends SparkSuite {
     assert(grown.map(x => (x._1, x._2)) == m1.map(x => (x._1, x._2)))
     assert(grown != m1)
   }
+
+  test("chunking: windows tile the token stream; sizes, ids and overlap match the contract") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // many windows
+      (2L, "a b c"),                                   // single short window
+      (3L, ""),                                        // zero tokens -> no rows
+      (4L, (1 to 24).map(i => s"u$i").mkString(" ")))  // exactly one stride
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(!out.contains(3L))
+    assert(out(2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(out(4L).toSeq == Seq((4L, 0, 24, (1 to 24).map(i => s"u$i").mkString(" "))))
+    // doc 1: starts 0,24,48,72,96 -> sizes 32,32,32,28,4; chunk c starts
+    // at token 24c+1 and overlaps the previous window by 8 tokens
+    val d1 = out(1L).toSeq.sortBy(_._2)
+    assert(d1.map(_._2) == Seq(0, 1, 2, 3, 4))
+    assert(d1.map(_._3) == Seq(32, 32, 32, 28, 4))
+    d1.foreach { case (_, c, n, chunk) =>
+      assert(chunk == (24 * c + 1 to math.min(24 * c + 32, 100))
+        .map(i => s"t$i").mkString(" "))
+      assert(chunk.split(" ").length == n)
+    }
+  }
+
+  test("dsir: target-like documents outscore off-target ones; score is partition-invariant") {
+    // target = lang 'en'; 'alpha beta' dominate the target distribution,
+    // 'gamma delta' the raw remainder — a doc of target tokens must score
+    // strictly above a doc of off-target tokens of equal length
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta alpha", "en")) ++
+      (21L to 40L).map(i => (i, "gamma delta gamma", "xx")) ++
+      Seq((41L, "alpha beta alpha", "xx"), (42L, "gamma delta gamma", "en")))
+      .toDF("doc_id", "text", "lang")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirScore(df, col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s1 = scores(docs.repartition(1))
+    assert(s1(41L) > s1(21L)) // same text as targets beats off-target text
+    assert(s1(1L) == s1(41L)) // score depends on tokens, not the label
+    assert(scores(docs.repartition(17)) == s1) // quantized integer fold
+  }
+
+  test("dsir: broadcastModel=false (the size dial) scores identically through a shuffled join") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${i % 11} w${i % 13}", if (i % 3 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    def run(b: Boolean) =
+      Curation.dsirScore(docs, col("lang") === "en", broadcastModel = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(true) == run(false) && run(true).nonEmpty)
+  }
+
+  test("random projection: components are the planeWeight dots, and rpTopK ranks in projected space") {
+    val emb = (0L to 49L).map { i =>
+      (i, Array.tabulate(64)(d => (graft.pipeline.Dedup.mix64(i * 64 + d) % 100).toFloat / 100f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val rp = Similarity.randomProject(emb, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(rp.values.forall(_.size == 16))
+    // hand-fold component 3 of vector 7 against the same planes (the
+    // float values are constructed EXACTLY as the DataFrame's)
+    val v7 = (0 until 64).map(d =>
+      (graft.pipeline.Dedup.mix64(7L * 64 + d) % 100).toFloat / 100f)
+    val expect = (0 until 64).foldLeft(0.0) { (s, d) =>
+      s + v7(d).toDouble *
+        Similarity.planeWeight(Similarity.RpPlaneOffset + 3, d)
+    }
+    assert(rp(7L)(3) == expect)
+    // rpTopK is deterministic across partitionings and self-consistent:
+    // the projected cosine of rank 1 >= rank 2 per query
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.rpTopK(df, q, k = 3, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(x => (x._1, x._2)).toSeq
+    val t1 = top(emb.repartition(1))
+    assert(top(emb.repartition(13)) == t1)
+    t1.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted.reverse)
+    }
+  }
 }
