@@ -67,7 +67,11 @@ object Plans {
       "q35_gapfill" -> "time-series gap-fill: dense hour-x-type grid exploded from ONE aggregate row, left join to observed counts — grid cost corpus-independent",
       "ws_complete_q" -> "prefix autocomplete: StringStartsWith pushed to the value-sorted global-index scan (the forward twin of the reverse-index suffix probe) + bounded TakeOrderedAndProject",
       "sim_range" -> "radius similarity search: broadcast queries x streamed corpus + ONE codegen'd threshold filter — no window, no global sort, no task holds more than its input split",
-      "q36_cms_heavy" -> "count-min heavy hitters: ObjectHashAggregate whose partial state is the d*w counter matrix (map-side combined, nothing key-shaped shuffles); the one-row sketch is driver-collected closure state (16 KB, a sketch constant), and the exact witness aggregates only the candidate-gated semi-join — no corpus-keyed count table, no per-row sketch array")
+      "q36_cms_heavy" -> "count-min heavy hitters: ObjectHashAggregate whose partial state is the d*w counter matrix (map-side combined, nothing key-shaped shuffles); the one-row sketch is driver-collected closure state (16 KB, a sketch constant), and the exact witness aggregates only the candidate-gated semi-join — no corpus-keyed count table, no per-row sketch array",
+      "q37_bottomk_quantile" -> "bottom-k sampled quantiles: ObjectHashAggregate with <=k (hash,value)-pair mergeable state per group (map-side combined) — the quantile companion to q34/q36; no global sort, no window, nothing corpus-sized shuffles",
+      "cu_chunk" -> "sliding-window chunking: tokenize -> sequence/explode window starts -> slice+rejoin, ONE narrow codegen span over the documents scan — no shuffle anywhere",
+      "cu_dsir" -> "DSIR importance selection: one exploded-corpus pass builds the (token, raw, target) count table (target rides as a conditional sum — the target subset is never re-scanned), model joins broadcast (size-dialed), per-doc integer sum, bounded TakeOrderedAndProject top-200",
+      "sim_rp" -> "random projection top-k: compiled projection pass + broadcast projected queries; BOTH cosines (projected ranking key + true-cosine witness) computed in one scored join over (embedding, rp) pairs — no second corpus join, dots codegen'd in both spaces")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")
