@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live (incremental) maintenance for the mergeable-sketch family —
+  * the LSM posture of the other maintainers applied to ANALYTICS state
+  * instead of index state: each micro-batch folds into ONE fixed-size
+  * partial count-min sketch (`Sketches.CmsAggregator` — the partial-agg
+  * pass is the only corpus-touching work, O(|batch|) rows read, d·w
+  * longs written), persisted as a `v<batchId>` delta in the shared
+  * `VersionedState` layout. A read at version `upTo` merges the
+  * read-set's rows DRIVER-SIDE — ≤(1 base + pending deltas) vectors of
+  * d·w longs each, a sketch constant, never the corpus — so serving
+  * cost is independent of both corpus and batch count after compaction.
+  *
+  * Because counter addition is associative and commutative, the merged
+  * live sketch is BIT-IDENTICAL to the batch sketch over the union of
+  * the batches under ANY batch split — the property `q38_live_cms`
+  * pins on the correctness gate by serving q36's exact oracle from a
+  * three-batch live store. That is the reference's combiner contract
+  * (the same aggregator attached at ingest, minor-compaction, and scan
+  * scope gives one consistent answer at any flush boundary,
+  * WikipediaIngester.java:98-135) carried to sketch state.
+  *
+  * Time travel (`cmsAt(v)`), restart recovery (version rediscovery from
+  * committed markers), and the compact-then-sweep protocol all come
+  * with the shared layout. `compact()` folds every committed version
+  * into a `c<latest>` base — after it, a reader merges exactly one row
+  * until the next delta lands.
+  */
+class LiveSketchMaintainer(
+    spark: SparkSession,
+    dir: String,
+    d: Int = 4,
+    w: Int = 512,
+    keyCol: String = "user_id") {
+
+  private val cms = udaf(new graft.functions.Sketches.CmsAggregator(d, w))
+
+  @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
+
+  def latestVersion: Long = version
+
+  /** Fold one micro-batch into a delta sketch. One partial-aggregable
+    * pass over the batch (map-side combined d·w-long buffers are all
+    * that shuffles); the delta is a single (version, sk) row.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId > version,
+      s"batchId $batchId must advance the committed version $version")
+    batch.agg(cms(col(keyCol)).as("sk"))
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/v$batchId")
+    version = batchId
+  }
+
+  /** The merged sketch at version `upTo` (default: latest) — element-wise
+    * sum over the read set's partial rows, driver-side over bounded
+    * state. Returns the zero sketch for an empty store (no committed
+    * version ≤ upTo): estimates are then 0, one-sidedly below nothing.
+    */
+  def cmsAt(upTo: Long = Long.MaxValue): Seq[Long] = {
+    val cap = math.min(upTo, version)
+    val acc = new Array[Long](d * w)
+    if (cap >= 0) {
+      val paths = VersionedState.readPaths(dir, Nil, None, cap)
+      if (paths.nonEmpty)
+        spark.read.parquet(paths: _*).collect().foreach { r =>
+          val sk = r.getSeq[Long](r.fieldIndex("sk"))
+          var i = 0
+          while (i < acc.length) { acc(i) += sk(i); i += 1 }
+        }
+    }
+    acc.toSeq
+  }
+
+  /** Fold every committed version into a `c<latest>` base. The merge
+    * happens driver-side over the bounded read set; the base is one
+    * row. `deleteSubsumed = false` defers the sweep for a reader grace
+    * window (`Compaction.sweepSubsumed(dir, Nil)` later), the standard
+    * protocol of the other stores.
+    */
+  def compact(deleteSubsumed: Boolean = true): Long = {
+    val at = version
+    require(at >= 0, "nothing to compact: no committed version")
+    val merged = cmsAt(at)
+    import spark.implicits._
+    Seq(Tuple1(merged)).toDF("sk")
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/c$at")
+    if (deleteSubsumed) Compaction.sweepSubsumed(dir, Nil)
+    at
+  }
+}

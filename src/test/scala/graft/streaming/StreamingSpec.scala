@@ -1246,4 +1246,54 @@ class StreamingSpec extends SparkSuite {
       .as[(String, String, Int, String, Long, Seq[String], Boolean)].collect().head
     assert(hot._5 == 25L && hot._6.isEmpty && hot._7)
   }
+
+  test("LiveSketchMaintainer: live CMS equals the batch sketch under any split; time travel, restart, compaction") {
+    import graft.functions.Sketches
+    val (d, w) = (4, 64)
+    val cmsU = udaf(new Sketches.CmsAggregator(d, w))
+    val all = (1L to 3000L).map(i => i % 113).toDF("user_id")
+    val batchSketch = all
+      .agg(cmsU(col("user_id")).as("sk"))
+      .head.getSeq[Long](0).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-sk").toString
+    val writer = new LiveSketchMaintainer(spark, dir, d, w)
+    (0 until 3).foreach(b =>
+      writer.processBatch(all.filter(pmod(col("user_id"), lit(3)) === b), b.toLong))
+    // associativity: merged deltas == the one-pass batch sketch, bit-exact
+    assert(writer.cmsAt() == batchSketch)
+
+    // a DIFFERENT split of the same rows commits the same merged sketch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-live-sk2").toString
+    val w2 = new LiveSketchMaintainer(spark, dir2, d, w)
+    Seq(0, 1).foreach(b =>
+      w2.processBatch(all.filter(pmod(col("user_id"), lit(2)) === b), b.toLong))
+    assert(w2.cmsAt() == batchSketch)
+
+    // time travel: version 1 covers batches 0-1 only
+    val upTo1 = all.filter(pmod(col("user_id"), lit(3)) < 2)
+      .agg(cmsU(col("user_id")).as("sk"))
+      .head.getSeq[Long](0).toSeq
+    assert(writer.cmsAt(1L) == upTo1)
+
+    // restart recovery: a fresh maintainer rediscovers the version and sketch
+    val reader = new LiveSketchMaintainer(spark, dir, d, w)
+    assert(reader.latestVersion == 2L && reader.cmsAt() == batchSketch)
+
+    // compaction folds to one base; a fresh reader still serves the
+    // identical sketch, and the deltas are swept
+    writer.compact()
+    val post = new LiveSketchMaintainer(spark, dir, d, w)
+    assert(post.cmsAt() == batchSketch)
+    assert(!new java.io.File(dir, "v0").exists() && new java.io.File(dir, "c2").exists())
+    // ingest continues past the base
+    post.processBatch(Seq(999L).toDF("user_id"), 3L)
+    val withMore = post.cmsAt()
+    (0 until d).foreach { j =>
+      assert(withMore(j * w + Sketches.cmsBucket(999L, j, w)) ==
+        batchSketch(j * w + Sketches.cmsBucket(999L, j, w)) + 1)
+    }
+    // estimates off the live sketch stay one-sided (>= exact)
+    assert(Sketches.cmsEstimate(withMore, 999L, d, w) >= 1L)
+  }
 }
