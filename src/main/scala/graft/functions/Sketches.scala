@@ -167,48 +167,73 @@ object Sketches {
     */
   case class QsOut(n_sample: Long, p50: Double, p90: Double, p99: Double)
 
+  // the buffer operations, ONE definition shared by the finishing
+  // aggregator (q37), the partial-emitting aggregator (live deltas),
+  // and the live store's driver-side merge — so the three paths cannot
+  // drift
+
+  def qsReduce(b: QsBuf, key: Long, v: Double, k: Int): QsBuf = {
+    val u = kmvPoint(key)
+    // skip without search when u can't enter a full sample
+    if (b.us.size == k && u >= b.us.last) b else qsInsert(b, u, v, k)
+  }
+
+  def qsMerge(b1: QsBuf, b2: QsBuf, k: Int): QsBuf = {
+    val all = (b1.us.zip(b1.vs) ++ b2.us.zip(b2.vs)).sorted.take(k)
+    QsBuf(all.map(_._1), all.map(_._2))
+  }
+
+  /** n_sample + the rank-rule quantiles of the sample (least rank rn
+    * with 100·rn ≥ p·m).
+    */
+  def qsFinish(b: QsBuf): QsOut = {
+    val m = b.vs.size
+    if (m == 0) QsOut(0L, 0.0, 0.0, 0.0)
+    else {
+      val sorted = b.vs.sorted
+      def at(p: Int): Double = sorted((p * m + 99) / 100 - 1)
+      QsOut(m.toLong, at(50), at(90), at(99))
+    }
+  }
+
+  private def qsInsert(b: QsBuf, u: Double, v: Double, k: Int): QsBuf = {
+    // lexicographic (u, v) insertion point over the parallel arrays
+    var lo = 0; var hi = b.us.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Double.compare(b.us(mid), u) match {
+        case 0 => java.lang.Double.compare(b.vs(mid), v)
+        case x => x
+      }
+      if (c < 0) lo = mid + 1 else hi = mid
+    }
+    QsBuf(((b.us.take(lo) :+ u) ++ b.us.drop(lo)).take(k),
+      ((b.vs.take(lo) :+ v) ++ b.vs.drop(lo)).take(k))
+  }
+
   class BottomKQuantiles(k: Int) extends Aggregator[(Long, Double), QsBuf, QsOut] {
     require(k >= 2, s"bottom-k sample needs k >= 2: $k")
-
     def zero: QsBuf = QsBuf(Vector.empty, Vector.empty)
-
-    def reduce(b: QsBuf, row: (Long, Double)): QsBuf = {
-      val u = kmvPoint(row._1)
-      // skip without search when u can't enter a full sample
-      if (b.us.size == k && u >= b.us.last) b else insert(b, u, row._2)
-    }
-
-    def merge(b1: QsBuf, b2: QsBuf): QsBuf = {
-      val all = (b1.us.zip(b1.vs) ++ b2.us.zip(b2.vs)).sorted.take(k)
-      QsBuf(all.map(_._1), all.map(_._2))
-    }
-
-    def finish(b: QsBuf): QsOut = {
-      val m = b.vs.size
-      if (m == 0) QsOut(0L, 0.0, 0.0, 0.0)
-      else {
-        val sorted = b.vs.sorted
-        def at(p: Int): Double = sorted((p * m + 99) / 100 - 1)
-        QsOut(m.toLong, at(50), at(90), at(99))
-      }
-    }
-
+    def reduce(b: QsBuf, row: (Long, Double)): QsBuf = qsReduce(b, row._1, row._2, k)
+    def merge(b1: QsBuf, b2: QsBuf): QsBuf = qsMerge(b1, b2, k)
+    def finish(b: QsBuf): QsOut = qsFinish(b)
     def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
     def outputEncoder: Encoder[QsOut] = Encoders.product[QsOut]
+  }
 
-    private def insert(b: QsBuf, u: Double, v: Double): QsBuf = {
-      // lexicographic (u, v) insertion point over the parallel arrays
-      var lo = 0; var hi = b.us.size
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        val c = java.lang.Double.compare(b.us(mid), u) match {
-          case 0 => java.lang.Double.compare(b.vs(mid), v)
-          case x => x
-        }
-        if (c < 0) lo = mid + 1 else hi = mid
-      }
-      QsBuf(((b.us.take(lo) :+ u) ++ b.us.drop(lo)).take(k),
-        ((b.vs.take(lo) :+ v) ++ b.vs.drop(lo)).take(k))
-    }
+  /** The PARTIAL-emitting twin: same fold, but `finish` returns the
+    * buffer itself — what a live maintainer persists per batch so a
+    * later read can keep merging (`qsMerge` is associative and
+    * commutative: the k-smallest-by-hash set of a union is the
+    * k-smallest of the k-smallest).
+    */
+  class BottomKSample(k: Int) extends Aggregator[(Long, Double), QsBuf, QsBuf] {
+    require(k >= 2, s"bottom-k sample needs k >= 2: $k")
+    def zero: QsBuf = QsBuf(Vector.empty, Vector.empty)
+    def reduce(b: QsBuf, row: (Long, Double)): QsBuf = qsReduce(b, row._1, row._2, k)
+    def merge(b1: QsBuf, b2: QsBuf): QsBuf = qsMerge(b1, b2, k)
+    def finish(b: QsBuf): QsBuf = b
+    def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
+    def outputEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
   }
 }

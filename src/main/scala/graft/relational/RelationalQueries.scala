@@ -1048,26 +1048,7 @@ object RelationalQueries {
     // tolerance check. Sampling error is the standard O(sqrt(p(1-p)/k)).
     NamedQuery(
       "q37_bottomk_quantile",
-      s"""WITH k0 AS (SELECT l_returnflag, l_quantity,
-         |    CAST(l_orderkey * 8 + l_linenumber AS UBIGINT) AS x FROM lineitem),
-         |h0 AS (SELECT l_returnflag, l_quantity, xor(x, x >> 30) AS h FROM k0),
-         |h1 AS (SELECT l_returnflag, l_quantity, ${kmvMul("h", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
-         |h2 AS (SELECT l_returnflag, l_quantity, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
-         |u AS (SELECT l_returnflag, l_quantity,
-         |    CAST(xor(h, h >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM h2),
-         |s AS (SELECT l_returnflag, l_quantity FROM (
-         |    SELECT l_returnflag, l_quantity,
-         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_quantity) AS rn
-         |    FROM u) t WHERE rn <= 512),
-         |m AS (SELECT l_returnflag, count(*) AS m FROM s GROUP BY 1),
-         |r AS (SELECT l_returnflag, l_quantity,
-         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn2 FROM s)
-         |SELECT r.l_returnflag, CAST(m.m AS BIGINT) AS n_sample,
-         |  min(CASE WHEN rn2 * 100 >= 50 * m.m THEN l_quantity END) AS p50,
-         |  min(CASE WHEN rn2 * 100 >= 90 * m.m THEN l_quantity END) AS p90,
-         |  min(CASE WHEN rn2 * 100 >= 99 * m.m THEN l_quantity END) AS p99
-         |FROM r JOIN m USING (l_returnflag)
-         |GROUP BY r.l_returnflag, m.m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      bottomkQuantileOracleSql) { (s, dir) =>
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       val qs = udaf(new graft.functions.Sketches.BottomKQuantiles(512),
         ExpressionEncoder[(Long, Double)]())
@@ -1081,8 +1062,69 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("sk.n_sample"),
           col("sk.p50"), col("sk.p90"), col("sk.p99"))
         .orderBy("l_returnflag")
+    },
+
+    // -- q39: LIVE bottom-k quantiles --------------------------------------
+    // q37's per-group sample maintained incrementally — the second
+    // instance proving streaming/LiveSketches is generic over
+    // associative sketches (qsMerge plays the role counter addition
+    // plays for q38's CMS): three disjoint micro-batches each persist a
+    // per-group ≤k-pair partial (BottomKSample), a fresh maintainer
+    // merges them driver-side through the SAME qsMerge/qsFinish the
+    // batch aggregator uses, and the oracle is q37's SQL VERBATIM —
+    // the k-smallest-by-hash set of a union is the k-smallest of the
+    // k-smallest, so live ≡ batch bit-exactly under any split.
+    NamedQuery(
+      "q39_live_quantile",
+      bottomkQuantileOracleSql) { (s, dir) =>
+      val out = liveQuantileCache.getOrElseUpdate((s, dir), {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("g"),
+          (col("l_orderkey") * 8 + col("l_linenumber").cast("long")).as("key"),
+          col("l_quantity").as("v"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-live-q").toString
+        val writer = new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512)
+        (0 until 3).foreach(b =>
+          writer.processBatch(li.filter(pmod(col("key"), lit(3)) === b), b.toLong))
+        new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512).quantilesAt()
+      })
+      import s.implicits._
+      out.toSeq.sortBy(_._1)
+        .map { case (g, q) => (g, q.n_sample, q.p50, q.p90, q.p99) }
+        .toDF("l_returnflag", "n_sample", "p50", "p90", "p99")
+        .orderBy("l_returnflag")
     }
   )
+
+  /** The bottom-k quantile oracle, shared VERBATIM by q37 (batch
+    * sketch) and q39 (live-maintained sketch) — the q36/q38 posture.
+    */
+  private def bottomkQuantileOracleSql: String =
+    s"""WITH k0 AS (SELECT l_returnflag, l_quantity,
+       |    CAST(l_orderkey * 8 + l_linenumber AS UBIGINT) AS x FROM lineitem),
+       |h0 AS (SELECT l_returnflag, l_quantity, xor(x, x >> 30) AS h FROM k0),
+       |h1 AS (SELECT l_returnflag, l_quantity, ${kmvMul("h", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
+       |h2 AS (SELECT l_returnflag, l_quantity, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
+       |u AS (SELECT l_returnflag, l_quantity,
+       |    CAST(xor(h, h >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM h2),
+       |s AS (SELECT l_returnflag, l_quantity FROM (
+       |    SELECT l_returnflag, l_quantity,
+       |      row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_quantity) AS rn
+       |    FROM u) t WHERE rn <= 512),
+       |m AS (SELECT l_returnflag, count(*) AS m FROM s GROUP BY 1),
+       |r AS (SELECT l_returnflag, l_quantity,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn2 FROM s)
+       |SELECT r.l_returnflag, CAST(m.m AS BIGINT) AS n_sample,
+       |  min(CASE WHEN rn2 * 100 >= 50 * m.m THEN l_quantity END) AS p50,
+       |  min(CASE WHEN rn2 * 100 >= 90 * m.m THEN l_quantity END) AS p90,
+       |  min(CASE WHEN rn2 * 100 >= 99 * m.m THEN l_quantity END) AS p99
+       |FROM r JOIN m USING (l_returnflag)
+       |GROUP BY r.l_returnflag, m.m ORDER BY l_returnflag""".stripMargin
+
+  // one live quantile store per (session, dir), like liveCmsCache
+  private val liveQuantileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Map[String, graft.functions.Sketches.QsOut]]
 
   /** The CMS heavy-hitter oracle, shared VERBATIM by q36 (batch sketch)
     * and q38 (live-maintained sketch) — the share IS the claim: the

@@ -95,3 +95,90 @@ class LiveSketchMaintainer(
     at
   }
 }
+
+/** The bottom-k quantile twin of `LiveSketchMaintainer`, PER GROUP —
+  * demonstrating the layout is generic over associative sketches:
+  * `qsMerge` (k-smallest-by-hash of a union = k-smallest of the
+  * k-smallest) plays the role counter addition plays for CMS, so the
+  * live per-group sample is bit-identical to the batch sample under
+  * any batch split, and `q39_live_quantile` serves q37's oracle
+  * verbatim. Each delta holds ≤|groups| rows of ≤k (hash, value)
+  * pairs (the `BottomKSample` partial-emitting aggregator); reads
+  * merge driver-side through the SAME `Sketches.qsMerge`/`qsFinish`
+  * the batch aggregator folds with — one definition, three paths.
+  * Contract: the group domain is bounded (a GROUP BY dimension, not a
+  * key domain) — driver merge state is |groups|·k pairs.
+  *
+  * Batch schema: (g string, key long — unique per row, the sample
+  * frame; v double).
+  */
+class LiveQuantileMaintainer(
+    spark: SparkSession,
+    dir: String,
+    k: Int = 512) {
+
+  import graft.functions.Sketches
+
+  private val sample = udaf(new Sketches.BottomKSample(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+
+  @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
+
+  def latestVersion: Long = version
+
+  /** One partial-aggregable pass over the batch: per-group ≤k-pair
+    * buffers are all that shuffles; the delta is ≤|groups| rows.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId > version,
+      s"batchId $batchId must advance the committed version $version")
+    batch.groupBy("g").agg(sample(col("key"), col("v")).as("sk"))
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/v$batchId")
+    version = batchId
+  }
+
+  /** Per-group merged samples at version `upTo`, finished with the
+    * rank-rule quantiles — driver-side over |groups|·k·versions pairs.
+    */
+  def quantilesAt(upTo: Long = Long.MaxValue): Map[String, Sketches.QsOut] = {
+    val cap = math.min(upTo, version)
+    if (cap < 0) return Map.empty
+    val paths = VersionedState.readPaths(dir, Nil, None, cap)
+    if (paths.isEmpty) return Map.empty
+    val partials = spark.read.parquet(paths: _*).collect().map { r =>
+      val sk = r.getStruct(r.fieldIndex("sk"))
+      (r.getString(r.fieldIndex("g")),
+        Sketches.QsBuf(sk.getSeq[Double](0), sk.getSeq[Double](1)))
+    }
+    partials.groupBy(_._1).map { case (g, bs) =>
+      g -> Sketches.qsFinish(
+        bs.map(_._2).reduce(Sketches.qsMerge(_, _, k)))
+    }
+  }
+
+  /** Fold every committed version into a `c<latest>` base (per-group
+    * MERGED partials — NOT finished quantiles, so ingest continues to
+    * merge past it). Same compact-then-sweep protocol as the CMS store.
+    */
+  def compact(deleteSubsumed: Boolean = true): Long = {
+    val at = version
+    require(at >= 0, "nothing to compact: no committed version")
+    val paths = VersionedState.readPaths(dir, Nil, None, at)
+    val merged = spark.read.parquet(paths: _*).collect().map { r =>
+      val sk = r.getStruct(r.fieldIndex("sk"))
+      (r.getString(r.fieldIndex("g")),
+        Sketches.QsBuf(sk.getSeq[Double](0), sk.getSeq[Double](1)))
+    }.groupBy(_._1).map { case (g, bs) =>
+      (g, bs.map(_._2).reduce(Sketches.qsMerge(_, _, k)))
+    }.toSeq.sortBy(_._1)
+    import spark.implicits._
+    merged.toDF("g", "sk")
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/c$at")
+    if (deleteSubsumed) Compaction.sweepSubsumed(dir, Nil)
+    at
+  }
+}

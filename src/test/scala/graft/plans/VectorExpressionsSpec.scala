@@ -71,13 +71,25 @@ class VectorExpressionsSpec extends SparkSuite {
     }
   }
 
-  test("type check rejects non-float arrays") {
+  test("double arrays fold like float arrays; mixed and non-numeric pairs are rejected") {
     GraftFunctions.register(spark)
-    val err = intercept[Exception] {
-      Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    // array<double> pairs are first-class (the random-projection path)
+    val d = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b"))).head.getDouble(0)
+    assert(d == 11.0)
+    // a float/double MIX would silently reinterpret Tungsten bytes —
+    // rejected at analysis, not coerced
+    val mixed = intercept[Exception] {
+      Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("a", "b")
         .select(call_function("graft_dot", col("a"), col("b"))).collect()
     }
-    assert(err.getMessage.toLowerCase.contains("graft_dot") ||
-      err.getMessage.toLowerCase.contains("data type mismatch"))
+    assert(mixed.getMessage.toLowerCase.contains("graft_dot") ||
+      mixed.getMessage.toLowerCase.contains("data type mismatch"))
+    val strings = intercept[Exception] {
+      Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+    assert(strings.getMessage.toLowerCase.contains("graft_dot") ||
+      strings.getMessage.toLowerCase.contains("data type mismatch"))
   }
 }

@@ -1296,4 +1296,46 @@ class StreamingSpec extends SparkSuite {
     // estimates off the live sketch stay one-sided (>= exact)
     assert(Sketches.cmsEstimate(withMore, 999L, d, w) >= 1L)
   }
+
+  test("LiveQuantileMaintainer: per-group live sample equals the batch sketch; time travel and compaction preserve it") {
+    import graft.functions.Sketches
+    val k = 64
+    val rows = (1L to 5000L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i, (graft.pipeline.Dedup.mix64(i) % 500).toDouble))
+      .toDF("g", "key", "v")
+    val bkq = udaf(new Sketches.BottomKQuantiles(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val batch = rows.groupBy("g").agg(bkq(col("key"), col("v")).as("sk"))
+      .select(col("g"), col("sk.n_sample"), col("sk.p50"), col("sk.p90"), col("sk.p99"))
+      .collect().map(r => r.getString(0) ->
+        Sketches.QsOut(r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-bkq").toString
+    val writer = new LiveQuantileMaintainer(spark, dir, k)
+    (0 until 3).foreach(b =>
+      writer.processBatch(rows.filter(pmod(col("key"), lit(3)) === b), b.toLong))
+    assert(writer.quantilesAt() == batch)
+
+    // time travel: version 0 covers batch 0 only
+    val batch0 = rows.filter(pmod(col("key"), lit(3)) === 0)
+      .groupBy("g").agg(bkq(col("key"), col("v")).as("sk"))
+      .select(col("g"), col("sk.n_sample"), col("sk.p50"), col("sk.p90"), col("sk.p99"))
+      .collect().map(r => r.getString(0) ->
+        Sketches.QsOut(r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(writer.quantilesAt(0L) == batch0)
+
+    // restart + compaction: fold to one base, sweep deltas, still identical
+    writer.compact()
+    val post = new LiveQuantileMaintainer(spark, dir, k)
+    assert(post.quantilesAt() == batch)
+    assert(!new java.io.File(dir, "v0").exists() && new java.io.File(dir, "c2").exists())
+    // the base holds PARTIALS, so ingest keeps merging past it: adding
+    // rows of a fresh group appears; old groups' samples are unchanged
+    post.processBatch(Seq(("c", 100001L, 7.0)).toDF("g", "key", "v"), 3L)
+    val more = post.quantilesAt()
+    assert(more("c") == Sketches.QsOut(1L, 7.0, 7.0, 7.0))
+    assert(more("a") == batch("a") && more("b") == batch("b"))
+  }
 }
