@@ -92,6 +92,7 @@ object Bench {
     "sim_recall"           -> "s_rec",
     "sim_range"            -> "s_rg",
     "sim_rp"               -> "s_rp",
+    "sim_mmr"              -> "s_mm",
     "ta_stats"             -> "t_st",
     "ta_quality"           -> "t_q",
     "ta_langid"            -> "t_l",

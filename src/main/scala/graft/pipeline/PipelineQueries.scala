@@ -614,6 +614,62 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // MMR diversified top-k (λ=0.5, pool=8, k=4): greedy
+    // redundancy-removing rerank — each pick maximizes λ·relevance −
+    // (1−λ)·max-sim-to-selected (rank 1 = plain relevance argmax, its
+    // mmr DEFINED as the relevance). The oracle re-derives the exact
+    // pool, the pool-pair similarity matrix, and EVERY greedy step as
+    // a recursive CTE with a LATERAL per-step argmax — bit-exact
+    // because both sides fold the same doubles and break ties on
+    // neighbor id. Scale shape: bounded-pool two-stage serving — the
+    // pool is a broadcast-queries × streamed-corpus WindowGroupLimit
+    // top-8; the sequential greedy runs INSIDE the per-query
+    // aggregation row over ≤pool candidates, never a driver loop.
+    // Bench: s_mm.
+    NamedQuery(
+      "sim_mmr",
+      s"""WITH RECURSIVE
+         |pool AS (
+         |  SELECT query_id, nid, rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nid,
+         |      ${cosSql("q.embedding", "c.embedding")} AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 100 = 0) t
+         |  WHERE rn <= 8),
+         |pp AS (
+         |  SELECT a.query_id, a.nid AS x, b.nid AS y,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.nid <> b.nid
+         |  JOIN embeddings ea ON ea.vec_id = a.nid
+         |  JOIN embeddings eb ON eb.vec_id = b.nid),
+         |sel AS (
+         |  SELECT query_id, 1 AS rank, nid, rel, rel AS score, [nid] AS picked
+         |  FROM (SELECT query_id, nid, rel,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+         |        FROM pool) t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.query_id, s.rank + 1, c.nid, c.rel, c.score,
+         |         list_append(s.picked, c.nid)
+         |  FROM sel s, LATERAL (
+         |    SELECT p.nid, p.rel,
+         |      0.5 * p.rel - 0.5 * (SELECT max(pp.sim) FROM pp
+         |        WHERE pp.query_id = s.query_id AND pp.x = p.nid
+         |          AND list_contains(s.picked, pp.y)) AS score
+         |    FROM pool p
+         |    WHERE p.query_id = s.query_id AND NOT list_contains(s.picked, p.nid)
+         |    ORDER BY score DESC, p.nid LIMIT 1) c
+         |  WHERE s.rank < 4)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id,
+         |  ROUND(rel, 4) AS cosine, ROUND(score, 4) AS mmr
+         |FROM sel ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 4, pool = 8)
+        .orderBy("query_id", "rank")
+    },
+
     // k-NN majority-vote classification (the standard embedding-space
     // label-propagation op): queries = every 25th vector, corpus = the
     // rest; k=5 exact-cosine neighbors vote, most votes wins, vote ties

@@ -456,6 +456,77 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** MMR diversified top-k (maximal marginal relevance, Carbonell &
+    * Goldstein 1998): greedily select k results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * standard redundancy-removing rerank over a similarity search
+    * (a near-dup-heavy corpus otherwise fills the whole page with one
+    * cluster). Two stages, the classic serving shape: (1) an exact
+    * bounded pool per query — broadcast queries × streamed corpus,
+    * WindowGroupLimit top-`pool` on unrounded cosine; (2) the
+    * inherently-sequential greedy loop over the pool, run INSIDE the
+    * per-query aggregation row (collect the ≤pool candidates, one UDF
+    * pass) — distributed per query, never a driver loop, and bounded
+    * by `pool`, not the corpus. Rank 1 is the plain argmax by
+    * relevance and its mmr score is DEFINED as the relevance; later
+    * ranks score λ·rel − (1−λ)·maxSim with ties broken by neighbor id.
+    * All arithmetic is the shared sequential-fold cosine (float→double
+    * promotion exact), so a SQL oracle re-derives pool, pair
+    * similarities, and every greedy step bit-identically.
+    */
+  def mmrTopK(emb: DataFrame, queries: DataFrame, k: Int, pool: Int,
+      lam: Double = 0.5): DataFrame = {
+    require(k >= 1 && pool >= k, s"mmr needs 1 <= k <= pool: k=$k pool=$pool")
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"), norm(col("embedding")).as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val pooled = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"),
+        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("rel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pool)
+    val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      val cs = cands.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray)).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        rawDot(a, b) / (math.sqrt(rawDot(a, a)) * math.sqrt(rawDot(b, b)))
+      // emit the WHOLE pool in MMR order (the caller trims to k): the
+      // unique-nid tiebreak makes every argmax unique, so set iteration
+      // order cannot matter
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      val left = scala.collection.mutable.Set(cs.indices: _*)
+      while (left.nonEmpty) {
+        def mmrScore(i: Int): Double =
+          if (picked.isEmpty) cs(i)._2
+          else {
+            val maxSim = picked.map(p => cos(cs(i)._3, cs(p._1)._3)).max
+            lam * cs(i)._2 - (1 - lam) * maxSim
+          }
+        val best = left.minBy(i => (-mmrScore(i), cs(i)._1))
+        picked += ((best, cs(best)._1, cs(best)._2, mmrScore(best)))
+        left -= best
+      }
+      picked.toSeq.zipWithIndex.map { case ((_, nid, rel, score), idx) =>
+        (idx + 1, nid, rel, score)
+      }
+    }
+    pooled
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("rel"), col("embedding")))
+        .as("cands"))
+      .select(col("query_id"), explode(greedy(col("cands"))).as("pick"))
+      .filter(col("pick._1") <= k)
+      .select(col("query_id"), col("pick._1").as("rank"),
+        col("pick._2").as("neighbor_id"),
+        round(col("pick._3"), 4).as("cosine"),
+        round(col("pick._4"), 4).as("mmr"))
+  }
+
   // ---- persisted IVF index ------------------------------------------------
 
   /** A trained IVF index: centroid matrix + the corpus with its cell

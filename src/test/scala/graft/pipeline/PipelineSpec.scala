@@ -1066,6 +1066,39 @@ class PipelineSpec extends SparkSuite {
     assert(run(true) == run(false) && run(true).nonEmpty)
   }
 
+  test("mmr: a redundant near-duplicate of the top hit is demoted from its cosine rank") {
+    // query along e0; by COSINE the near-duplicate of the top hit is
+    // rank 2 — MMR demotes it: its max-sim-to-selected (~1.0) makes its
+    // marginal score ~0.5·(rel − 1) < 0, so the orthogonal candidate
+    // (marginal score 0) takes rank 2 instead.
+    def v(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); parts.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    val emb = Seq(
+      (0L, v(0 -> 1f)),                      // the query
+      (1L, v(0 -> 1f, 1 -> 0.01f)),          // top hit
+      (2L, v(0 -> 1f, 1 -> 0.02f)),          // its near-duplicate (cosine rank 2)
+      (3L, v(0 -> 0.8f, 1 -> 0.8f)),         // diagonal, lower relevance
+      (4L, v(2 -> 1f))                       // orthogonal
+    ).toDF("vec_id", "embedding")
+    // cosine order would be 1, 2, 3, 4
+    val byCos = Similarity.topK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(byCos == Seq(1L, 2L))
+    val out = Similarity.mmrTopK(emb, emb.filter(col("vec_id") === 0),
+        k = 2, pool = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 4L), s"expected duplicate demoted at rank 2: $out")
+    // deterministic across partitionings, full pool ordering
+    def full(df: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrTopK(df, emb.filter(col("vec_id") === 0), k = 4, pool = 4)
+        .orderBy("rank")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(4))).toSeq
+    val f1 = full(emb.repartition(1))
+    assert(full(emb.repartition(13)) == f1)
+    assert(f1.head._2 == 1L && f1.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("random projection: components are the planeWeight dots, and rpTopK ranks in projected space") {
     val emb = (0L to 49L).map { i =>
       (i, Array.tabulate(64)(d => (graft.pipeline.Dedup.mix64(i * 64 + d) % 100).toFloat / 100f).toSeq)
