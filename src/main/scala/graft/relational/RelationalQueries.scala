@@ -1023,6 +1023,7 @@ object RelationalQueries {
       "q38_live_cms",
       cmsHeavyOracleSql) { (s, dir) =>
       val ev = Tables.events(s, dir)
+      evictStopped(liveCmsCache)
       val skArr = liveCmsCache.getOrElseUpdate((s, dir), {
         val tmp = java.nio.file.Files.createTempDirectory("graft-live-cms").toString
         val writer = new graft.streaming.LiveSketchMaintainer(s, tmp, CmsD, CmsW)
@@ -1077,6 +1078,7 @@ object RelationalQueries {
     NamedQuery(
       "q39_live_quantile",
       bottomkQuantileOracleSql) { (s, dir) =>
+      evictStopped(liveQuantileCache)
       val out = liveQuantileCache.getOrElseUpdate((s, dir), {
         val li = t(s, dir, "lineitem").select(
           col("l_returnflag").as("g"),
@@ -1168,9 +1170,17 @@ object RelationalQueries {
 
   // one live-sketch store per (session, dir): built on first call,
   // reused across bench passes; keyed by session so a dead session's
-  // entry can't serve a later one
+  // entry can't serve a later one, and stopped-session keys are evicted
+  // so the cache never pins a dead session object (the pipeline
+  // cachedArtifact discipline)
   private val liveCmsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Long]]
+
+  private def evictStopped[T](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T]): Unit =
+    cache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
 
   /** CTE chain re-deriving `Sketches.cmsBucket(x, j, w)` for every
     * user_id of `src`: salted splitmix64 (salt = golden · (j+1), the
