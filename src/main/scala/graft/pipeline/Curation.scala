@@ -687,6 +687,36 @@ object Curation {
         array_join(slice(col("tk"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * A-Res): rank every row by key u^(1/w) — equivalently ln(u)/w —
+    * with u a uniform draw, and keep the top n; inclusion probability
+    * is proportional-ish to the weight, the standard quality- or
+    * length-weighted corpus subsample. DETERMINISTIC: u derives from
+    * splitmix64(doc_id) (the `cu_split`/KMV hash discipline; +1 on the
+    * 53-bit mantissa so u ∈ (0, 1] and ln never sees 0), and the key is
+    * QUANTIZED to round(ln(u)/w·10⁶) BIGINT — the ta_nb_langid ln
+    * portability contract — so the ranking is bit-portable and an
+    * oracle re-derives it; quantization near-ties break on doc_id.
+    * Zero/negative-weight rows are never sampled (filtered, both
+    * sides).
+    *
+    * Scale posture: one narrow codegen'd projection (the only UDF is
+    * the wrapping-multiply hash, the established exception) + a bounded
+    * TakeOrderedAndProject — no shuffle beyond the top-n merge, no
+    * per-group state.
+    */
+  def weightedSample(docs: DataFrame, weightCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample needs n >= 1: $n")
+    val u = udf { id: Long =>
+      ((Dedup.mix64(id) >>> 11) + 1).toDouble / 9007199254740992.0
+    }
+    docs.filter(weightCol > 0)
+      .select(col("doc_id"), weightCol.cast("bigint").as("weight"),
+        round(log(u(col("doc_id"))) / weightCol * 1000000).cast("bigint")
+          .as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id")).limit(n)
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to its
     * exactly-reproducible unigram core): score every document by how

@@ -1533,6 +1533,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    // weight = n_chars, top 300): rank by the QUANTIZED key
+    // round(ln(u)/w·10⁶) with u from unsalted splitmix64(doc_id) —
+    // deterministic, bit-portable (the ta_nb ln contract), near-ties
+    // break on doc_id. One narrow projection + a bounded
+    // TakeOrderedAndProject. Bench: c_ws.
+    NamedQuery(
+      "cu_wsample",
+      s"""WITH ${hashCtes(0L, ", n_chars")},
+         |u AS (SELECT doc_id, n_chars,
+         |    (CAST(h >> 11 AS DOUBLE) + 1) / 9007199254740992.0 AS u FROM hf),
+         |k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    CAST(round(ln(u) / n_chars * 1000000) AS BIGINT) AS es_key
+         |  FROM u WHERE n_chars > 0)
+         |SELECT doc_id, weight, es_key FROM k
+         |ORDER BY es_key DESC, doc_id LIMIT 300""".stripMargin) { (s, dir) =>
+      Curation.weightedSample(Tables.load(s, dir, "documents"),
+          col("n_chars"), n = 300)
+        .orderBy(col("es_key").desc, col("doc_id"))
+    },
+
     // Sliding-window chunking (size 32, stride 24 → 8-token overlap):
     // cu_pack's complement — packing CONCATENATES short docs, this
     // SPLITS long ones into context-window/RAG passages. Pure narrow

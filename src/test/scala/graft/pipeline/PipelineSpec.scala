@@ -1066,6 +1066,31 @@ class PipelineSpec extends SparkSuite {
     assert(run(true) == run(false) && run(true).nonEmpty)
   }
 
+  test("weightedSample: weight-proportional inclusion, zero-weight exclusion, partition invariance") {
+    // 500 heavy docs (w=1000) and 500 light (w=10) competing for 300
+    // slots: E-S inclusion is weight-biased, so heavies must dominate;
+    // a zero-weight doc can never appear
+    val docs = ((1L to 500L).map(i => (i, 1000L)) ++
+      (501L to 1000L).map(i => (i, 10L)) ++ Seq((1001L, 0L)))
+      .toDF("doc_id", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.weightedSample(df, col("n_chars"), n = 300)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val s1 = run(docs.repartition(1))
+    assert(run(docs.repartition(17)).toSet == s1.toSet)
+    assert(s1.size == 300 && !s1.exists(_._1 == 1001L))
+    val heavies = s1.count(_._2 == 1000L)
+    // heavies win ~1000/(1000+10) of head-to-head contests; with 500 of
+    // each competing for 300 slots the heavy share is overwhelmingly
+    // >200 (a uniform sampler would give ~150)
+    assert(heavies > 200, s"expected weight bias, got $heavies/300 heavy")
+    // the key ranking is the quantized E-S order: spot-check one doc
+    val u = ((graft.pipeline.Dedup.mix64(1L) >>> 11) + 1).toDouble / 9007199254740992.0
+    val expect = BigDecimal(math.log(u) / 1000.0 * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(s1.find(_._1 == 1L).forall(_._3 == expect))
+  }
+
   test("mmr: a redundant near-duplicate of the top hit is demoted from its cosine rank") {
     // query along e0; by COSINE the near-duplicate of the top hit is
     // rank 2 — MMR demotes it: its max-sim-to-selected (~1.0) makes its
