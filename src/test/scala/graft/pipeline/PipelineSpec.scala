@@ -1124,6 +1124,22 @@ class PipelineSpec extends SparkSuite {
     assert(f1.head._2 == 1L && f1.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("mmr at lambda=1 degenerates to plain cosine top-k on a random corpus") {
+    // with the diversity term weighted zero, every greedy step is the
+    // plain (rel DESC, nid) argmax — the MMR order must equal topK's
+    val emb = (0L to 79L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (graft.pipeline.Dedup.mix64(i * 16 + d) % 97).toFloat / 97f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+    val mmr = Similarity.mmrTopK(emb, qs, k = 5, pool = 10, lam = 1.0)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val top = Similarity.topK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(mmr.toSeq == top.toSeq)
+  }
+
   test("random projection: components are the planeWeight dots, and rpTopK ranks in projected space") {
     val emb = (0L to 49L).map { i =>
       (i, Array.tabulate(64)(d => (graft.pipeline.Dedup.mix64(i * 64 + d) % 100).toFloat / 100f).toSeq)
