@@ -42,13 +42,34 @@ class LiveSketchMaintainer(
 
   def latestVersion: Long = version
 
+  /** Attach as a Structured Streaming sink — the `LiveIngest.attach`
+    * protocol: checkpointed batch ids continue past recovered versions,
+    * and a post-crash replay of a committed id is SKIPPED (the delta
+    * depends only on the batch's rows, so the skip loses nothing and a
+    * rewrite would race a concurrent reader).
+    */
+  def attach(stream: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => processBatch(batch.toDF, batchId)
+      }
+      .start()
+
   /** Fold one micro-batch into a delta sketch. One partial-aggregable
     * pass over the batch (map-side combined d·w-long buffers are all
-    * that shuffles); the delta is a single (version, sk) row.
+    * that shuffles); the delta is a single (version, sk) row. Replay of
+    * an already-committed id is a no-op (see `attach`).
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    require(batchId > version,
-      s"batchId $batchId must advance the committed version $version")
+    if (batchId <= version ||
+        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+      version = math.max(version, batchId)
+      return
+    }
     batch.agg(cms(col(keyCol)).as("sk"))
       .coalesce(1).write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
@@ -126,12 +147,30 @@ class LiveQuantileMaintainer(
 
   def latestVersion: Long = version
 
+  /** The `attach` streaming sink, identical protocol to the CMS store's
+    * (checkpointed ids, committed replays skipped).
+    */
+  def attach(stream: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => processBatch(batch.toDF, batchId)
+      }
+      .start()
+
   /** One partial-aggregable pass over the batch: per-group ≤k-pair
     * buffers are all that shuffles; the delta is ≤|groups| rows.
+    * Replay of an already-committed id is a no-op (see `attach`).
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    require(batchId > version,
-      s"batchId $batchId must advance the committed version $version")
+    if (batchId <= version ||
+        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+      version = math.max(version, batchId)
+      return
+    }
     batch.groupBy("g").agg(sample(col("key"), col("v")).as("sk"))
       .coalesce(1).write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")

@@ -1297,6 +1297,29 @@ class StreamingSpec extends SparkSuite {
     assert(Sketches.cmsEstimate(withMore, 999L, d, w) >= 1L)
   }
 
+  test("LiveSketchMaintainer.attach: a MemoryStream-fed CMS store equals the batch sketch; replayed ids are no-ops") {
+    import graft.functions.Sketches
+    val (d, w) = (4, 64)
+    val cmsU = udaf(new Sketches.CmsAggregator(d, w))
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-sk-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-live-sk-ckpt").toString
+    val m = new LiveSketchMaintainer(spark, dir, d, w)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = m.attach(input.toDF.withColumnRenamed("value", "user_id"), ckpt)
+    try {
+      input.addData(1L to 1000L); q.processAllAvailable()
+      input.addData(1001L to 1500L); q.processAllAvailable()
+      input.addData((1L to 200L).map(_ % 7)); q.processAllAvailable()
+    } finally q.stop()
+    val all = ((1L to 1500L) ++ (1L to 200L).map(_ % 7)).toDF("user_id")
+    val batch = all.agg(cmsU(col("user_id")).as("sk")).head.getSeq[Long](0).toSeq
+    assert(m.cmsAt() == batch)
+    // an explicit replay of a committed id is a no-op, not a corruption
+    m.processBatch(Seq(999999L).toDF("user_id"), m.latestVersion)
+    assert(m.cmsAt() == batch)
+  }
+
   test("LiveQuantileMaintainer: per-group live sample equals the batch sketch; time travel and compaction preserve it") {
     import graft.functions.Sketches
     val k = 64
