@@ -488,6 +488,10 @@ object Similarity {
     val pooled = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"),
         (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("rel"))
+      // a null embedding yields a null rel (dot is null-intolerant);
+      // topK lets such rows sort last, but here they would NPE the
+      // greedy's pair-cosine folds — excluded from the pool outright
+      .filter(col("rel").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= pool)
     val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
