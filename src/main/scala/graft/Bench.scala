@@ -120,6 +120,7 @@ object Bench {
     "cu_chunk"             -> "c_ck",
     "cu_dsir"              -> "c_dr",
     "cu_wsample"           -> "c_ws",
+    "cu_live_dsir"         -> "c_ld",
     "mm_binary_meta"       -> "m_bm",
     "mm_feature_stub"      -> "m_fs",
     "mm_frame_sample"      -> "m_fr")

@@ -743,23 +743,50 @@ object Curation {
     * join, same rows, no memory ceiling).
     */
   def dsirScore(docs: DataFrame, isTarget: Column,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true): DataFrame =
+    dsirScoreWith(docs, dsirModel(dsirCounts(docs, isTarget)), broadcastModel)
+
+  /** The (token, cr, ct) count table — raw-corpus and target occurrence
+    * counts in ONE pass over the exploded corpus (target counts ride as
+    * a conditional sum). This is the ADDITIVE state a live maintainer
+    * persists per batch: summing per-batch tables reproduces the
+    * one-pass table exactly (integer sums are associative), which is
+    * what lets `cu_live_dsir` share `cu_dsir`'s oracle verbatim.
+    */
+  def dsirCounts(docs: DataFrame, isTarget: Column): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(TextAnalysis.toks(col("text"))).as("token"))
+      .groupBy("token").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+
+  /** The quantized log-likelihood-ratio model from a count table:
+    * totals and vocabulary size DERIVE from it (model-sized frames),
+    * each ln quantized to round(·10⁶) BIGINT at model time.
+    */
+  def dsirModel(cnt: DataFrame): DataFrame = {
     val scale = lit(1000000.0)
-    val tok = docs.select(col("doc_id"), isTarget.as("tgt"),
-      explode(TextAnalysis.toks(col("text"))).as("token"))
-    val cnt = tok.groupBy("token").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
       count(lit(1)).as("v"))
-    val model = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("token"),
         (round(log((col("ct") + lit(1)).cast("double") /
             (col("tt") + col("v")).cast("double")) * scale).cast("bigint") -
           round(log((col("cr") + lit(1)).cast("double") /
             (col("tr") + col("v")).cast("double")) * scale).cast("bigint"))
           .as("lr"))
-    val occ = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+  }
+
+  /** Score `docs` against a (token, lr) model — the serving side:
+    * per-doc occurrence counts join the model (broadcast by default,
+    * `broadcastModel = false` for a web-scale vocabulary) and fold an
+    * exact integer sum.
+    */
+  def dsirScoreWith(docs: DataFrame, model: DataFrame,
+      broadcastModel: Boolean = true): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
     val modelSide = if (broadcastModel) broadcast(model) else model
     occ.join(modelSide, "token")
       .groupBy("doc_id")

@@ -179,6 +179,45 @@ object PipelineQueries {
       comp
     }
 
+  /** The DSIR oracle, shared VERBATIM by cu_dsir (one-pass model) and
+    * cu_live_dsir (live-maintained model) — the q36/q38 posture applied
+    * to model state: the oracle defines the answer once, both
+    * construction paths must produce it bit-exactly.
+    */
+  private def dsirOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS token
+       |  FROM documents),
+       |cnt AS (SELECT token, count(*) AS cr, count(*) FILTER (tgt) AS ct
+       |  FROM tok GROUP BY 1),
+       |tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM cnt),
+       |model AS (SELECT token,
+       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt.tt + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tt.tr + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS lr
+       |  FROM cnt CROSS JOIN tt),
+       |occ AS (SELECT doc_id, token, count(*) AS occ FROM tok GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+       |    CAST(sum(occ * lr) AS BIGINT) AS dsir_score
+       |  FROM occ JOIN model USING (token) GROUP BY 1)
+       |SELECT sc.doc_id, d.lang, sc.n_tokens, sc.dsir_score
+       |FROM sc JOIN documents d USING (doc_id)
+       |ORDER BY dsir_score DESC, sc.doc_id LIMIT 200""".stripMargin
+
+  /** The shared DSIR serving tail: top-200 by (score, doc_id), then the
+    * lang witness joined AFTER the top-k — 200 rows broadcast against
+    * the doc_id-keyed projection, never a corpus-sized join.
+    */
+  private def dsirTop(docs: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(200)
+    broadcast(top).join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+  }
+
+  private val liveDsirCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def cosSql(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
@@ -1585,31 +1624,38 @@ object PipelineQueries {
     // break on doc_id on both sides. Bench: c_dr.
     NamedQuery(
       "cu_dsir",
-      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS token
-         |  FROM documents),
-         |cnt AS (SELECT token, count(*) AS cr, count(*) FILTER (tgt) AS ct
-         |  FROM tok GROUP BY 1),
-         |tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM cnt),
-         |model AS (SELECT token,
-         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt.tt + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
-         |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tt.tr + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
-         |    AS lr
-         |  FROM cnt CROSS JOIN tt),
-         |occ AS (SELECT doc_id, token, count(*) AS occ FROM tok GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
-         |    CAST(sum(occ * lr) AS BIGINT) AS dsir_score
-         |  FROM occ JOIN model USING (token) GROUP BY 1)
-         |SELECT sc.doc_id, d.lang, sc.n_tokens, sc.dsir_score
-         |FROM sc JOIN documents d USING (doc_id)
-         |ORDER BY dsir_score DESC, sc.doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+      dsirOracleSql) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val top = Curation.dsirScore(docs, col("lang") === "en")
-        .orderBy(col("dsir_score").desc, col("doc_id")).limit(200)
-      // witness-join AFTER the top-k: 200 rows broadcast against the
-      // doc_id-keyed lang projection, never a corpus-sized join
-      broadcast(top).join(docs.select("doc_id", "lang"), "doc_id")
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_score"))
-        .orderBy(col("dsir_score").desc, col("doc_id"))
+      dsirTop(docs, Curation.dsirScore(docs, col("lang") === "en"))
+    },
+
+    // cu_dsir's model maintained LIVE (streaming/LiveModel): three
+    // disjoint document micro-batches each persist a (token, cr, ct)
+    // count-table DELTA (O(|batch vocabulary|) rows — the corpus is
+    // never re-scanned), a fresh maintainer merges them with ONE
+    // distributed keyed sum (the IncrementalIndex merge-on-read posture
+    // applied to model state — NOT a driver merge: vocabularies aren't
+    // sketch-constants), and the quantized model derives through the
+    // SAME Curation.dsirModel the batch operator uses. Integer-sum
+    // associativity makes the merged table bit-identical to the
+    // one-pass table under any split, so the oracle is cu_dsir's SQL
+    // VERBATIM — the q38/q39 posture at vocabulary scale. Bench: c_ld.
+    NamedQuery(
+      "cu_live_dsir",
+      dsirOracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = cachedArtifact(liveDsirCache, s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-live-dsir").toString
+        val writer = new graft.streaming.LiveDsirModelMaintainer(s, tmp)
+        (0 until 3).foreach(b =>
+          writer.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("lang") === "en", b.toLong))
+        val m = new graft.streaming.LiveDsirModelMaintainer(s, tmp)
+          .modelAt().get.cache()
+        m.count() // materialize once; serving reads the cache
+        m
+      }
+      dsirTop(docs, Curation.dsirScoreWith(docs, model))
     },
 
     // Exact corpus-quantile quality gate (drop the worst quartile by

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live maintenance for the DSIR importance model — the third live
+  * store mechanism, for state that is ADDITIVE but VOCABULARY-SIZED:
+  * unlike the sketch stores (fixed-size partials, driver-side merge)
+  * the per-batch partial here is a (token, cr, ct) count-table delta —
+  * O(|batch vocabulary|) rows, never the corpus — and the read-side
+  * merge is a DISTRIBUTED re-aggregation (union the read set, one
+  * keyed integer sum), the `IncrementalIndex` merge-on-read posture
+  * applied to model state. Because integer sums are associative and
+  * commutative, the merged count table is BIT-IDENTICAL to the
+  * one-pass batch table under any batch split, and the quantized model
+  * derives from it through the SAME `Curation.dsirModel` the batch
+  * operator uses — so `cu_live_dsir` serves `cu_dsir`'s oracle
+  * verbatim. A streaming corpus thus refreshes its importance model
+  * per micro-batch without ever re-scanning accumulated data.
+  *
+  * Shared `VersionedState` layout: `v<id>` count deltas, `c<k>` bases
+  * (compact() folds the read set through the same keyed sum — a
+  * DataFrame job, since the state is vocabulary-sized), `_SUCCESS`
+  * commit markers, time travel via `modelAt(upTo)`.
+  */
+class LiveDsirModelMaintainer(
+    spark: SparkSession,
+    dir: String) {
+
+  import graft.pipeline.Curation
+
+  @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
+
+  def latestVersion: Long = version
+
+  /** Fold one micro-batch of documents into a count-table delta. The
+    * only corpus-touching work is the batch's own explode+count pass;
+    * `isTarget` marks the batch rows that belong to the target
+    * distribution. Replay of a committed id is a no-op (the LiveIngest
+    * protocol — a delta depends only on the batch's rows).
+    */
+  def processBatch(batch: DataFrame, isTarget: Column, batchId: Long): Unit = {
+    if (batchId <= version ||
+        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+      version = math.max(version, batchId)
+      return
+    }
+    Curation.dsirCounts(batch, isTarget)
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/v$batchId")
+    version = batchId
+  }
+
+  /** The merged count table at version `upTo` — union of the read set
+    * + one keyed integer sum (distributed; nothing driver-sized about
+    * a vocabulary).
+    */
+  def countsAt(upTo: Long = Long.MaxValue): Option[DataFrame] = {
+    val cap = math.min(upTo, version)
+    if (cap < 0) return None
+    val paths = VersionedState.readPaths(dir, Nil, None, cap)
+    if (paths.isEmpty) return None
+    Some(spark.read.parquet(paths: _*)
+      .groupBy("token")
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct")))
+  }
+
+  /** The quantized importance model at `upTo` — the SAME derivation the
+    * batch operator uses (`Curation.dsirModel`), over the merged table.
+    */
+  def modelAt(upTo: Long = Long.MaxValue): Option[DataFrame] =
+    countsAt(upTo).map(Curation.dsirModel)
+
+  /** Fold every committed version into a `c<latest>` count-table base —
+    * one distributed keyed sum, then the standard compact-then-sweep
+    * protocol.
+    */
+  def compact(deleteSubsumed: Boolean = true): Long = {
+    val at = version
+    require(at >= 0, "nothing to compact: no committed version")
+    countsAt(at).get
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$dir/c$at")
+    if (deleteSubsumed) Compaction.sweepSubsumed(dir, Nil)
+    at
+  }
+}

@@ -1320,6 +1320,51 @@ class StreamingSpec extends SparkSuite {
     assert(m.cmsAt() == batch)
   }
 
+  test("LiveDsirModelMaintainer: merged count deltas equal the one-pass table; model, time travel, compaction, replay") {
+    import graft.pipeline.Curation
+    val docs = (1L to 300L).map(i =>
+      (i, s"w${i % 13} w${i % 7} w${i % 29} common", if (i % 4 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val onePass = counts(Curation.dsirCounts(docs, col("lang") === "en"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-dsirm").toString
+    val writer = new LiveDsirModelMaintainer(spark, dir)
+    (0 until 3).foreach(b =>
+      writer.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        col("lang") === "en", b.toLong))
+    assert(counts(writer.countsAt().get) == onePass)
+
+    // the derived model matches the batch derivation exactly
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(model(writer.modelAt().get) ==
+      model(Curation.dsirModel(Curation.dsirCounts(docs, col("lang") === "en"))))
+
+    // time travel: version 0 covers batch 0's vocabulary only
+    val b0 = counts(Curation.dsirCounts(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), col("lang") === "en"))
+    assert(counts(writer.countsAt(0L).get) == b0)
+
+    // replay of a committed id is a no-op
+    writer.processBatch(docs.limit(5), col("lang") === "en", 2L)
+    assert(counts(writer.countsAt().get) == onePass)
+
+    // compaction folds to one base (distributed sum); fresh reader agrees
+    writer.compact()
+    val post = new LiveDsirModelMaintainer(spark, dir)
+    assert(counts(post.countsAt().get) == onePass)
+    assert(!new java.io.File(dir, "v0").exists() && new java.io.File(dir, "c2").exists())
+    // ingest continues past the base: a new doc's tokens merge in
+    post.processBatch(Seq((9999L, "zebra common", "en")).toDF("doc_id", "text", "lang"),
+      col("lang") === "en", 3L)
+    val m = counts(post.countsAt().get).map { case (t, c, ct) => t -> (c, ct) }.toMap
+    assert(m("zebra") == ((1L, 1L)))
+    assert(m("common")._1 == onePass.find(_._1 == "common").get._2 + 1)
+  }
+
   test("LiveQuantileMaintainer: per-group live sample equals the batch sketch; time travel and compaction preserve it") {
     import graft.functions.Sketches
     val k = 64
