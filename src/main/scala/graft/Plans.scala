@@ -73,7 +73,8 @@ object Plans {
       "cu_dsir" -> "DSIR importance selection: one exploded-corpus pass builds the (token, raw, target) count table (target rides as a conditional sum — the target subset is never re-scanned), model joins broadcast (size-dialed), per-doc integer sum, bounded TakeOrderedAndProject top-200",
       "sim_rp" -> "random projection top-k: compiled projection pass + broadcast projected queries; BOTH cosines (projected ranking key + true-cosine witness) computed in one scored join over (embedding, rp) pairs — no second corpus join, dots codegen'd in both spaces",
       "sim_mmr" -> "MMR diversified top-k: exact bounded pool (broadcast queries x streamed corpus, WindowGroupLimit top-pool) then the sequential greedy INSIDE the per-query aggregation row (collect_list over <=pool rows + one UDF explode) — never a driver loop, greedy cost bounded by the pool, not the corpus",
-      "cu_wsample" -> "Efraimidis-Spirakis weighted sampling: one narrow codegen'd key projection (hash + ln + quantize) over the scan into a bounded TakeOrderedAndProject — no shuffle beyond the top-n merge")
+      "cu_wsample" -> "Efraimidis-Spirakis weighted sampling: one narrow codegen'd key projection (hash + ln + quantize) over the scan into a bounded TakeOrderedAndProject — no shuffle beyond the top-n merge",
+      "cu_live_dsir" -> "live DSIR model serving: the merged count table is ONE distributed keyed sum over the union of committed deltas (merge-on-read — no corpus re-scan anywhere in the plan), the quantized model derives model-sized frames, scoring joins it broadcast")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Plans at sf0.01)\n\n")
