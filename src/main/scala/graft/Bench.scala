@@ -101,6 +101,7 @@ object Bench {
     "ta_repetition"        -> "t_rep",
     "ta_top_ngrams"        -> "t_ng",
     "ta_lm_score"          -> "t_lm",
+    "ta_entropy"           -> "t_en",
     "ta_nb_langid"         -> "t_nb",
     "cu_split"             -> "c_sp",
     "cu_sample"            -> "c_sa",

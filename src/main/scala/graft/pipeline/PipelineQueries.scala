@@ -1139,6 +1139,24 @@ object PipelineQueries {
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Token-distribution entropy (the low-entropy-garbage filter):
+    // ent_micro = -Σ round(c·ln(c/n)·10⁶) per doc — terms quantized
+    // BEFORE the sum so the fold is exact integer arithmetic on both
+    // engines (a raw float Σ p·ln p would drift with aggregation
+    // order). Bench: t_en.
+    NamedQuery(
+      "ta_entropy",
+      s"""WITH occ AS (SELECT doc_id, token, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM occ)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         |  CAST(-sum(CAST(round(c * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS ent_micro
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.entropy(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // Boilerplate mining: the corpus's most document-frequent trigrams
     // (the n-grams a template/header dedup pass would strip). Shingles
     // are distinct per doc by construction, so count = document

@@ -115,6 +115,35 @@ object TextAnalysis {
     * scoring pass. Integer arithmetic only, so the oracle re-derives it
     * exactly.
     */
+  /** Per-document token-distribution entropy — the standard
+    * low-entropy-garbage quality signal (boilerplate, keyword stuffing,
+    * and generator loops score near 0; natural prose scores near
+    * ln(n_distinct)). Reported as the UNNORMALIZED integer sum
+    * ent_micro = −Σ_t round(c_t·ln(c_t/n)·10⁶) beside n_tokens
+    * (consumers divide; Shannon entropy in micro-nats = ent_micro / n):
+    * each term is quantized BEFORE the sum (the ta_nb_langid contract),
+    * so the fold is exact integer arithmetic — order-independent under
+    * any partitioning and bit-portable to the oracle, where a raw
+    * float Σ p·ln p would hash-drift with aggregation order.
+    *
+    * Scale posture: one (doc, token) count shuffle + a per-doc window
+    * over that doc's DISTINCT tokens (bounded by doc length, never
+    * corpus-wide) + one keyed integer sum. Zero-token docs have no
+    * rows, absent on both sides by construction.
+    */
+  def entropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id")
+    occ.withColumn("n", sum(col("c")).over(w))
+      .select(col("doc_id"), col("n"),
+        round(col("c") * log(col("c").cast("double") / col("n").cast("double"))
+          * lit(1000000.0)).cast("bigint").as("term"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), (-sum(col("term"))).as("ent_micro"))
+  }
+
   def repetition(docs: DataFrame): DataFrame = {
     val rep = udf { text: String =>
       if (text == null) null // null-propagate like the module's Column-based siblings

@@ -1066,6 +1066,27 @@ class PipelineSpec extends SparkSuite {
     assert(run(true) == run(false) && run(true).nonEmpty)
   }
 
+  test("entropy: degenerate docs score zero, uniform docs score n*ln(n) micro-nats, partition-invariant") {
+    val docs = Seq(
+      (1L, "x x x x x x"),             // degenerate: ln(1) = 0
+      (2L, "a b c d"),                 // uniform over 4 distinct
+      (3L, ""),                        // no tokens -> absent
+      (4L, "a a b b")                  // two tokens, two each
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.entropy(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = run(docs)
+    assert(!e.contains(3L))
+    assert(e(1L) == ((6L, 0L)))
+    // uniform over k distinct of n: -k * round(1 * ln(1/k) * 1e6)
+    def q(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(e(2L) == ((4L, -4L * q(math.log(1.0 / 4) * 1000000))))
+    assert(e(4L) == ((4L, -2L * q(2 * math.log(2.0 / 4) * 1000000))))
+    assert(run(docs.repartition(7)) == e)
+  }
+
   test("weightedSample: weight-proportional inclusion, zero-weight exclusion, partition invariance") {
     // 500 heavy docs (w=1000) and 500 light (w=10) competing for 300
     // slots: E-S inclusion is weight-biased, so heavies must dominate;
