@@ -93,6 +93,7 @@ object Bench {
     "sim_range"            -> "s_rg",
     "sim_rp"               -> "s_rp",
     "sim_mmr"              -> "s_mm",
+    "sim_mmr_ivf"          -> "s_mi",
     "ta_stats"             -> "t_st",
     "ta_quality"           -> "t_q",
     "ta_langid"            -> "t_l",

@@ -709,6 +709,75 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // MMR over the prebuilt IVF index at nprobe=4 < cells — the AT-SCALE
+    // pool path (sim_mmr's brute broadcast×corpus pool stage is the one
+    // quadratic trap in the family; here the pool comes from ivfScored's
+    // probe-join-score, nprobe/cells of the corpus per query, with the
+    // embedding carried through so the greedy never re-joins). Oracled
+    // end-to-end from the run's own persisted centroids, the sim_ivf_topk
+    // discipline: assignment, probes, and the top-8 pool are re-derived
+    // in SQL, then the SAME recursive-CTE greedy as sim_mmr replays
+    // every λ=0.5 pick bit-exactly. nprobe = cells degenerates to
+    // mmrTopK row-for-row (pinned in PipelineSpec). Bench: smi.
+    NamedQuery(
+      "sim_mmr_ivf",
+      s"""WITH RECURSIVE
+         |cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$IvfOracleCentroids/*.parquet')),
+         |embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM embd v CROSS JOIN cents k),
+         |rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist),
+         |assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM rk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         |pool AS (
+         |  SELECT query_id, nid, rel FROM (
+         |    SELECT p.query_id, a.vec_id AS nid,
+         |      ${cosSql("eq.embedding", "ec.embedding")} AS rel,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosSql("eq.embedding", "ec.embedding")} DESC, a.vec_id) AS rn
+         |    FROM probe p
+         |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |    JOIN embeddings eq ON eq.vec_id = p.query_id
+         |    JOIN embeddings ec ON ec.vec_id = a.vec_id) t
+         |  WHERE rn <= 8),
+         |pp AS (
+         |  SELECT a.query_id, a.nid AS x, b.nid AS y,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.nid <> b.nid
+         |  JOIN embeddings ea ON ea.vec_id = a.nid
+         |  JOIN embeddings eb ON eb.vec_id = b.nid),
+         |sel AS (
+         |  SELECT query_id, 1 AS rank, nid, rel, rel AS score, [nid] AS picked
+         |  FROM (SELECT query_id, nid, rel,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+         |        FROM pool) t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.query_id, s.rank + 1, c.nid, c.rel, c.score,
+         |         list_append(s.picked, c.nid)
+         |  FROM sel s, LATERAL (
+         |    SELECT p.nid, p.rel,
+         |      0.5 * p.rel - 0.5 * (SELECT max(pp.sim) FROM pp
+         |        WHERE pp.query_id = s.query_id AND pp.x = p.nid
+         |          AND list_contains(s.picked, pp.y)) AS score
+         |    FROM pool p
+         |    WHERE p.query_id = s.query_id AND NOT list_contains(s.picked, p.nid)
+         |    ORDER BY score DESC, p.nid LIMIT 1) c
+         |  WHERE s.rank < 4)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id,
+         |  ROUND(rel, 4) AS cosine, ROUND(score, 4) AS mmr
+         |FROM sel ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val ivf = cachedIvf(s, dir)
+      Similarity.mmrTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0),
+          k = 4, pool = 8, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // k-NN majority-vote classification (the standard embedding-space
     // label-propagation op): queries = every 25th vector, corpus = the
     // rest; k=5 exact-cosine neighbors vote, most votes wins, vote ties

@@ -477,23 +477,61 @@ object Similarity {
   def mmrTopK(emb: DataFrame, queries: DataFrame, k: Int, pool: Int,
       lam: Double = 0.5): DataFrame = {
     require(k >= 1 && pool >= k, s"mmr needs 1 <= k <= pool: k=$k pool=$pool")
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val qs = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qemb"), norm(col("embedding")).as("qnrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel").desc, col("neighbor_id"))
-    val pooled = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    val scored = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"),
         (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("rel"))
+    mmrGreedy(mmrPool(scored, pool), k, lam)
+  }
+
+  /** MMR over a prebuilt IVF index — the at-scale pool producer: the
+    * brute broadcast×corpus pool stage of `mmrTopK` is the one
+    * quadratic trap in the family (query count ∝ corpus ⇒ n² probe
+    * work), so here the pool comes from `ivfScored`'s probe-join-score
+    * (nprobe/cells of the corpus per query, exact cosine, embedding
+    * carried through for the greedy's pair similarities — no re-join).
+    * Stage 2 (the per-query greedy) is unchanged and already
+    * scale-correct: pool-bounded, distributed per query. Same recall
+    * dial and degeneration discipline as `ivfTopKWith`/`rangeSearchWith`:
+    * nprobe = cells EQUALS `mmrTopK` row-for-row (pinned in
+    * PipelineSpec), and `allowed` composes the filtered-ANN pre-filter.
+    */
+  def mmrTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, pool: Int,
+      lam: Double = 0.5, nprobe: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && pool >= k, s"mmr needs 1 <= k <= pool: k=$k pool=$pool")
+    val scored = ivfScored(ivf, queries, nprobe, allowed, withEmbedding = true)
+      .withColumnRenamed("cosine", "rel")
+    mmrGreedy(mmrPool(scored, pool), k, lam)
+  }
+
+  /** Top-`pool` relevance window over a scored candidate set
+    * (query_id, neighbor_id, embedding, rel) — the shared pool stage.
+    * WindowGroupLimit keeps per-task state at `pool` rows.
+    */
+  private def mmrPool(scored: DataFrame, pool: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    scored
       // a null embedding yields a null rel (dot is null-intolerant);
       // topK lets such rows sort last, but here they would NPE the
       // greedy's pair-cosine folds — excluded from the pool outright
       .filter(col("rel").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= pool)
+  }
+
+  /** Stage 2 of both MMR entry points: the inherently-sequential greedy
+    * loop over the pool, run INSIDE the per-query aggregation row
+    * (collect the ≤pool candidates, one UDF pass) — distributed per
+    * query, never a driver loop, bounded by `pool`, not the corpus.
+    */
+  private def mmrGreedy(pooled: DataFrame, k: Int, lam: Double): DataFrame = {
     val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
       val cs = cands.map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Float](2).toArray)).toArray
@@ -949,12 +987,15 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
 
   /** The shared probe-join-score stage behind `ivfTopKWith` (bounded
-    * top-k window on top) and `rangeSearchWith` (threshold filter on
-    * top): per-query nprobe nearest cells, corpus joined on cell,
-    * exact cosine per candidate.
+    * top-k window on top), `rangeSearchWith` (threshold filter on top)
+    * and `mmrTopKWith` (pool window + greedy on top): per-query nprobe
+    * nearest cells, corpus joined on cell, exact cosine per candidate.
+    * `withEmbedding` additionally carries the candidate's embedding —
+    * only MMR pays the wider rows (its greedy needs pair cosines); the
+    * rank/threshold consumers keep the narrow schema.
     */
   private def ivfScored(ivf: IvfIndex, queries: DataFrame, nprobe: Int,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame], withEmbedding: Boolean = false): DataFrame = {
     val spark = ivf.assigned.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val bc = spark.sparkContext.broadcast(ivf.cents)
@@ -987,10 +1028,13 @@ object Similarity {
       }
     val filtered = allowed.fold(corpus)(a =>
       corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
-    filtered.join(broadcast(qs), Seq("cell"))
+    val base = filtered.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val cos = (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine")
+    if (withEmbedding)
+      base.select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), cos)
+    else
+      base.select(col("query_id"), col("vec_id").as("neighbor_id"), cos)
   }
 
   /** Recall@k of an approximate ANN result against the exact one — the

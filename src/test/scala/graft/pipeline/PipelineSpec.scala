@@ -1161,6 +1161,37 @@ class PipelineSpec extends SparkSuite {
     assert(mmr.toSeq == top.toSeq)
   }
 
+  test("IVF-pooled MMR: full probe equals brute mmrTopK; partial probe stays k-deep; allowed composes") {
+    val emb = (0L to 79L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (graft.pipeline.Dedup.mix64(i * 16 + d) % 97).toFloat / 97f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+    val ivf = Similarity.buildIvf(emb, cells = 4)
+    // nprobe = cells removes the recall approximation: the IVF pool is
+    // the brute pool, so the greedy must emit row-identical results —
+    // the rangeSearchWith equality discipline applied to MMR
+    val got = Similarity.mmrTopKWith(ivf, qs, k = 4, pool = 8, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.mmrTopK(emb, qs, k = 4, pool = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // partial probe: per-query output is still rank-contiguous from 1
+    // (80 vectors over 4 trained cells ⇒ every probed cell holds ≥ k
+    // candidates), pooled only from the probed cells
+    val partial = Similarity.mmrTopKWith(ivf, qs, k = 4, pool = 8, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(partial.nonEmpty &&
+      partial.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq
+      })
+    // filtered-ANN pre-filter composes: neighbors ⊆ allowed
+    val restricted = Similarity.mmrTopKWith(ivf, qs, k = 2, pool = 4, nprobe = 4,
+        allowed = Some(emb.filter(col("vec_id") % 2 === 0)))
+      .select("neighbor_id").as[Long].collect()
+    assert(restricted.nonEmpty && restricted.forall(_ % 2 == 0))
+  }
+
   test("random projection: components are the planeWeight dots, and rpTopK ranks in projected space") {
     val emb = (0L to 49L).map { i =>
       (i, Array.tabulate(64)(d => (graft.pipeline.Dedup.mix64(i * 64 + d) % 100).toFloat / 100f).toSeq)
