@@ -781,16 +781,40 @@ object Curation {
     * per-doc occurrence counts join the model (broadcast by default,
     * `broadcastModel = false` for a web-scale vocabulary) and fold an
     * exact integer sum.
+    *
+    * OOV CONTRACT: by default, tokens absent from the model are
+    * DROPPED — they contribute to neither `dsir_score` nor `n_tokens`
+    * (the `nbClassify` precedent: unseen tokens carry no likelihood
+    * evidence). That is exact when the model was trained on the scored
+    * corpus (the batch shape, and what `cu_dsir`'s oracle re-derives),
+    * but in the live deployment — scoring an INCOMING batch against
+    * the CURRENT model (`LiveDsirModelMaintainer.modelAt`) — new
+    * vocabulary silently shrinks a document's token count. Pass
+    * `oovLr = Some(q)` to instead count every OOV occurrence in
+    * `n_tokens` and score it at the fixed quantized log-ratio `q` —
+    * the add-one floor `round(ln(1/(tt+v))·10⁶) − round(ln(1/(tr+v))·10⁶)`
+    * (a zero-count token under both smoothed distributions) is the
+    * principled choice, computable from the live store's count table.
+    * Still integer-exact: the OOV branch folds the same BIGINT
+    * arithmetic, so order-independence under partitioning is unchanged.
     */
   def dsirScoreWith(docs: DataFrame, model: DataFrame,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true, oovLr: Option[Long] = None): DataFrame = {
     val occ = docs.select(col("doc_id"),
         explode(TextAnalysis.toks(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
     val modelSide = if (broadcastModel) broadcast(model) else model
-    occ.join(modelSide, "token")
-      .groupBy("doc_id")
-      .agg(sum(col("occ")).as("n_tokens"),
-        sum(col("occ") * col("lr")).as("dsir_score"))
+    oovLr match {
+      case None =>
+        occ.join(modelSide, "token")
+          .groupBy("doc_id")
+          .agg(sum(col("occ")).as("n_tokens"),
+            sum(col("occ") * col("lr")).as("dsir_score"))
+      case Some(q) =>
+        occ.join(modelSide, Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(sum(col("occ")).as("n_tokens"),
+            sum(col("occ") * coalesce(col("lr"), lit(q))).as("dsir_score"))
+    }
   }
 }

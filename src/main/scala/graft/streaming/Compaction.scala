@@ -169,7 +169,7 @@ object Compaction {
           Some(cs.toDF("cell", "centroid"))
         case None =>
           VersionedState.readPaths(dir, core, Some("centroids"), through)
-            .filter(p => new java.io.File(s"$p/_SUCCESS").exists()) match {
+            .filter(p => VersionedState.exists(s"$p/_SUCCESS")) match {
             case Nil => None
             case ps  => Some(spark.read.parquet(ps.last)) // newest carried set
           }
@@ -358,7 +358,7 @@ object Compaction {
     val doomed =
       VersionedState.committed(dir, 'v', parts).filter(_ <= through).map(v => s"v$v") ++
         VersionedState.committed(dir, 'c', parts).filter(_ < through).map(k => s"c$k")
-    doomed.foreach(n => VersionedState.deleteRecursively(new java.io.File(dir, n)))
+    doomed.foreach(n => VersionedState.deleteRecursively(s"$dir/$n"))
   }
 
   /** Part lists for CLI commit-detection and sweeping — the CORE sets

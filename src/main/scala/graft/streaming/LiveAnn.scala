@@ -71,9 +71,9 @@ class LiveAnnMaintainer(
   def centroids: Option[Array[Array[Double]]] = {
     val fromBase = VersionedState
       .readPaths(dir, LiveAnnMaintainer.CoreParts, Some("centroids"), version)
-      .filter(p => new java.io.File(s"$p/_SUCCESS").exists()).headOption
+      .filter(p => VersionedState.exists(s"$p/_SUCCESS")).headOption
     val path = fromBase.getOrElse(s"$dir/centroids")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) return None
+    if (!VersionedState.exists(s"$path/_SUCCESS")) return None
     Some(spark.read.parquet(path)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2))
@@ -125,7 +125,7 @@ class LiveAnnMaintainer(
     */
   private def codedVecIds: DataFrame = {
     val ps = VersionedState.readPaths(dir, parts, Some("codes"), version)
-      .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+      .filter(p => VersionedState.exists(s"$p/_SUCCESS"))
     if (ps.isEmpty) LiveAnnMaintainer.emptyCodes(spark).select("vec_id")
     else {
       val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
@@ -140,7 +140,7 @@ class LiveAnnMaintainer(
   private def maskedPart(part: String, requireAll: Boolean = false): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), version)
     if (ps.isEmpty ||
-        (requireAll && !ps.forall(p => new java.io.File(s"$p/_SUCCESS").exists())))
+        (requireAll && !ps.forall(p => VersionedState.exists(s"$p/_SUCCESS"))))
       None
     else {
       val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
@@ -159,7 +159,7 @@ class LiveAnnMaintainer(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+        parts.forall(p => VersionedState.exists(s"$dir/v$batchId/$p/_SUCCESS")))
       version = math.max(version, batchId)
     else {
       val cents = centroids.getOrElse {
@@ -248,7 +248,7 @@ class LiveAnnMaintainer(
     */
   def processDeletes(deletes: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+        parts.forall(p => VersionedState.exists(s"$dir/v$batchId/$p/_SUCCESS")))
       version = math.max(version, batchId)
     else {
       write(LiveAnnMaintainer.emptyAssigned(spark), s"$dir/v$batchId/assigned")
@@ -283,7 +283,7 @@ object LiveAnnMaintainer {
     * `Compaction.compactAnn` so the layout cannot drift between them.
     */
   def readBooks(spark: SparkSession, dir: String): Option[Array[Array[Array[Double]]]] = {
-    if (!new java.io.File(s"$dir/pq_books/_SUCCESS").exists()) None
+    if (!VersionedState.exists(s"$dir/pq_books/_SUCCESS")) None
     else {
       val rows = spark.read.parquet(s"$dir/pq_books")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

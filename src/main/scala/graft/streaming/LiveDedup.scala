@@ -117,7 +117,7 @@ class LiveNearDupMaintainer(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+        parts.forall(p => VersionedState.exists(s"$dir/v$batchId/$p/_SUCCESS")))
       version = math.max(version, batchId) // committed replay: skip
     else {
       val b = batch.cache()
@@ -183,7 +183,7 @@ class LiveNearDupMaintainer(
     */
   def processDeletes(deletes: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists()))
+        parts.forall(p => VersionedState.exists(s"$dir/v$batchId/$p/_SUCCESS")))
       version = math.max(version, batchId)
     else {
       val emptyDocs = spark.createDataFrame(

@@ -120,14 +120,14 @@ class LiveEngineMaintainer(
   @volatile private var version: Long = VersionedState.maxVersion(dir, parts)
 
   private val synPath = s"$dir/synonyms"
-  if (synonyms.nonEmpty && !new java.io.File(s"$synPath/_SUCCESS").exists())
+  if (synonyms.nonEmpty && !VersionedState.exists(s"$synPath/_SUCCESS"))
     graft.ingest.WikiIndex.synonymRows(spark, synonyms, synonymFields)
       .coalesce(1).write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(synPath)
 
   private def storeSynonyms: Option[DataFrame] =
-    if (new java.io.File(s"$synPath/_SUCCESS").exists())
+    if (VersionedState.exists(s"$synPath/_SUCCESS"))
       Some(spark.read.parquet(synPath))
     else None
 
@@ -157,7 +157,7 @@ class LiveEngineMaintainer(
     */
   private def derivedUnion(part: String, upTo: Long): Option[DataFrame] = {
     val ps = VersionedState.readPaths(dir, parts, Some(part), upTo)
-    if (ps.isEmpty || !ps.forall(p => new java.io.File(s"$p/_SUCCESS").exists())) None
+    if (ps.isEmpty || !ps.forall(p => VersionedState.exists(s"$p/_SUCCESS"))) None
     else Some(spark.read.parquet(ps: _*))
   }
 
@@ -266,7 +266,7 @@ class LiveEngineMaintainer(
 
   private def alreadyCommitted(batchId: Long): Boolean =
     batchId <= version ||
-      parts.forall(p => new java.io.File(s"$dir/v$batchId/$p/_SUCCESS").exists())
+      parts.forall(p => VersionedState.exists(s"$dir/v$batchId/$p/_SUCCESS"))
 
   /** One micro-batch: build the batch's index tables with the SAME
     * extraction as batch ingest and write each as this version's delta

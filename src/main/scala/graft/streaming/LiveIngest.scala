@@ -90,7 +90,7 @@ class LiveIndexMaintainer(
     // already on disk (or folded into a compacted base covering this
     // id), and rewriting it in place would race a concurrent reader.
     if (batchId <= version ||
-        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists())
+        VersionedState.exists(s"$dir/v$batchId/_SUCCESS"))
       version = math.max(version, batchId)
     else {
       val delta = IndexBuilder.buildGlobalIndex(

@@ -41,7 +41,7 @@ class LiveDsirModelMaintainer(
     */
   def processBatch(batch: DataFrame, isTarget: Column, batchId: Long): Unit = {
     if (batchId <= version ||
-        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+        VersionedState.exists(s"$dir/v$batchId/_SUCCESS")) {
       version = math.max(version, batchId)
       return
     }

@@ -66,7 +66,7 @@ class LiveSketchMaintainer(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+        VersionedState.exists(s"$dir/v$batchId/_SUCCESS")) {
       version = math.max(version, batchId)
       return
     }
@@ -167,7 +167,7 @@ class LiveQuantileMaintainer(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= version ||
-        new java.io.File(s"$dir/v$batchId/_SUCCESS").exists()) {
+        VersionedState.exists(s"$dir/v$batchId/_SUCCESS")) {
       version = math.max(version, batchId)
       return
     }

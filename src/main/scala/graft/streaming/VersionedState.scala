@@ -25,22 +25,51 @@ package graft.streaming
   */
 private[streaming] object VersionedState {
 
+  /** ONE FileSystem resolution point for the whole state layer: the
+    * store dir's scheme picks the implementation through the active
+    * session's Hadoop configuration — plain POSIX paths and `file:`
+    * URIs behave identically to the old `java.io.File` probes, and an
+    * object-store deployment (the realistic 100 TB home: `hdfs:`,
+    * `s3a:`, …) lists versions and sees `_SUCCESS` markers through the
+    * same connector Spark writes them with. `FileSystem.get` caches per
+    * (scheme, authority), so per-probe resolution is a map lookup.
+    */
+  private def fs(p: String): org.apache.hadoop.fs.FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+  }
+
+  /** Path-exists probe — THE `_SUCCESS`-marker test; every maintainer's
+    * replay-skip and carried-part probe routes through here so the
+    * commit protocol cannot drift from the version listing's notion of
+    * "committed".
+    */
+  def exists(path: String): Boolean =
+    fs(path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** All `_SUCCESS` markers of version dir `dir/<name>` present —
+    * `parts` empty ⇒ the version dir itself is the parquet dataset;
+    * non-empty ⇒ each named subdir is, and EVERY part must have
+    * committed (the multi-part commit protocol).
+    */
+  def markerCommitted(dir: String, name: String, parts: Seq[String]): Boolean =
+    if (parts.isEmpty) exists(s"$dir/$name/_SUCCESS")
+    else parts.forall(p => exists(s"$dir/$name/$p/_SUCCESS"))
+
   /** Committed versions under `dir` with the given name prefix
-    * ('v' = delta, 'c' = compacted base). `parts` empty ⇒ the version
-    * dir itself is the parquet dataset; non-empty ⇒ each named subdir is.
+    * ('v' = delta, 'c' = compacted base).
     */
   def committed(dir: String, prefix: Char, parts: Seq[String]): Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles())
-      .map(_.toSeq.filter { f =>
-        f.isDirectory && f.getName.matches(prefix + "\\d+") && {
-          val marks =
-            if (parts.isEmpty) Seq(new java.io.File(f, "_SUCCESS"))
-            else parts.map(p => new java.io.File(f, s"$p/_SUCCESS"))
-          marks.forall(_.exists())
-        }
-      }.map(_.getName.drop(1).toLong))
-      .getOrElse(Nil)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(dir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches(prefix + "\\d+"))
+      .map(_.getPath.getName)
+      .filter(n => markerCommitted(dir, n, parts))
+      .map(_.drop(1).toLong)
   }
 
   /** Largest committed version of any kind — the recovery pointer. */
@@ -63,10 +92,17 @@ private[streaming] object VersionedState {
     base.map(k => s"$dir/c$k$sub").toSeq ++ deltas.map(v => s"$dir/v$v$sub")
   }
 
-  def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
+  /** Recursive delete through the same FileSystem resolution as the
+    * listing — sweeps work on any scheme the store dir lives on.
+    */
+  def deleteRecursively(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(path)
+    if (f.exists(p)) { f.delete(p, true); () }
   }
+
+  def deleteRecursively(f: java.io.File): Unit =
+    deleteRecursively(f.getAbsolutePath)
 
   // ---- LSM delete masking (shared by the engine and ANN maintainers) ----
 

@@ -1056,6 +1056,28 @@ class PipelineSpec extends SparkSuite {
     assert(scores(docs.repartition(17)) == s1) // quantized integer fold
   }
 
+  test("dsir OOV contract: default drops unseen tokens from score AND n_tokens; oovLr counts them at the floor") {
+    // fixed model: only 'alpha' (lr=+3) and 'beta' (lr=-2) are known
+    val model = Seq(("alpha", 3L), ("beta", -2L)).toDF("token", "lr")
+    val docs = Seq(
+      (1L, "alpha beta alpha zzz qqq"), // 3 in-model + 2 OOV occurrences
+      (2L, "zzz qqq zzz")               // all OOV
+    ).toDF("doc_id", "text")
+    // default (drop): doc 1 counts only its 3 in-model occurrences,
+    // an all-OOV doc vanishes entirely — the documented batch contract
+    val drop = Curation.dsirScoreWith(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drop(1L) == ((3L, 3L + 3L - 2L)))
+    assert(!drop.contains(2L))
+    // oovLr = Some(floor): every occurrence counts, OOV at the fixed
+    // quantized ratio — the live-serving shape where incoming batches
+    // carry vocabulary the current model has not seen
+    val smoothed = Curation.dsirScoreWith(docs, model, oovLr = Some(-10L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(smoothed(1L) == ((5L, 3L + 3L - 2L + 2L * -10L)))
+    assert(smoothed(2L) == ((3L, 3L * -10L)))
+  }
+
   test("dsir: broadcastModel=false (the size dial) scores identically through a shuffled join") {
     val docs = (1L to 60L).map(i =>
       (i, s"w${i % 7} w${i % 11} w${i % 13}", if (i % 3 == 0) "en" else "xx"))
