@@ -46,7 +46,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    (`QueryService.versioned` over a live maintainer); 404 for an
   *    uncommitted or swept version. Every OTHER route serves only the
   *    live store and answers `asOf=` with a 400 (`liveOnly`) — a
-  *    silently-ignored snapshot request would be recorded as one.
+  *    silently-ignored snapshot request would be recorded as one —
+  *    EXCEPT the analytics routes below, which resolve `asOf=` against
+  *    their own stores' committed versions.
+  *  - `GET /sketch/cms?key=K[&asOf=V]&auths=…` → `{"version","key",
+  *    "estimate"}` from the live CMS store (beyond ref); `GET
+  *    /sketch/quantiles[?group=G][&asOf=V]&auths=…` → per-group
+  *    p50/p90/p99 (one object, or the sorted array of all groups);
+  *    `GET /model/dsir?token=T[&asOf=V]&auths=…` → the token's
+  *    quantized importance log-ratio (404 when out-of-model — the DSIR
+  *    OOV contract). All three serve through [[AnalyticsService]]:
+  *    store-level auth (403 without the required label), exact-version
+  *    snapshots (swept/uncommitted → 404), 400 when the server has no
+  *    such store (the /hybrid no-embeddings precedent).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -64,7 +76,12 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       * `QueryService.versioned` builds a memoized one from a maintainer;
       * the default leaves `asOf=` requests a clean 404.
       */
-    serviceAt: Long => Option[QueryService] = _ => None) {
+    serviceAt: Long => Option[QueryService] = _ => None,
+    /** Live analytics stores (CMS / quantile / DSIR maintainers) served
+      * on `/sketch/…` and `/model/…`; the default carries none, so those
+      * routes answer a clean 400 (the /hybrid no-embeddings precedent).
+      */
+    analytics: AnalyticsService = new AnalyticsService()) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool   = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -275,6 +292,32 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     }
   })
 
+  // ---- live analytics serving (AnalyticsService) --------------------------
+  //  - `GET /sketch/cms?key=K[&asOf=V]&auths=…` → CMS point estimate
+  //  - `GET /sketch/quantiles[?group=G][&asOf=V]&auths=…` → p50/p90/p99
+  //  - `GET /model/dsir?token=T[&asOf=V]&auths=…` → importance log-ratio
+  // asOf resolves against the STORE's committed versions (not the engine
+  // resolver); store-level auth 403s before anything else is revealed.
+  server.createContext("/sketch/cms", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val key = longParam(params, "key")
+    ("application/json", analytics.cmsEstimate(key, asOfOf(params), authsOf(params)))
+  })
+
+  server.createContext("/sketch/quantiles", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    ("application/json",
+      analytics.groupQuantiles(params.get("group"), asOfOf(params), authsOf(params)))
+  })
+
+  server.createContext("/model/dsir", (ex: HttpExchange) => safely(ex) {
+    val params = queryParams(ex)
+    val token = params.getOrElse("token",
+      throw new IllegalArgumentException("missing required parameter: token"))
+    if (token.trim.isEmpty) throw new IllegalArgumentException("token is empty")
+    ("application/json", analytics.dsirToken(token.trim, asOfOf(params), authsOf(params)))
+  })
+
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))
 
   def start(): HttpShim = { server.start(); this }
@@ -344,6 +387,25 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     v
   }
 
+  /** Required long param → 400 on absence or non-numeric. */
+  private def longParam(params: Map[String, String], k: String): Long = {
+    val v = params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required parameter: $k"))
+    try v.toLong
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"bad $k: $v") }
+  }
+
+  /** Optional `asOf=` for the analytics routes (which resolve it against
+    * their own store's committed versions, not `serviceAt`).
+    */
+  private def asOfOf(params: Map[String, String]): Option[Long] =
+    params.get("asOf").map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad asOf: $v") }
+    }
+
   private def fromAccept(ex: HttpExchange): Option[String] = {
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     accept.split(",").map(_.trim.takeWhile(_ != ';')).collectFirst {
@@ -369,6 +431,10 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
         (200, ct, out)
       } catch {
         case e: NoSuchElementException   => (404, "text/plain", s"not found: ${e.getMessage}")
+        // store-level visibility refusal (AnalyticsService.gate) — a
+        // 403, not 400/404: the caller's request was well-formed and
+        // the resource may exist; they may not see it
+        case e: SecurityException        => (403, "text/plain", s"forbidden: ${e.getMessage}")
         case e: IllegalArgumentException => (400, "text/plain", s"bad request: ${e.getMessage}")
         case e: graft.query.QueryParser.ParseException =>
           (400, "text/plain", s"bad request: ${e.getMessage}")

@@ -315,22 +315,7 @@ class QueryService(engine: WikiSearchEngine,
     }.mkString("[", ",", "]")
   }
 
-  /** JSON string literal: a quote, backslash, OR control character in a
-    * stored id/value/token must not break the document — U+0000–U+001F
-    * are invalid raw in JSON strings, and `tokenizeWs` splits on single
-    * spaces only, so a stored token CAN carry a literal newline/tab.
-    * Same escaping for every interpolated string.
-    */
-  private def jstr(s: String): String =
-    s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    }.mkString("\"", "", "\"")
+  private def jstr(s: String): String = QueryService.jstr(s)
 
   private def toDocument(r: Row): Document = {
     val fields = r.getAs[Map[String, scala.collection.Seq[String]]]("fields").toSeq
@@ -341,6 +326,24 @@ class QueryService(engine: WikiSearchEngine,
 }
 
 object QueryService {
+
+  /** JSON string literal: a quote, backslash, OR control character in a
+    * stored id/value/token must not break the document — U+0000–U+001F
+    * are invalid raw in JSON strings, and `tokenizeWs` splits on single
+    * spaces only, so a stored token CAN carry a literal newline/tab.
+    * ONE escaping for every interpolated string on the serving edge
+    * (shared with `AnalyticsService`).
+    */
+  private[api] def jstr(s: String): String =
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }.mkString("\"", "", "\"")
 
   /** Memoized LSM time-travel resolver over a live store, for
     * `HttpShim`'s `asOf=` serving: version → a QueryService bound to

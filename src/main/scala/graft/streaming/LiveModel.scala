@@ -33,6 +33,11 @@ class LiveDsirModelMaintainer(
 
   def latestVersion: Long = version
 
+  /** Versions an `asOf=` snapshot read can resolve exactly — the
+    * serving edge's 404 boundary (swept = gone as a resource).
+    */
+  def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
+
   /** Fold one micro-batch of documents into a count-table delta. The
     * only corpus-touching work is the batch's own explode+count pass;
     * `isTarget` marks the batch rows that belong to the target

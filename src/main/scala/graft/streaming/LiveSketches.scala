@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
 class LiveSketchMaintainer(
     spark: SparkSession,
     dir: String,
-    d: Int = 4,
-    w: Int = 512,
+    val d: Int = 4,
+    val w: Int = 512,
     keyCol: String = "user_id") {
 
   private val cms = udaf(new graft.functions.Sketches.CmsAggregator(d, w))
@@ -41,6 +41,11 @@ class LiveSketchMaintainer(
   @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
 
   def latestVersion: Long = version
+
+  /** Versions an `asOf=` snapshot read can resolve exactly — the
+    * serving edge's 404 boundary (swept = gone as a resource).
+    */
+  def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
 
   /** Attach as a Structured Streaming sink — the `LiveIngest.attach`
     * protocol: checkpointed batch ids continue past recovered versions,
@@ -136,7 +141,7 @@ class LiveSketchMaintainer(
 class LiveQuantileMaintainer(
     spark: SparkSession,
     dir: String,
-    k: Int = 512) {
+    val k: Int = 512) {
 
   import graft.functions.Sketches
 
@@ -146,6 +151,11 @@ class LiveQuantileMaintainer(
   @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
 
   def latestVersion: Long = version
+
+  /** Versions an `asOf=` snapshot read can resolve exactly — the
+    * serving edge's 404 boundary (swept = gone as a resource).
+    */
+  def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
 
   /** The `attach` streaming sink, identical protocol to the CMS store's
     * (checkpointed ids, committed replays skipped).

@@ -77,6 +77,15 @@ private[streaming] object VersionedState {
     (committed(dir, 'v', parts) ++ committed(dir, 'c', parts))
       .foldLeft(-1L)(math.max)
 
+  /** Every version an `asOf=` snapshot read can resolve EXACTLY: deltas
+    * still on disk plus compacted bases (a `c<k>` base answers for its
+    * own version k; versions folded beneath it and swept are gone as
+    * resources — the serving edge must 404 them, not silently answer
+    * from the base). Sorted ascending; the last element is "latest".
+    */
+  def servableVersions(dir: String, parts: Seq[String]): Seq[Long] =
+    (committed(dir, 'v', parts) ++ committed(dir, 'c', parts)).distinct.sorted
+
   /** (newest base ≤ upTo, deltas above it and ≤ upTo, sorted). */
   def readSet(dir: String, parts: Seq[String], upTo: Long): (Option[Long], Seq[Long]) = {
     val bases = committed(dir, 'c', parts).filter(_ <= upTo)

@@ -369,6 +369,111 @@ class HttpShimSpec extends SparkSuite {
     } finally shim2.stop()
   }
 
+  test("analytics serving: /sketch/cms, /sketch/quantiles, /model/dsir round-trip a 2-batch store with asOf, auth, and 404/403/400 edges") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions.{col, pmod, lit, udaf}
+    val base = java.nio.file.Files.createTempDirectory("graft-analytics").toString
+    val (d, w) = (4, 64)
+
+    // CMS store: two batches over a skewed key stream
+    val keys = ((1L to 300L).map(_ % 37) ++ Seq.fill(60)(7L)).toDF("user_id")
+    val cm = new graft.streaming.LiveSketchMaintainer(spark, s"$base/cms", d, w)
+    (0 until 2).foreach(b =>
+      cm.processBatch(keys.filter(pmod(col("user_id"), lit(2)) === b), b.toLong))
+    val cmsU = udaf(new Sketches.CmsAggregator(d, w))
+    val batchSk = keys.agg(cmsU(col("user_id")).as("sk"))
+      .head.getSeq[Long](0).toSeq
+
+    // quantile store: two batches, two groups
+    val vals = (1L to 200L).map(i => (if (i % 2 == 0) "even" else "odd", i, i.toDouble))
+      .toDF("g", "key", "v")
+    val qm = new graft.streaming.LiveQuantileMaintainer(spark, s"$base/qs", k = 256)
+    qm.processBatch(vals.filter(col("key") <= 100), 0L)
+    qm.processBatch(vals.filter(col("key") > 100), 1L)
+
+    // DSIR model store: two batches, target = lang 'en'
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 5} tok${i % 3}", if (i % 4 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val mm = new graft.streaming.LiveDsirModelMaintainer(spark, s"$base/dsir")
+    mm.processBatch(docs.filter(col("doc_id") <= 20), col("lang") === "en", 0L)
+    mm.processBatch(docs.filter(col("doc_id") > 20), col("lang") === "en", 1L)
+
+    val svc = new AnalyticsService(Some(cm), Some(qm), Some(mm),
+      requiredAuth = Some("analytics"))
+    val shim3 = new HttpShim(
+      new QueryService(new graft.query.WikiSearchEngine(spark,
+        graft.ingest.IndexBuilder.fromDocumentsTable(spark, docs
+          .withColumn("source", lit("s")).withColumn("n_chars", lit(10L)),
+          numPartitions = 1))),
+      analytics = svc).start()
+    def get3(path: String): (Int, String) = {
+      val conn = URI.create(s"http://127.0.0.1:${shim3.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      (status, new String(stream.readAllBytes(), UTF_8))
+    }
+    try {
+      // CMS: latest estimate equals the batch-sketch estimate (the
+      // live=batch merge identity, served over the wire)
+      val (cs, cb) = get3("/sketch/cms?key=7&auths=analytics")
+      assert(cs == 200 &&
+        cb == s"""{"version":1,"key":7,"estimate":${Sketches.cmsEstimate(batchSk, 7L, d, w)}}""", cb)
+      // asOf=0 serves the first batch's state only — key 7 is odd, so
+      // it landed in batch 1 and v0's estimate is strictly below the
+      // merged one (≈0 up to CMS collision noise); asOf=9 was never
+      // committed → 404
+      val est0 = "\"estimate\":(\\d+)".r.findFirstMatchIn(
+        get3("/sketch/cms?key=7&auths=analytics&asOf=0")._2).get.group(1).toLong
+      assert(est0 >= 0 && est0 < Sketches.cmsEstimate(batchSk, 7L, d, w))
+      assert(get3("/sketch/cms?key=7&auths=analytics&asOf=9")._1 == 404)
+      // store-level auth: absent or wrong label → 403, before anything
+      // about the store is revealed
+      assert(get3("/sketch/cms?key=7")._1 == 403)
+      assert(get3("/sketch/cms?key=7&auths=enwiki")._1 == 403)
+      assert(get3("/sketch/cms?auths=analytics")._1 == 400)    // missing key
+      assert(get3("/sketch/cms?key=x&auths=analytics")._1 == 400)
+      assert(get3("/sketch/cms?key=7&auths=analytics&asOf=x")._1 == 400)
+
+      // quantiles: single group object; p50 of 1..200 odd = 99 or 101
+      // by the rank rule — check exact against the maintainer itself
+      val exp = qm.quantilesAt()("odd")
+      val (qs, qb) = get3("/sketch/quantiles?group=odd&auths=analytics")
+      assert(qs == 200 &&
+        qb == s"""{"group":"odd","version":1,"n_sample":${exp.n_sample},"p50":${exp.p50},"p90":${exp.p90},"p99":${exp.p99}}""", qb)
+      // all groups = sorted array; unknown group → 404
+      val (qa, qab) = get3("/sketch/quantiles?auths=analytics")
+      assert(qa == 200 && qab.startsWith("""[{"group":"even"""") &&
+        qab.contains(""""group":"odd""""), qab)
+      assert(get3("/sketch/quantiles?group=nope&auths=analytics")._1 == 404)
+      // asOf=0: only keys 1..100 seen — p90 must be below the final p90
+      val p90v0 = "\"p90\":([0-9.]+)".r.findFirstMatchIn(
+        get3("/sketch/quantiles?group=odd&auths=analytics&asOf=0")._2).get.group(1).toDouble
+      assert(p90v0 < exp.p90, s"v0 p90 $p90v0 vs latest ${exp.p90}")
+
+      // DSIR: served lr equals the merged model's row; OOV token → 404
+      // (the lookup face of the documented drop contract)
+      val lr = mm.modelAt().get.filter(col("token") === "tok1")
+        .head.getAs[Long]("lr")
+      val (ds, db) = get3("/model/dsir?token=tok1&auths=analytics")
+      assert(ds == 200 && db == s"""{"version":1,"token":"tok1","lr":$lr}""", db)
+      assert(get3("/model/dsir?token=zzz&auths=analytics")._1 == 404)
+      assert(get3("/model/dsir?auths=analytics")._1 == 400)
+
+      // compaction: asOf=0 is swept (404 — a version is a resource),
+      // latest still serves the identical answer through the c-base
+      cm.compact()
+      assert(get3("/sketch/cms?key=7&auths=analytics&asOf=0")._1 == 404)
+      assert(get3("/sketch/cms?key=7&auths=analytics")._2 == cb)
+
+      // the main shim carries no analytics stores → clean 400
+      assert(get("/sketch/cms?key=7&auths=analytics")._1 == 400)
+      assert(get("/model/dsir?token=a&auths=analytics")._1 == 400)
+    } finally shim3.stop()
+  }
+
   test("QueryService emits well-formed JSON for stored strings with control characters") {
     import spark.implicits._
     // tokenizeWs splits on single spaces ONLY, so a token can carry a
