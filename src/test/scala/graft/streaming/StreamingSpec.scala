@@ -1438,4 +1438,89 @@ class StreamingSpec extends SparkSuite {
     assert(more("c") == Sketches.QsOut(1L, 7.0, 7.0, 7.0))
     assert(more("a") == batch("a") && more("b") == batch("b"))
   }
+  test("metamorphic asOf property: random query x random committed version equals a replayed-prefix oracle engine") {
+    // ws_asof_q pins ONE schedule on the correctness gate; this property
+    // covers the ALGEBRA — random interleavings of ingest, delete,
+    // RE-ingest (resurrection), and a mid-stream compaction, probed at
+    // every committed version by random boolean queries. The oracle is
+    // a fresh BATCH engine built from the simulated prefix state (the
+    // docs logically live as of that version), so any divergence is an
+    // LSM bug: a tombstone masking the wrong version span, a re-ingest
+    // lost under a mask, a base+delta union serving rows a snapshot
+    // should not see. Seeded - failures reproduce.
+    import graft.query.WikiSearchEngine
+    import graft.ingest.IndexBuilder
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def word() = vocab(rnd.nextInt(vocab.size))
+    def docRow(id: Long): (Long, String, String, String, Int) = {
+      val text = Seq.fill(3 + rnd.nextInt(5))(word()).mkString(" ")
+      (id, text, if (id % 2 == 0) "en" else "de", s"s${1 + rnd.nextInt(2)}", text.length)
+    }
+    def leaf(): String = rnd.nextInt(4) match {
+      case 0 => s"TEXT == '${word()}'"
+      case 1 => s"SOURCE == 's${1 + rnd.nextInt(2)}'"
+      case 2 => s"NCHARS >= ${15 + rnd.nextInt(20)}"
+      case 3 => s"TEXT =~ '${word().take(3)}.*'"
+    }
+    def query(): String = rnd.nextInt(4) match {
+      case 0 => leaf()
+      case 1 => s"(${leaf()} and ${leaf()})"
+      case 2 => s"(${leaf()} or ${leaf()})"
+      case 3 => s"(${leaf()} and not ${leaf()})"
+    }
+    var checked = 0
+    (0 until 2).foreach { s =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-asof-prop$s").toString
+      val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+      var live = Map.empty[Long, (Long, String, String, String, Int)]
+      var dead = Set.empty[Long] // tombstoned ids, eligible for resurrection
+      var nextId = 1L
+      val states = scala.collection.mutable.Map
+        .empty[Long, Map[Long, (Long, String, String, String, Int)]]
+      var base = -1L // versions below a swept compaction base are gone
+      val nOps = 8
+      (0 until nOps).foreach { v =>
+        if (live.size >= 2 && rnd.nextInt(3) == 0) {
+          val ids = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(live.size - 1).min(1))
+          m.processDeletes(ids.map(Tuple1(_)).toDF("doc_id"), v.toLong)
+          live --= ids; dead ++= ids
+        } else {
+          val rows: Seq[(Long, String, String, String, Int)] =
+            (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id =
+              if (dead.nonEmpty && rnd.nextInt(3) == 0) { val i = dead.head; dead -= i; i }
+              else { val i = nextId; nextId += 1; i }
+            docRow(id)
+          }
+          m.processBatch(rows.toDF("doc_id", "text", "lang", "source", "n_chars"), v.toLong)
+          live ++= rows.map(r => r._1 -> r)
+        }
+        states(v.toLong) = live
+        // schedule 1 compacts MID-STREAM: later snapshots exercise the
+        // base+delta union, earlier ones the swept-resource 404 path
+        if (s == 1 && v == 3) { Compaction.compactEngine(spark, dir); base = v.toLong }
+      }
+      (0 until nOps).foreach { v =>
+        val snap = m.indexAt(v.toLong)
+        if (v < base) assert(snap.isEmpty, s"swept version $v must be gone (schedule $s)")
+        else {
+          val eng = new WikiSearchEngine(spark, snap.get)
+          val oEng = new WikiSearchEngine(spark, IndexBuilder.fromDocumentsTable(spark,
+            states(v.toLong).values.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"),
+            numPartitions = 2))
+          (0 until 4).foreach { _ =>
+            val q = query()
+            val got  = eng.run(q).select("docId").collect().map(_.getString(0)).toSet
+            val want = oEng.run(q).select("docId").collect().map(_.getString(0)).toSet
+            assert(got == want,
+              s"asOf divergence: schedule $s v=$v q=$q\n live=${got.toSeq.sorted}\n oracle=${want.toSeq.sorted}")
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked >= 40, s"only $checked (query, version) trials ran")
+  }
 }
