@@ -121,6 +121,7 @@ object Bench {
     "cu_manifest"          -> "c_mf",
     "cu_chunk"             -> "c_ck",
     "cu_dsir"              -> "c_dr",
+    "cu_dsir_oov"          -> "c_do",
     "cu_wsample"           -> "c_ws",
     "cu_live_dsir"         -> "c_ld",
     "mm_binary_meta"       -> "m_bm",

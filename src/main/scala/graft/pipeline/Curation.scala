@@ -777,6 +777,24 @@ object Curation {
           .as("lr"))
   }
 
+  /** The documented OOV floor from a count table: the quantized
+    * log-ratio of a ZERO-count token under both add-one-smoothed
+    * distributions — round(ln(1/(tt+v))·10⁶) − round(ln(1/(tr+v))·10⁶),
+    * i.e. exactly what `dsirModel` would assign a token it never saw.
+    * One aggregate over the model-sized table (3 longs to the driver);
+    * pair with `dsirScoreWith(oovLr = Some(dsirOovFloor(cnt)))` for the
+    * live-serving shape. HALF_UP rounding matches the model's
+    * `round()·cast(bigint)` quantization on both engines.
+    */
+  def dsirOovFloor(cnt: DataFrame): Long = {
+    val r = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v")).head
+    val (tr, tt, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    def q(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    q(math.log(1.0 / (tt + v))) - q(math.log(1.0 / (tr + v)))
+  }
+
   /** Score `docs` against a (token, lr) model — the serving side:
     * per-doc occurrence counts join the model (broadcast by default,
     * `broadcastModel = false` for a web-scale vocabulary) and fold an

@@ -203,6 +203,35 @@ object PipelineQueries {
        |FROM sc JOIN documents d USING (doc_id)
        |ORDER BY dsir_score DESC, sc.doc_id LIMIT 200""".stripMargin
 
+  /** cu_dsir_oov's oracle: the same quantized model over the HALF
+    * corpus, then scoring of ALL documents through a LEFT join with
+    * `coalesce(lr, floor)` — the floor re-derived from the same totals
+    * (`flo`), so the OOV contract is pinned end-to-end in SQL.
+    */
+  private def dsirOovOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS token
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |cnt AS (SELECT token, count(*) AS cr, count(*) FILTER (tgt) AS ct
+       |  FROM tok GROUP BY 1),
+       |tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM cnt),
+       |model AS (SELECT token,
+       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt.tt + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tt.tr + tt.v AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS lr
+       |  FROM cnt CROSS JOIN tt),
+       |flo AS (SELECT
+       |    CAST(round(ln(1.0 / CAST(tt + v AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(1.0 / CAST(tr + v AS DOUBLE)) * 1000000) AS BIGINT) AS f
+       |  FROM tt),
+       |alltok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |occ AS (SELECT doc_id, token, count(*) AS occ FROM alltok GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+       |    CAST(sum(occ * coalesce(lr, (SELECT f FROM flo))) AS BIGINT) AS dsir_score
+       |  FROM occ LEFT JOIN model USING (token) GROUP BY 1)
+       |SELECT sc.doc_id, d.lang, sc.n_tokens, sc.dsir_score
+       |FROM sc JOIN documents d USING (doc_id)
+       |ORDER BY dsir_score DESC, sc.doc_id LIMIT 200""".stripMargin
+
   /** The shared DSIR serving tail: top-200 by (score, doc_id), then the
     * lang witness joined AFTER the top-k — 200 rows broadcast against
     * the doc_id-keyed projection, never a corpus-sized join.
@@ -1743,6 +1772,25 @@ object PipelineQueries {
         m
       }
       dsirTop(docs, Curation.dsirScoreWith(docs, model))
+    },
+
+    // The OOV branch of the DSIR serving contract on the gate: the
+    // model trains on HALF the corpus (doc_id % 2 = 0), then scores ALL
+    // documents — the other half's novel vocabulary is out-of-model at
+    // serve time, the live-deployment shape cu_dsir cannot exercise
+    // (its model sees every scored token). oovLr = the documented
+    // add-one floor (dsirOovFloor: what dsirModel would assign a
+    // zero-count token), so every occurrence counts in n_tokens and
+    // OOV occurrences score at the floor — integer-exact, re-derived
+    // by the oracle through the same left-join + coalesce. Bench: c_do.
+    NamedQuery(
+      "cu_dsir_oov",
+      dsirOovOracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cnt = Curation.dsirCounts(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("lang") === "en")
+      dsirTop(docs, Curation.dsirScoreWith(docs, Curation.dsirModel(cnt),
+        oovLr = Some(Curation.dsirOovFloor(cnt))))
     },
 
     // Exact corpus-quantile quality gate (drop the worst quartile by
