@@ -1523,4 +1523,135 @@ class StreamingSpec extends SparkSuite {
     }
     assert(checked >= 40, s"only $checked (query, version) trials ran")
   }
+  test("metamorphic analytics-store property: random batch splits x every version equal the prefix batch oracles") {
+    // The pinned store tests use ONE deterministic split (pmod 3); this
+    // property draws RANDOM splits and checks EVERY committed version of
+    // all three state classes against a batch oracle over the prefix
+    // union - the associativity claim (counter addition / bottom-k merge
+    // / integer keyed sums) quantified rather than sampled. A random
+    // trial also compacts mid-stream and re-checks: the folded base must
+    // serve the same answers and committedVersions must shrink to
+    // base+later (swept versions stop being resources). Seeded.
+    import graft.functions.Sketches
+    import graft.pipeline.Curation
+    val rnd = new scala.util.Random(11)
+    val (d, w) = (4, 64)
+    val cmsU = udaf(new Sketches.CmsAggregator(d, w))
+    val bkq = udaf(new Sketches.BottomKQuantiles(128),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    (0 until 2).foreach { trial =>
+      val nb = 3 + rnd.nextInt(3) // 3-5 random batches
+      val base = java.nio.file.Files.createTempDirectory(s"graft-an-prop$trial").toString
+
+      // --- CMS store over a random keyed stream, random split ---------
+      val keys = (1 to 400).map(_ => rnd.nextInt(50).toLong)
+      val batchOf = keys.map(_ => rnd.nextInt(nb))
+      val cm = new LiveSketchMaintainer(spark, s"$base/cms", d, w)
+      (0 until nb).foreach { b =>
+        val rows = keys.zip(batchOf).collect { case (k, `b`) => k }
+        cm.processBatch(rows.toDF("user_id"), b.toLong)
+      }
+      (0 until nb).foreach { v =>
+        val prefix = keys.zip(batchOf).collect { case (k, b) if b <= v => k }
+        val want = prefix.toDF("user_id").agg(cmsU(col("user_id")).as("sk"))
+          .head.getSeq[Long](0).toSeq
+        assert(cm.cmsAt(v.toLong) == want, s"cms trial $trial v=$v split=$nb")
+      }
+
+      // --- per-group quantile store, random split ----------------------
+      val qrows = (1L to 300L).map(i =>
+        (s"g${rnd.nextInt(3)}", i, (rnd.nextInt(1000) + 1).toDouble))
+      val qAssign = qrows.map(_ => rnd.nextInt(nb))
+      val qm = new LiveQuantileMaintainer(spark, s"$base/qs", k = 128)
+      (0 until nb).foreach { b =>
+        val rows = qrows.zip(qAssign).collect { case (r, `b`) => r }
+        qm.processBatch(rows.toDF("g", "key", "v"), b.toLong)
+      }
+      (0 until nb).foreach { v =>
+        val prefix = qrows.zip(qAssign).collect { case (r, b) if b <= v => r }
+        val want = prefix.toDF("g", "key", "v")
+          .groupBy("g").agg(bkq(col("key"), col("v")).as("sk"))
+          .select(col("g"), col("sk.n_sample"), col("sk.p50"), col("sk.p90"), col("sk.p99"))
+          .collect().map(r => r.getString(0) ->
+            Sketches.QsOut(r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .toMap
+        assert(qm.quantilesAt(v.toLong) == want, s"quantile trial $trial v=$v split=$nb")
+      }
+
+      // --- DSIR model store, random split ------------------------------
+      val docs = (1L to 120L).map { i =>
+        val text = Seq.fill(2 + rnd.nextInt(4))(s"w${rnd.nextInt(12)}").mkString(" ")
+        (i, text, if (rnd.nextInt(3) == 0) "en" else "xx")
+      }
+      val dAssign = docs.map(_ => rnd.nextInt(nb))
+      val mm = new LiveDsirModelMaintainer(spark, s"$base/dsir")
+      (0 until nb).foreach { b =>
+        val rows = docs.zip(dAssign).collect { case (r, `b`) => r }
+        mm.processBatch(rows.toDF("doc_id", "text", "lang"), col("lang") === "en", b.toLong)
+      }
+      def modelSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+        df.collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("lr"))).toSet
+      (0 until nb).foreach { v =>
+        val prefix = docs.zip(dAssign).collect { case (r, b) if b <= v => r }
+        val want = modelSet(Curation.dsirModel(Curation.dsirCounts(
+          prefix.toDF("doc_id", "text", "lang"), col("lang") === "en")))
+        assert(modelSet(mm.modelAt(v.toLong).get) == want,
+          s"dsir trial $trial v=$v split=$nb")
+      }
+
+      // --- compaction: folded bases serve identically; swept versions
+      // stop being resources (the serving edge's 404 boundary) ---------
+      val latest = (nb - 1).toLong
+      cm.compact(); qm.compact(); mm.compact()
+      assert(cm.committedVersions == Seq(latest) &&
+        qm.committedVersions == Seq(latest) && mm.committedVersions == Seq(latest))
+      val fullCms = keys.toDF("user_id").agg(cmsU(col("user_id")).as("sk"))
+        .head.getSeq[Long](0).toSeq
+      assert(cm.cmsAt() == fullCms, s"post-compact cms trial $trial")
+      val fullQ = qrows.toDF("g", "key", "v")
+        .groupBy("g").agg(bkq(col("key"), col("v")).as("sk"))
+        .select(col("g"), col("sk.n_sample"), col("sk.p50"), col("sk.p90"), col("sk.p99"))
+        .collect().map(r => r.getString(0) ->
+          Sketches.QsOut(r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      assert(qm.quantilesAt() == fullQ, s"post-compact quantiles trial $trial")
+      assert(modelSet(mm.modelAt().get) == modelSet(Curation.dsirModel(
+        Curation.dsirCounts(docs.toDF("doc_id", "text", "lang"), col("lang") === "en"))),
+        s"post-compact dsir trial $trial")
+    }
+  }
+  test("LiveEngineMaintainer over a file: URI store dir - ingest, delete, time travel, recovery, compaction all through Hadoop FS") {
+    // the engine store is the largest VersionedState consumer (11 parts,
+    // tombstones, derived-part coverage probes) - drive its full
+    // lifecycle through a URI dir so none of its _SUCCESS probes or
+    // listings regress to java.io.File (which would silently see nothing
+    // on an object store and re-ingest forever)
+    import graft.query.WikiSearchEngine
+    val raw = java.nio.file.Files.createTempDirectory("graft-uri-eng").toString
+    val dir = "file:" + raw
+    val m = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    def df(rows: Seq[(Long, String, String, String, Int)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def ids(ix: graft.ingest.WikiIndex) =
+      new WikiSearchEngine(spark, ix).run("TEXT == 'alpha'")
+        .select("docId").collect().map(_.getString(0)).toSet
+    m.processBatch(df(Seq((1L, "alpha beta", "en", "s1", 10))), 0L)
+    m.processBatch(df(Seq((2L, "alpha gamma", "en", "s1", 11))), 1L)
+    m.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 2L)
+    assert(ids(m.latestIndex.get) == Set("2"))
+    assert(ids(m.indexAt(1L).get) == Set("1", "2"))
+    // replay of a committed id must be detected THROUGH the URI
+    m.processBatch(df(Seq((9L, "alpha ghost", "en", "s1", 11))), 1L)
+    assert(ids(m.latestIndex.get) == Set("2"), "replayed batch must be a no-op")
+    // a fresh maintainer rediscovers the committed versions by listing
+    val r = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(r.latestVersion == 2L && ids(r.latestIndex.get) == Set("2"))
+    // compaction folds + sweeps through the same FileSystem; the base
+    // serves, swept history is gone, and tombstoned doc 1 stays erased
+    Compaction.compactEngine(spark, dir)
+    assert(!new java.io.File(raw, "v0").exists() &&
+      new java.io.File(raw, "c2").exists())
+    val rc = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
+    assert(rc.indexAt(1L).isEmpty && ids(rc.latestIndex.get) == Set("2"))
+  }
 }
