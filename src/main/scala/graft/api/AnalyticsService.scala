@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.Sketches
-import graft.streaming.{LiveDsirModelMaintainer, LiveQuantileMaintainer, LiveSketchMaintainer}
+import graft.streaming.{LiveAnnMaintainer, LiveDsirModelMaintainer, LiveQuantileMaintainer, LiveSketchMaintainer}
 
 import org.apache.spark.sql.functions.col
 
@@ -35,7 +35,8 @@ class AnalyticsService(
     cms: Option[LiveSketchMaintainer] = None,
     quantiles: Option[LiveQuantileMaintainer] = None,
     dsir: Option[LiveDsirModelMaintainer] = None,
-    requiredAuth: Option[String] = None) {
+    requiredAuth: Option[String] = None,
+    ann: Option[LiveAnnMaintainer] = None) {
 
   /** Point estimate for one key from the merged CMS at the resolved
     * version, as JSON — the heavy-hitter badge endpoint.
@@ -86,6 +87,45 @@ class AnalyticsService(
       .filter(col("token") === token).limit(1).collect().headOption
       .getOrElse(throw new NoSuchElementException(s"token not in model: $token"))
     s"""{"version":$at,"token":${QueryService.jstr(token)},"lr":${row.getAs[Long]("lr")}}"""
+  }
+
+  /** Live ANN top-k over the tombstone-masked IVF store at its LATEST
+    * committed version, as JSON [{rank,id,cosine}] — the serving edge
+    * of `LiveAnnMaintainer`, probing nprobe cells through the same
+    * `Similarity.ivfTopKWith` every sim_* entry is oracled on. Query by
+    * stored id (`Left` — the vector's own live embedding is the query;
+    * unknown/tombstoned id = 404) or by a raw vector (`Right`). Latest
+    * only: the ANN store keeps no historical index resolution (frozen
+    * codebook + masked assignment is one state), so the route is
+    * live-only and `asOf` is the shim's documented 400.
+    */
+  def annTopK(query: Either[Long, Array[Float]], k: Int, nprobe: Int,
+      auths: Seq[String] = Nil): String = {
+    gate(auths)
+    val m = configured(ann, "ann")
+    val ivf = m.latestIndex.getOrElse(
+      throw new NoSuchElementException("empty ann store"))
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val queries = query match {
+      case Left(id) =>
+        val q = ivf.assigned.filter(col("vec_id") === id)
+          .select("vec_id", "embedding").limit(1).cache()
+        try {
+          if (q.isEmpty) throw new NoSuchElementException(s"vector not found: $id")
+          // one-row frame: materialize to sever the self-referential
+          // lineage (the corpus side of the probe join is the same
+          // assigned view)
+          val r = q.head
+          Seq((r.getLong(0), r.getSeq[Float](1))).toDF("vec_id", "embedding")
+        } finally { q.unpersist(); () }
+      case Right(v) => Seq((-1L, v.toSeq)).toDF("vec_id", "embedding")
+    }
+    val rows = graft.pipeline.Similarity.ivfTopKWith(ivf, queries, k, nprobe)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    rows.map { r =>
+      s"""{"rank":${r.getAs[Int]("rank")},"id":${r.getAs[Long]("neighbor_id")},"cosine":${r.getAs[Double]("cosine")}}"""
+    }.mkString("[", ",", "]")
   }
 
   /** Store-level visibility check — FIRST, so an unauthorized caller

@@ -55,10 +55,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    p50/p90/p99 (one object, or the sorted array of all groups);
   *    `GET /model/dsir?token=T[&asOf=V]&auths=…` → the token's
   *    quantized importance log-ratio (404 when out-of-model — the DSIR
-  *    OOV contract). All three serve through [[AnalyticsService]]:
-  *    store-level auth (403 without the required label), exact-version
-  *    snapshots (swept/uncommitted → 404), 400 when the server has no
-  *    such store (the /hybrid no-embeddings precedent).
+  *    OOV contract); `GET /ann?id=42&k=10` or `/ann?q=0.1,0.2,…&k=10`
+  *    → live IVF top-k from the tombstone-masked ANN store (latest
+  *    only — the ANN maintainer keeps no historical index resolution,
+  *    so asOf there is the liveOnly 400). All serve through
+  *    [[AnalyticsService]]: store-level auth (403 without the required
+  *    label), exact-version snapshots where supported
+  *    (swept/uncommitted → 404), 400 when the server has no such store
+  *    (the /hybrid no-embeddings precedent).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -316,6 +320,35 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       throw new IllegalArgumentException("missing required parameter: token"))
     if (token.trim.isEmpty) throw new IllegalArgumentException("token is empty")
     ("application/json", analytics.dsirToken(token.trim, asOfOf(params), authsOf(params)))
+  })
+
+  //  - `GET /ann?id=42&k=10[&nprobe=4]&auths=…` → live IVF top-k around
+  //    a STORED vector (its current embedding is the query; 404 for an
+  //    unknown or tombstoned id), as JSON [{rank,id,cosine}]
+  //  - `GET /ann?q=0.1,0.2,…&k=10` → same around a RAW query vector
+  //  Latest store only — the ANN maintainer keeps no historical index
+  //  resolution, so asOf here is the standard liveOnly 400.
+  server.createContext("/ann", (ex: HttpExchange) => safely(ex) {
+    val params = liveOnly(queryParams(ex))
+    val k      = intParam(params, "k", default = 10, min = 1, max = 1000)
+    val nprobe = intParam(params, "nprobe", default = 4, min = 1, max = 1024)
+    val query = (params.get("id"), params.get("q")) match {
+      case (Some(id), None) =>
+        Left(try id.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad id: $id") })
+      case (None, Some(csv)) =>
+        val v = csv.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toFloat
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad vector component: $s") }
+        }
+        if (v.isEmpty) throw new IllegalArgumentException("q is empty")
+        Right(v)
+      case _ => throw new IllegalArgumentException(
+        "exactly one of id= or q= is required")
+    }
+    ("application/json", analytics.annTopK(query, k, nprobe, authsOf(params)))
   })
 
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))

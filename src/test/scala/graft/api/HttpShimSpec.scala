@@ -474,6 +474,63 @@ class HttpShimSpec extends SparkSuite {
     } finally shim3.stop()
   }
 
+  test("/ann serves live IVF top-k around stored ids and raw vectors, delete-aware, latest-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-shim").toString
+    // two clusters on the unit circle: ids 1-4 near (1,0), ids 11-14
+    // near (0,1); a second batch adds 5 near (1,0)
+    def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val b0 = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(0.99, 0.14)), (3L, vec(0.97, 0.24)),
+      (4L, vec(0.95, 0.31)), (11L, vec(0.0, 1.0)), (12L, vec(0.14, 0.99)),
+      (13L, vec(0.24, 0.97)), (14L, vec(0.31, 0.95))).toDF("vec_id", "embedding")
+    val am = new graft.streaming.LiveAnnMaintainer(spark, dir, cells = 2, iters = 4)
+    am.processBatch(b0, 0L)
+    am.processBatch(Seq((5L, vec(0.999, 0.045))).toDF("vec_id", "embedding"), 1L)
+    val svc = new AnalyticsService(ann = Some(am))
+    val shim4 = new HttpShim(
+      new QueryService(new graft.query.WikiSearchEngine(spark,
+        graft.ingest.IndexBuilder.fromDocumentsTable(spark,
+          Seq((1L, "alpha", "en", "s", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+          numPartitions = 1))),
+      analytics = svc).start()
+    def get4(path: String): (Int, String) = {
+      val conn = URI.create(s"http://127.0.0.1:${shim4.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      (status, new String(stream.readAllBytes(), UTF_8))
+    }
+    def ids(body: String): Seq[Long] =
+      "\"id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    try {
+      // neighbors of stored id 1: its own cluster, self excluded, the
+      // cross-batch vector 5 ranked first (closest), ranks ascending
+      val (s1, b1) = get4("/ann?id=1&k=3&nprobe=2")
+      assert(s1 == 200 && b1.startsWith("""[{"rank":1,"""), b1)
+      assert(ids(b1) == Seq(5L, 2L, 3L), s"expected cluster order: $b1")
+      // raw query vector near the (0,1) cluster
+      val (s2, b2) = get4("/ann?q=0.1,0.99&k=2&nprobe=2")
+      assert(s2 == 200 && ids(b2).forall(Set(11L, 12L, 13L, 14L)), b2)
+      // a deleted vector disappears from results AND stops being a
+      // valid query id (tombstone-masked store)
+      am.processDeletes(Seq(Tuple1(5L)).toDF("vec_id"), 2L)
+      val (_, b3) = get4("/ann?id=1&k=3&nprobe=2")
+      assert(ids(b3) == Seq(2L, 3L, 4L), s"tombstoned 5 must vanish: $b3")
+      assert(get4("/ann?id=5&k=3")._1 == 404)
+      // error edges: unknown id 404; both/neither/bad params 400;
+      // latest-only (asOf → the liveOnly 400); unconfigured store 400
+      assert(get4("/ann?id=99&k=3")._1 == 404)
+      assert(get4("/ann?id=1&q=0.1,0.2")._1 == 400)
+      assert(get4("/ann?k=3")._1 == 400)
+      assert(get4("/ann?q=0.1,zz")._1 == 400)
+      assert(get4("/ann?id=1&k=0")._1 == 400)
+      assert(get4("/ann?id=1&asOf=0")._1 == 400)
+      assert(get("/ann?id=1&k=3")._1 == 400)
+    } finally shim4.stop()
+  }
+
   test("QueryService emits well-formed JSON for stored strings with control characters") {
     import spark.implicits._
     // tokenizeWs splits on single spaces ONLY, so a token can carry a
