@@ -58,6 +58,14 @@ class LiveAnnMaintainer(
 
   def latestVersion: Long = version
 
+  /** Identity of the current read set (newest base + deltas) — serving
+    * caches key a memoized (and Spark-cached) index on this, so a
+    * commit, delete, or compaction evicts instead of serving a stale
+    * assignment (the QueryService.versioned discipline).
+    */
+  def stateKey: (Option[Long], Seq[Long]) =
+    VersionedState.readSet(dir, parts, version)
+
   /** The current centroid set, resolved BASE-FIRST: a compaction that
     * retrained (`Compaction.compactAnn(retrainCells = …)`) writes the
     * new set as a `centroids` part of the compacted dir — the

@@ -38,6 +38,14 @@ class LiveDsirModelMaintainer(
     */
   def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
 
+  /** Identity of the read set a snapshot at `upTo` resolves to (newest
+    * base + deltas above it) — serving caches key memoized merged state
+    * on this, so a commit or compaction evicts instead of serving stale
+    * or re-merging per request (the QueryService.versioned discipline).
+    */
+  def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
+    VersionedState.readSet(dir, Nil, math.min(upTo, version))
+
   /** Fold one micro-batch of documents into a count-table delta. The
     * only corpus-touching work is the batch's own explode+count pass;
     * `isTarget` marks the batch rows that belong to the target

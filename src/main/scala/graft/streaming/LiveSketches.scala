@@ -47,6 +47,14 @@ class LiveSketchMaintainer(
     */
   def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
 
+  /** Identity of the read set a snapshot at `upTo` resolves to (newest
+    * base + deltas above it) — serving caches key memoized merged state
+    * on this, so a commit or compaction evicts instead of serving stale
+    * or re-merging per request (the QueryService.versioned discipline).
+    */
+  def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
+    VersionedState.readSet(dir, Nil, math.min(upTo, version))
+
   /** Attach as a Structured Streaming sink — the `LiveIngest.attach`
     * protocol: checkpointed batch ids continue past recovered versions,
     * and a post-crash replay of a committed id is SKIPPED (the delta
@@ -156,6 +164,14 @@ class LiveQuantileMaintainer(
     * serving edge's 404 boundary (swept = gone as a resource).
     */
   def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, Nil)
+
+  /** Identity of the read set a snapshot at `upTo` resolves to (newest
+    * base + deltas above it) — serving caches key memoized merged state
+    * on this, so a commit or compaction evicts instead of serving stale
+    * or re-merging per request (the QueryService.versioned discipline).
+    */
+  def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
+    VersionedState.readSet(dir, Nil, math.min(upTo, version))
 
   /** The `attach` streaming sink, identical protocol to the CMS store's
     * (checkpointed ids, committed replays skipped).
