@@ -531,6 +531,45 @@ class HttpShimSpec extends SparkSuite {
     } finally shim4.stop()
   }
 
+  test("analytics memoization is concurrency-safe: parallel mixed requests agree with sequential answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft-an-conc").toString
+    val keys = (1L to 300L).map(_ % 23).toDF("user_id")
+    val cm = new graft.streaming.LiveSketchMaintainer(spark, s"$base/cms", 4, 64)
+    (0 until 2).foreach(b =>
+      cm.processBatch(keys.filter(pmod(col("user_id"), lit(2)) === b), b.toLong))
+    val qm = new graft.streaming.LiveQuantileMaintainer(spark, s"$base/qs", k = 64)
+    qm.processBatch((1L to 100L).map(i => ("g", i, i.toDouble)).toDF("g", "key", "v"), 0L)
+    val svc = new AnalyticsService(Some(cm), Some(qm))
+    // sequential ground truth (also primes nothing: a FRESH service is
+    // hammered below so the first merges happen under contention)
+    val want = (0L to 22L).map(k => k -> svc.cmsEstimate(k)).toMap
+    val wantQ = svc.groupQuantiles(Some("g"))
+    val fresh = new AnalyticsService(Some(cm), Some(qm))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until 80).map { i =>
+        scala.concurrent.Future {
+          if (i % 3 == 0) fresh.groupQuantiles(Some("g")) == wantQ
+          else {
+            val k = (i % 23).toLong
+            // mix latest and explicit-version requests of the same state
+            val asOf = if (i % 2 == 0) None else Some(1L)
+            fresh.cmsEstimate(k, asOf) == want(k)
+          }
+        }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(results.forall(identity),
+        "a concurrent request diverged from the sequential answer")
+    } finally { pool.shutdown(); () }
+  }
+
   test("QueryService emits well-formed JSON for stored strings with control characters") {
     import spark.implicits._
     // tokenizeWs splits on single spaces ONLY, so a token can carry a
