@@ -74,6 +74,37 @@ object Demo {
     println("IVF nprobe=4 recall@5 per query (permille):")
     rec.orderBy("query_id").show(5, truncate = false)
 
+    // Serving edge: live analytics stores behind the HTTP shim — a CMS
+    // store over events and an ANN store over the embeddings, served on
+    // an ephemeral port with store-level auth; eyeball 200s, the 403,
+    // and the liveOnly 400.
+    println("== serving edge: /sketch/cms + /ann over live stores (auth-gated)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-demo-stores").toString
+    val cm = new streaming.LiveSketchMaintainer(spark, s"$tmp/cms")
+    cm.processBatch(Tables.load(spark, dir, "events").select("user_id"), 0L)
+    val am = new streaming.LiveAnnMaintainer(spark, s"$tmp/ann")
+    am.processBatch(emb.select("vec_id", "embedding"), 0L)
+    val shim = new api.HttpShim(
+      new api.QueryService(eng),
+      analytics = new api.AnalyticsService(cms = Some(cm), ann = Some(am),
+        requiredAuth = Some("metrics"))).start()
+    def get(path: String): (Int, String) = {
+      val c = java.net.URI.create(s"http://127.0.0.1:${shim.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val st = c.getResponseCode
+      val in = if (st < 400) c.getInputStream else c.getErrorStream
+      (st, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (cs, cb) = get("/sketch/cms?key=7&auths=metrics")
+    println(s"GET /sketch/cms?key=7 -> $cs $cb")
+    val (as_, ab) = get("/ann?id=0&k=3&auths=metrics")
+    println(s"GET /ann?id=0&k=3 -> $as_ ${ab.take(120)}")
+    val (fs, fb) = get("/sketch/cms?key=7") // no auth → 403
+    println(s"GET /sketch/cms (no auth) -> $fs ${fb.take(60)}")
+    val (ls, lb) = get("/ann?id=0&asOf=0&auths=metrics") // latest-only → 400
+    println(s"GET /ann?asOf=0 -> $ls ${lb.take(80)}")
+    shim.stop()
+
     spark.stop()
   }
 }
