@@ -1023,15 +1023,25 @@ object RelationalQueries {
       "q38_live_cms",
       cmsHeavyOracleSql) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      evictStopped(liveCmsCache)
-      val skArr = liveCmsCache.getOrElseUpdate((s, dir), {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-live-cms").toString
-        val writer = new graft.streaming.LiveSketchMaintainer(s, tmp, CmsD, CmsW)
-        (0 until 3).foreach(b =>
-          writer.processBatch(ev.filter(pmod(col("user_id"), lit(3)) === b), b.toLong))
-        new graft.streaming.LiveSketchMaintainer(s, tmp, CmsD, CmsW).cmsAt()
-      })
-      cmsHeavyServe(ev, skArr)
+      cmsHeavyServe(ev, liveCmsSketches(s, dir, ev)._1)
+    },
+
+    // -- q40: LIVE CMS time travel on the gate ------------------------------
+    // q38's store read at version 1 instead of latest: the snapshot
+    // merges ONLY the first two deltas, which by the batch split (pmod
+    // 3) contain exactly the user_id % 3 < 2 rows — so the oracle is
+    // q36's SQL re-derived over that prefix of events. This puts
+    // `cmsAt(v)` (the /sketch/cms?asOf= serving path) on the
+    // correctness gate the way ws_asof_q gates the engine's time
+    // travel: a wrong version resolution or a delta leaking across the
+    // snapshot boundary hash-mismatches. Shares q38's store build.
+    NamedQuery(
+      "q40_live_cms_asof",
+      cmsHeavySqlOver("evp",
+        "evp AS (SELECT * FROM events WHERE user_id % 3 < 2),\n")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      cmsHeavyServe(ev.filter(pmod(col("user_id"), lit(3)) < 2),
+        liveCmsSketches(s, dir, ev)._2)
     },
 
     // -- q37: bottom-k sampled quantiles ----------------------------------
@@ -1133,13 +1143,20 @@ object RelationalQueries {
     * oracle defines the answer once, and both construction paths must
     * produce it bit-identically.
     */
-  private def cmsHeavyOracleSql: String =
-    s"""WITH cand AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
-       |${(0 until CmsD).map(j => cmsBucketCtes(s"o$j", "events", j) +
+  private def cmsHeavyOracleSql: String = cmsHeavySqlOver("events", "")
+
+  /** q36's oracle parameterized over the event source: `src` is the
+    * table/CTE BOTH the bucket sums and the exact witness aggregate
+    * over, `pre` an optional leading CTE defining it (q40 passes the
+    * version-1 prefix `user_id % 3 < 2`).
+    */
+  private def cmsHeavySqlOver(src: String, pre: String): String =
+    s"""WITH ${pre}cand AS (SELECT DISTINCT user_id FROM $src WHERE user_id % 7 = 0),
+       |${(0 until CmsD).map(j => cmsBucketCtes(s"o$j", src, j) +
             s",\nbc$j AS (SELECT bucket, count(*) AS c FROM o${j}f GROUP BY bucket)")
             .mkString(",\n")},
        |${(0 until CmsD).map(j => cmsBucketCtes(s"q$j", "cand", j)).mkString(",\n")},
-       |ex AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+       |ex AS (SELECT user_id, count(*) AS n FROM $src GROUP BY user_id)
        |SELECT cand.user_id, CAST(ex.n AS BIGINT) AS n_exact,
        |  CAST(least(${(0 until CmsD).map(j => s"x$j.c").mkString(", ")}) AS BIGINT) AS est_events
        |FROM cand
@@ -1174,7 +1191,24 @@ object RelationalQueries {
   // so the cache never pins a dead session object (the pipeline
   // cachedArtifact discipline)
   private val liveCmsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Long]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Seq[Long], Seq[Long])]
+
+  /** ONE live CMS store build shared by q38 (latest merge) and q40
+    * (time-travel merge at version 1): three pmod-3 batch deltas, then
+    * a FRESH maintainer (restart recovery) reads both snapshots.
+    */
+  private def liveCmsSketches(s: SparkSession, dir: String,
+      ev: DataFrame): (Seq[Long], Seq[Long]) = {
+    evictStopped(liveCmsCache)
+    liveCmsCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-cms").toString
+      val writer = new graft.streaming.LiveSketchMaintainer(s, tmp, CmsD, CmsW)
+      (0 until 3).foreach(b =>
+        writer.processBatch(ev.filter(pmod(col("user_id"), lit(3)) === b), b.toLong))
+      val reader = new graft.streaming.LiveSketchMaintainer(s, tmp, CmsD, CmsW)
+      (reader.cmsAt(), reader.cmsAt(1L))
+    })
+  }
 
   private def evictStopped[T](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T]): Unit =
