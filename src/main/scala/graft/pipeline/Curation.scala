@@ -789,6 +789,10 @@ object Curation {
   def dsirOovFloor(cnt: DataFrame): Long = {
     val r = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
       count(lit(1)).as("v")).head
+    // sum() over zero rows is null — surface the empty model as the
+    // contract violation it is, not an opaque NPE on the serving path
+    if (r.isNullAt(0))
+      throw new IllegalStateException("dsirOovFloor: empty count table (no model)")
     val (tr, tt, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
     def q(x: Double): Long =
       BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

@@ -961,9 +961,9 @@ object Similarity {
     * predicate is index-pushable).
     */
   def ivfTopKWith(ivf: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = ivfScored(ivf, queries, nprobe, allowed)
+    val scored = ivfScored(ivf, queries, nprobe, allowed, excludeSelf = excludeSelf)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -995,7 +995,8 @@ object Similarity {
     * rank/threshold consumers keep the narrow schema.
     */
   private def ivfScored(ivf: IvfIndex, queries: DataFrame, nprobe: Int,
-      allowed: Option[DataFrame], withEmbedding: Boolean = false): DataFrame = {
+      allowed: Option[DataFrame], withEmbedding: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = ivf.assigned.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val bc = spark.sparkContext.broadcast(ivf.cents)
@@ -1028,8 +1029,13 @@ object Similarity {
       }
     val filtered = allowed.fold(corpus)(a =>
       corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
-    val base = filtered.join(broadcast(qs), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    // excludeSelf = false for EXTERNAL query vectors (e.g. /ann?q=…):
+    // their query_id is a placeholder, and filtering on it would
+    // silently drop any stored vector that happens to share the id
+    val joined = filtered.join(broadcast(qs), Seq("cell"))
+    val base =
+      if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+      else joined
     val cos = (dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cosine")
     if (withEmbedding)
       base.select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), cos)

@@ -66,6 +66,18 @@ class LiveAnnMaintainer(
   def stateKey: (Option[Long], Seq[Long]) =
     VersionedState.readSet(dir, parts, version)
 
+  /** Serving-path resolution at the LATEST committed version (the ANN
+    * store keeps no historical index), ONE directory listing; refreshes
+    * the recovery pointer so a reader beside a concurrent writer serves
+    * the newest committed assignment (see the other maintainers'
+    * serveSnapshot).
+    */
+  def serveSnapshot: Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, parts, None)
+    r.foreach(s => version = math.max(version, s.latest))
+    r
+  }
+
   /** The current centroid set, resolved BASE-FIRST: a compaction that
     * retrained (`Compaction.compactAnn(retrainCells = …)`) writes the
     * new set as a `centroids` part of the compacted dir — the

@@ -46,6 +46,19 @@ class LiveDsirModelMaintainer(
   def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
     VersionedState.readSet(dir, Nil, math.min(upTo, version))
 
+  /** Serving-path snapshot resolution (ONE directory listing): resolve
+    * `asOf` against the exact on-disk committed versions — None for an
+    * empty store or an unknown/swept version — and refresh the recovery
+    * pointer, so a reader serving beside a concurrent writer reads the
+    * resolved version's data instead of silently capping at a stale
+    * in-memory pointer.
+    */
+  def serveSnapshot(asOf: Option[Long] = None): Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, Nil, asOf)
+    r.foreach(s => version = math.max(version, s.latest))
+    r
+  }
+
   /** Fold one micro-batch of documents into a count-table delta. The
     * only corpus-touching work is the batch's own explode+count pass;
     * `isTarget` marks the batch rows that belong to the target

@@ -55,6 +55,19 @@ class LiveSketchMaintainer(
   def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
     VersionedState.readSet(dir, Nil, math.min(upTo, version))
 
+  /** Serving-path snapshot resolution (ONE directory listing): resolve
+    * `asOf` against the exact on-disk committed versions — None for an
+    * empty store or an unknown/swept version — and refresh the recovery
+    * pointer, so a reader serving beside a concurrent writer reads the
+    * resolved version's data instead of silently capping at a stale
+    * in-memory pointer.
+    */
+  def serveSnapshot(asOf: Option[Long] = None): Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, Nil, asOf)
+    r.foreach(s => version = math.max(version, s.latest))
+    r
+  }
+
   /** Attach as a Structured Streaming sink — the `LiveIngest.attach`
     * protocol: checkpointed batch ids continue past recovered versions,
     * and a post-crash replay of a committed id is SKIPPED (the delta
@@ -172,6 +185,19 @@ class LiveQuantileMaintainer(
     */
   def stateKey(upTo: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
     VersionedState.readSet(dir, Nil, math.min(upTo, version))
+
+  /** Serving-path snapshot resolution (ONE directory listing): resolve
+    * `asOf` against the exact on-disk committed versions — None for an
+    * empty store or an unknown/swept version — and refresh the recovery
+    * pointer, so a reader serving beside a concurrent writer reads the
+    * resolved version's data instead of silently capping at a stale
+    * in-memory pointer.
+    */
+  def serveSnapshot(asOf: Option[Long] = None): Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, Nil, asOf)
+    r.foreach(s => version = math.max(version, s.latest))
+    r
+  }
 
   /** The `attach` streaming sink, identical protocol to the CMS store's
     * (checkpointed ids, committed replays skipped).

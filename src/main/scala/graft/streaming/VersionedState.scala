@@ -23,6 +23,19 @@ package graft.streaming
   * committed. Maintainers force the marker per write (object-store
   * deployments commonly disable it globally).
   */
+
+/** One resolved serving snapshot (`VersionedState.serveSnapshot`):
+  * the version a request resolved to, the read-set identity backing it
+  * (the memoization key), and the latest committed version + its
+  * read-set (the cache GENERATION key — when it changes, a commit or
+  * compaction happened and per-snapshot caches must turn over).
+  */
+case class ServeSnapshot(
+    at: Long,
+    keyAt: (Option[Long], Seq[Long]),
+    latest: Long,
+    keyLatest: (Option[Long], Seq[Long]))
+
 private[streaming] object VersionedState {
 
   /** ONE FileSystem resolution point for the whole state layer: the
@@ -35,7 +48,13 @@ private[streaming] object VersionedState {
     * (scheme, authority), so per-probe resolution is a map lookup.
     */
   private def fs(p: String): org.apache.hadoop.fs.FileSystem = {
+    // active (thread-local) first, then the default session: a probe
+    // from a thread that never inherited the active-session thread-local
+    // (pool threads, cleanup threads) must still see spark.hadoop.*
+    // (s3a credentials, endpoints) — a bare Configuration would resolve
+    // the very object stores this layer targets without them
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
@@ -70,6 +89,57 @@ private[streaming] object VersionedState {
       .map(_.getPath.getName)
       .filter(n => markerCommitted(dir, n, parts))
       .map(_.drop(1).toLong)
+  }
+
+  /** Both kinds in ONE directory listing: (committed bases, committed
+    * deltas), each sorted — the serving path's listing primitive (an
+    * object-store listStatus is an RPC; one per request, not four).
+    */
+  def committedSets(dir: String, parts: Seq[String]): (Seq[Long], Seq[Long]) = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(dir)
+    if (!f.exists(d)) (Nil, Nil)
+    else {
+      val names = f.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("[vc]\\d+"))
+        .map(_.getPath.getName)
+        .filter(n => markerCommitted(dir, n, parts))
+      (names.collect { case n if n.head == 'c' => n.drop(1).toLong }.sorted,
+        names.collect { case n if n.head == 'v' => n.drop(1).toLong }.sorted)
+    }
+  }
+
+  /** Pure read-set arithmetic over a listing — `readSet` without the
+    * second directory walk.
+    */
+  def readSetFrom(bases: Seq[Long], deltas: Seq[Long], upTo: Long)
+      : (Option[Long], Seq[Long]) = {
+    val base  = bases.filter(_ <= upTo).sorted.lastOption
+    val floor = base.getOrElse(-1L)
+    (base, deltas.filter(v => v > floor && v <= upTo).sorted)
+  }
+
+  /** Serving-path snapshot resolution in ONE listing: resolve `asOf`
+    * (None = latest) against the EXACT committed versions on disk —
+    * not an in-memory recovery pointer that can lag a concurrent
+    * writer — and return the resolved version, its read-set key, the
+    * latest committed version, and the latest read-set key (the
+    * cache-generation key). None = empty store or unknown/swept
+    * version (the serving edge's 404).
+    */
+  def serveSnapshot(dir: String, parts: Seq[String], asOf: Option[Long])
+      : Option[ServeSnapshot] = {
+    val (bases, deltas) = committedSets(dir, parts)
+    val servable = (bases ++ deltas).distinct.sorted
+    val latest = servable.lastOption.getOrElse(return None)
+    val at = asOf match {
+      case Some(v) => if (servable.contains(v)) v else return None
+      case None    => latest
+    }
+    Some(ServeSnapshot(at,
+      readSetFrom(bases, deltas, at),
+      latest,
+      readSetFrom(bases, deltas, latest)))
   }
 
   /** Largest committed version of any kind — the recovery pointer. */

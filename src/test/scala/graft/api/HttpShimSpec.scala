@@ -479,9 +479,12 @@ class HttpShimSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-shim").toString
     // two clusters on the unit circle: ids 1-4 near (1,0), ids 11-14
-    // near (0,1); a second batch adds 5 near (1,0)
+    // near (0,1); a second batch adds 5 near (1,0). Id 0 exists to pin
+    // that raw-vector queries exclude NO stored id (a sentinel-id
+    // collision would silently drop it from results)
     def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
     val b0 = Seq(
+      (0L, vec(0.71, 0.70)),
       (1L, vec(1.0, 0.0)), (2L, vec(0.99, 0.14)), (3L, vec(0.97, 0.24)),
       (4L, vec(0.95, 0.31)), (11L, vec(0.0, 1.0)), (12L, vec(0.14, 0.99)),
       (13L, vec(0.24, 0.97)), (14L, vec(0.31, 0.95))).toDF("vec_id", "embedding")
@@ -513,6 +516,10 @@ class HttpShimSpec extends SparkSuite {
       // raw query vector near the (0,1) cluster
       val (s2, b2) = get4("/ann?q=0.1,0.99&k=2&nprobe=2")
       assert(s2 == 200 && ids(b2).forall(Set(11L, 12L, 13L, 14L)), b2)
+      // a raw query exactly at stored vector 0's direction must return
+      // id 0 first — no placeholder-id exclusion
+      val (s0, b0r) = get4("/ann?q=0.71,0.70&k=1&nprobe=2")
+      assert(s0 == 200 && ids(b0r) == Seq(0L), s"id 0 must rank: $b0r")
       // a deleted vector disappears from results AND stops being a
       // valid query id (tombstone-masked store)
       am.processDeletes(Seq(Tuple1(5L)).toDF("vec_id"), 2L)
@@ -529,6 +536,38 @@ class HttpShimSpec extends SparkSuite {
       assert(get4("/ann?id=1&asOf=0")._1 == 400)
       assert(get("/ann?id=1&k=3")._1 == 400)
     } finally shim4.stop()
+  }
+
+  test("serving resolution tracks a concurrent writer: a stale reader's service serves new commits and 404s swept versions") {
+    import spark.implicits._
+    // the serve path must resolve against DISK, not the reader's
+    // in-memory recovery pointer: a service handed a reader maintainer
+    // constructed BEFORE later commits (the documented restart-recovery
+    // pattern) would otherwise serve old state labeled with a new
+    // version — or a zero sketch after a sweep
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-reader").toString
+    val writer = new graft.streaming.LiveSketchMaintainer(spark, dir, 4, 64)
+    writer.processBatch(Seq(1L, 1L, 1L).toDF("user_id"), 0L)
+    val reader = new graft.streaming.LiveSketchMaintainer(spark, dir, 4, 64)
+    val svc = new AnalyticsService(cms = Some(reader))
+    def est(json: String) =
+      "\"estimate\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+    def ver(json: String) =
+      "\"version\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+    val first = svc.cmsEstimate(1L)
+    assert(est(first) == 3L && ver(first) == 0L)
+    // the WRITER commits v1 — the reader's pointer still says 0
+    writer.processBatch(Seq(1L, 1L).toDF("user_id"), 1L)
+    val after = svc.cmsEstimate(1L)
+    assert(ver(after) == 1L && est(after) == 5L,
+      s"stale reader must serve the new commit: $after")
+    // the historical snapshot still answers exactly v0's state
+    assert(est(svc.cmsEstimate(1L, asOf = Some(0L))) == 3L)
+    // writer compacts + sweeps: v0 is gone as a resource THROUGH the
+    // stale reader too; latest still serves the full merge
+    writer.compact()
+    intercept[NoSuchElementException](svc.cmsEstimate(1L, asOf = Some(0L)))
+    assert(est(svc.cmsEstimate(1L)) == 5L)
   }
 
   test("analytics memoization is concurrency-safe: parallel mixed requests agree with sequential answers") {

@@ -1244,4 +1244,9 @@ class PipelineSpec extends SparkSuite {
       assert(byRank == byRank.sorted.reverse)
     }
   }
+  test("dsirOovFloor rejects an empty count table with a clear error, not an NPE") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("token", "cr", "ct")
+    val e = intercept[IllegalStateException](Curation.dsirOovFloor(empty))
+    assert(e.getMessage.contains("empty count table"))
+  }
 }
