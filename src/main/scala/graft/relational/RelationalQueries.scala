@@ -1088,32 +1088,67 @@ object RelationalQueries {
     NamedQuery(
       "q39_live_quantile",
       bottomkQuantileOracleSql) { (s, dir) =>
-      evictStopped(liveQuantileCache)
-      val out = liveQuantileCache.getOrElseUpdate((s, dir), {
-        val li = t(s, dir, "lineitem").select(
-          col("l_returnflag").as("g"),
-          (col("l_orderkey") * 8 + col("l_linenumber").cast("long")).as("key"),
-          col("l_quantity").as("v"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-live-q").toString
-        val writer = new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512)
-        (0 until 3).foreach(b =>
-          writer.processBatch(li.filter(pmod(col("key"), lit(3)) === b), b.toLong))
-        new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512).quantilesAt()
-      })
-      import s.implicits._
-      out.toSeq.sortBy(_._1)
-        .map { case (g, q) => (g, q.n_sample, q.p50, q.p90, q.p99) }
-        .toDF("l_returnflag", "n_sample", "p50", "p90", "p99")
-        .orderBy("l_returnflag")
+      quantileMapDf(s, liveQuantileMaps(s, dir)._1)
+    },
+
+    // -- q41: LIVE quantile time travel on the gate --------------------------
+    // q39's store read at version 1: the snapshot merges the first two
+    // deltas — by the pmod-3 key split, exactly the (l_orderkey·8 +
+    // l_linenumber) % 3 < 2 rows — so the oracle is q37's SQL over that
+    // prefix of lineitem. q40's discipline for the SECOND sketch store:
+    // per-group bottom-k merge at a version (`quantilesAt(v)`, the
+    // /sketch/quantiles?asOf= path) proved against DuckDB, not only
+    // the in-JVM property. Shares q39's store build.
+    NamedQuery(
+      "q41_live_quantile_asof",
+      bottomkQuantileSqlOver(
+        " WHERE (l_orderkey * 8 + l_linenumber) % 3 < 2")) { (s, dir) =>
+      quantileMapDf(s, liveQuantileMaps(s, dir)._2)
     }
   )
+
+  /** ONE live quantile store build shared by q39 (latest merge) and q41
+    * (time-travel merge at version 1): three pmod-3 key-split batch
+    * deltas, then a FRESH maintainer reads both snapshots.
+    */
+  private def liveQuantileMaps(s: SparkSession, dir: String)
+      : (Map[String, graft.functions.Sketches.QsOut],
+         Map[String, graft.functions.Sketches.QsOut]) = {
+    evictStopped(liveQuantileCache)
+    liveQuantileCache.getOrElseUpdate((s, dir), {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        (col("l_orderkey") * 8 + col("l_linenumber").cast("long")).as("key"),
+        col("l_quantity").as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-q").toString
+      val writer = new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512)
+      (0 until 3).foreach(b =>
+        writer.processBatch(li.filter(pmod(col("key"), lit(3)) === b), b.toLong))
+      val reader = new graft.streaming.LiveQuantileMaintainer(s, tmp, k = 512)
+      (reader.quantilesAt(), reader.quantilesAt(1L))
+    })
+  }
+
+  private def quantileMapDf(s: SparkSession,
+      out: Map[String, graft.functions.Sketches.QsOut]): DataFrame = {
+    import s.implicits._
+    out.toSeq.sortBy(_._1)
+      .map { case (g, q) => (g, q.n_sample, q.p50, q.p90, q.p99) }
+      .toDF("l_returnflag", "n_sample", "p50", "p90", "p99")
+      .orderBy("l_returnflag")
+  }
 
   /** The bottom-k quantile oracle, shared VERBATIM by q37 (batch
     * sketch) and q39 (live-maintained sketch) — the q36/q38 posture.
     */
-  private def bottomkQuantileOracleSql: String =
+  private def bottomkQuantileOracleSql: String = bottomkQuantileSqlOver("")
+
+  /** q37's oracle parameterized over a lineitem row filter (q41 passes
+    * the version-1 prefix: key % 3 < 2).
+    */
+  private def bottomkQuantileSqlOver(where: String): String =
     s"""WITH k0 AS (SELECT l_returnflag, l_quantity,
-       |    CAST(l_orderkey * 8 + l_linenumber AS UBIGINT) AS x FROM lineitem),
+       |    CAST(l_orderkey * 8 + l_linenumber AS UBIGINT) AS x FROM lineitem$where),
        |h0 AS (SELECT l_returnflag, l_quantity, xor(x, x >> 30) AS h FROM k0),
        |h1 AS (SELECT l_returnflag, l_quantity, ${kmvMul("h", 0xbf58476d1ce4e5b9L)} AS h FROM h0),
        |h2 AS (SELECT l_returnflag, l_quantity, ${kmvMul("xor(h, h >> 27)", 0x94d049bb133111ebL)} AS h FROM h1),
@@ -1136,7 +1171,8 @@ object RelationalQueries {
   // one live quantile store per (session, dir), like liveCmsCache
   private val liveQuantileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      Map[String, graft.functions.Sketches.QsOut]]
+      (Map[String, graft.functions.Sketches.QsOut],
+       Map[String, graft.functions.Sketches.QsOut])]
 
   /** The CMS heavy-hitter oracle, shared VERBATIM by q36 (batch sketch)
     * and q38 (live-maintained sketch) — the share IS the claim: the
