@@ -55,14 +55,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    p50/p90/p99 (one object, or the sorted array of all groups);
   *    `GET /model/dsir?token=T[&asOf=V]&auths=…` → the token's
   *    quantized importance log-ratio (404 when out-of-model — the DSIR
-  *    OOV contract); `GET /ann?id=42&k=10` or `/ann?q=0.1,0.2,…&k=10`
-  *    → live IVF top-k from the tombstone-masked ANN store (latest
-  *    only — the ANN maintainer keeps no historical index resolution,
-  *    so asOf there is the liveOnly 400). All serve through
-  *    [[AnalyticsService]]: store-level auth (403 without the required
-  *    label), exact-version snapshots where supported
-  *    (swept/uncommitted → 404), 400 when the server has no such store
-  *    (the /hybrid no-embeddings precedent).
+  *    OOV contract); `GET /ann?id=42&k=10[&asOf=V]` or
+  *    `/ann?q=0.1,0.2,…&k=10[&asOf=V]` → IVF top-k from the
+  *    tombstone-masked ANN store at the resolved version (the frozen
+  *    codebook makes the historical index well-defined — a delete
+  *    committed after V does not reach back into V's answer). All serve
+  *    through [[AnalyticsService]]: store-level auth (403 without the
+  *    required label), exact-version snapshots (swept/uncommitted →
+  *    404), 400 when the server has no such store (the /hybrid
+  *    no-embeddings precedent).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
@@ -322,14 +323,15 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     ("application/json", analytics.dsirToken(token.trim, asOfOf(params), authsOf(params)))
   })
 
-  //  - `GET /ann?id=42&k=10[&nprobe=4]&auths=…` → live IVF top-k around
-  //    a STORED vector (its current embedding is the query; 404 for an
-  //    unknown or tombstoned id), as JSON [{rank,id,cosine}]
-  //  - `GET /ann?q=0.1,0.2,…&k=10` → same around a RAW query vector
-  //  Latest store only — the ANN maintainer keeps no historical index
-  //  resolution, so asOf here is the standard liveOnly 400.
+  //  - `GET /ann?id=42&k=10[&nprobe=4][&asOf=V]&auths=…` → IVF top-k
+  //    around a STORED vector (its embedding at the resolved version is
+  //    the query; 404 for an id unknown or tombstoned there), as JSON
+  //    [{rank,id,cosine}]
+  //  - `GET /ann?q=0.1,0.2,…&k=10[&asOf=V]` → same around a RAW vector
+  //  asOf resolves against the ANN store's committed versions (the
+  //  sketch routes' contract; swept/uncommitted → 404).
   server.createContext("/ann", (ex: HttpExchange) => safely(ex) {
-    val params = liveOnly(queryParams(ex))
+    val params = queryParams(ex)
     val k      = intParam(params, "k", default = 10, min = 1, max = 1000)
     val nprobe = intParam(params, "nprobe", default = 4, min = 1, max = 1024)
     val query = (params.get("id"), params.get("q")) match {
@@ -348,7 +350,8 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       case _ => throw new IllegalArgumentException(
         "exactly one of id= or q= is required")
     }
-    ("application/json", analytics.annTopK(query, k, nprobe, authsOf(params)))
+    ("application/json",
+      analytics.annTopK(query, k, nprobe, asOfOf(params), authsOf(params)))
   })
 
   server.createContext("/health", (ex: HttpExchange) => safely(ex)(("text/plain", "ok")))

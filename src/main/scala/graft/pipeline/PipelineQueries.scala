@@ -65,6 +65,40 @@ object PipelineQueries {
       ivf
     }
 
+  /** Where the LIVE ANN store's first-batch-trained centroids are
+    * persisted for the `sim_live_asof` oracle — the IvfOracleCentroids
+    * contract applied to the streaming store (training stays un-oracled;
+    * serving at a version is pure SQL given the centroid values).
+    */
+  private val LiveAnnOracleCentroids = "/root/repo/target/live-ann-oracle/centroids"
+
+  private val liveAnnCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** ONE live ANN store per (session, data dir) for `sim_live_asof`:
+    * three pmod-3 key-split embedding batches (v0, v1, v3) around a
+    * DELETE batch at v2 (tombstoning the pmod-30≡1 ids — all inside the
+    * v0/v1 prefix, so a tombstone reaching back into the version-1
+    * snapshot would corrupt its answer). The maintainer trains its
+    * frozen codebook on the FIRST batch; the run copies it to the fixed
+    * oracle path the static SQL reads.
+    */
+  private def liveAnnStore(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedArtifact(liveAnnCache, s, dir) {
+      val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-ann").toString
+      val writer = new graft.streaming.LiveAnnMaintainer(s, tmp, cells = 16)
+      writer.processBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+      writer.processBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+      writer.processDeletes(
+        emb.filter(pmod(col("vec_id"), lit(30)) === 1).select("vec_id"), 2L)
+      writer.processBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 2), 3L)
+      s.read.parquet(s"$tmp/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(LiveAnnOracleCentroids)
+      tmp
+    }
+
   /** PQ analogue of the IVF oracle contract: each run persists its
     * trained codebooks (8 subspaces × 16 codewords × 8 dims) where the
     * static `sim_pq_topk` oracle SQL re-reads them; encoding and the
@@ -804,6 +838,55 @@ object PipelineQueries {
       val ivf = cachedIvf(s, dir)
       Similarity.mmrTopKWith(ivf, emb.filter(col("vec_id") % 100 === 0),
           k = 4, pool = 8, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // LIVE ANN time travel on the gate — q40/q41's discipline for the
+    // ANN store (`LiveAnnMaintainer.indexAt`, the /ann?asOf= serving
+    // path): the store ingests three pmod-3 key-split embedding batches
+    // (v0, v1, v3) around a DELETE batch (v2, tombstoning pmod-30≡1
+    // ids — all inside the v0/v1 prefix), and the query serves top-5 at
+    // version 1. The snapshot must fold ONLY v0+v1 — so the oracle is
+    // sim_ivf_topk's SQL re-derived over that prefix of embeddings
+    // (sign-safe pmod form), from the run's own first-batch-trained
+    // persisted centroids. A version leaking across the snapshot
+    // boundary, a tombstone reaching BACK into history, or a wrong
+    // read-set fold all hash-mismatch. Bench: sla.
+    NamedQuery(
+      "sim_live_asof",
+      s"""WITH cents AS (SELECT cell, centroid AS c
+         |    FROM read_parquet('$LiveAnnOracleCentroids/*.parquet')),
+         | emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | dist AS (SELECT v.vec_id, k.cell,
+         |    list_sum(list_transform(range(1, len(v.e)+1),
+         |      i -> (v.e[i]-k.c[i])*(v.e[i]-k.c[i]))) AS d
+         |  FROM emb v CROSS JOIN cents k),
+         | rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist),
+         | assign AS (SELECT vec_id, cell FROM rk
+         |    WHERE rn = 1 AND ((vec_id % 3) + 3) % 3 < 2),
+         | probe AS (SELECT vec_id AS query_id, cell FROM rk
+         |    WHERE vec_id % 100 = 0 AND rn <= 4),
+         | scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("ec.embedding", "eq.embedding")} AS cosine
+         |  FROM probe p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = a.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // a FRESH maintainer (restart recovery) resolves version 1's read
+      // set from disk and folds the masked index under the store's own
+      // frozen centroids — the exact serving path behind /ann?asOf=
+      val reader = new graft.streaming.LiveAnnMaintainer(
+        s, liveAnnStore(s, dir), cells = 16)
+      Similarity.ivfTopKWith(reader.indexAt(1L).get,
+          emb.filter(col("vec_id") % 100 === 0), k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     },
 

@@ -1035,10 +1035,13 @@ object RelationalQueries {
     // correctness gate the way ws_asof_q gates the engine's time
     // travel: a wrong version resolution or a delta leaking across the
     // snapshot boundary hash-mismatches. Shares q38's store build.
+    // (the oracle predicate is the sign-safe pmod form — DuckDB's % is
+    // sign-sensitive, and the store split uses pmod, so a negative
+    // user_id would otherwise land on different sides of the two)
     NamedQuery(
       "q40_live_cms_asof",
       cmsHeavySqlOver("evp",
-        "evp AS (SELECT * FROM events WHERE user_id % 3 < 2),\n")) { (s, dir) =>
+        "evp AS (SELECT * FROM events WHERE ((user_id % 3) + 3) % 3 < 2),\n")) { (s, dir) =>
       val ev = Tables.events(s, dir)
       cmsHeavyServe(ev.filter(pmod(col("user_id"), lit(3)) < 2),
         liveCmsSketches(s, dir, ev)._2)
@@ -1099,10 +1102,12 @@ object RelationalQueries {
     // per-group bottom-k merge at a version (`quantilesAt(v)`, the
     // /sketch/quantiles?asOf= path) proved against DuckDB, not only
     // the in-JVM property. Shares q39's store build.
+    // (sign-safe pmod form, as in q40 — the key is positive on TPC-H
+    // data, but the oracle must match the pmod split on ANY data)
     NamedQuery(
       "q41_live_quantile_asof",
       bottomkQuantileSqlOver(
-        " WHERE (l_orderkey * 8 + l_linenumber) % 3 < 2")) { (s, dir) =>
+        " WHERE (((l_orderkey * 8 + l_linenumber) % 3) + 3) % 3 < 2")) { (s, dir) =>
       quantileMapDf(s, liveQuantileMaps(s, dir)._2)
     }
   )

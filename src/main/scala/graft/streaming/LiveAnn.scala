@@ -66,17 +66,26 @@ class LiveAnnMaintainer(
   def stateKey: (Option[Long], Seq[Long]) =
     VersionedState.readSet(dir, parts, version)
 
-  /** Serving-path resolution at the LATEST committed version (the ANN
-    * store keeps no historical index), ONE directory listing; refreshes
-    * the recovery pointer so a reader beside a concurrent writer serves
-    * the newest committed assignment (see the other maintainers'
-    * serveSnapshot).
+  /** Serving-path snapshot resolution (ONE directory listing): resolve
+    * `asOf` (None = latest) against the exact on-disk committed
+    * versions and refresh the recovery pointer — the other maintainers'
+    * serveSnapshot contract. Historical versions are well-defined here
+    * because the codebook is FROZEN between compactions: the index at
+    * version v is the tombstone-masked union of the deltas ≤ v under
+    * the centroids that read set resolves (base-first), which is
+    * exactly what `indexFor` folds. None = empty store or an
+    * unknown/swept version (the serving edge's 404).
     */
-  def serveSnapshot: Option[ServeSnapshot] = {
-    val r = VersionedState.serveSnapshot(dir, parts, None)
+  def serveSnapshot(asOf: Option[Long] = None): Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, parts, asOf)
     r.foreach(s => version = math.max(version, s.latest))
     r
   }
+
+  /** Versions an `asOf=` snapshot read can resolve exactly — the
+    * serving edge's 404 boundary (swept = gone as a resource).
+    */
+  def committedVersions: Seq[Long] = VersionedState.servableVersions(dir, parts)
 
   /** The current centroid set, resolved BASE-FIRST: a compaction that
     * retrained (`Compaction.compactAnn(retrainCells = …)`) writes the
@@ -88,9 +97,17 @@ class LiveAnnMaintainer(
     * assignments use the live geometry. Not memoized: the set can
     * change at any compaction.
     */
-  def centroids: Option[Array[Array[Double]]] = {
-    val fromBase = VersionedState
-      .readPaths(dir, LiveAnnMaintainer.CoreParts, Some("centroids"), version)
+  def centroids: Option[Array[Array[Double]]] =
+    centroidsFor(VersionedState.readSet(dir, parts, version))
+
+  /** Centroid set for an ALREADY-RESOLVED read set — base-first (a
+    * retrained base's geometry wins over the store-level frozen set,
+    * which stays the fallback), no fresh listing. This is what makes
+    * historical serving consistent: the assignments in a read set and
+    * the centroids that read set resolves always belong together.
+    */
+  def centroidsFor(key: (Option[Long], Seq[Long])): Option[Array[Array[Double]]] = {
+    val fromBase = VersionedState.pathsOf(dir, key, Some("centroids"))
       .filter(p => VersionedState.exists(s"$p/_SUCCESS")).headOption
     val path = fromBase.getOrElse(s"$dir/centroids")
     if (!VersionedState.exists(s"$path/_SUCCESS")) return None
@@ -122,6 +139,29 @@ class LiveAnnMaintainer(
     centroids.flatMap { cents =>
       maskedPart("assigned").map(IvfIndex(cents, _))
     }
+
+  /** The queryable IVF index at a COMMITTED version ≤ `upTo` (time
+    * travel — the engine store's `indexAt` for the ANN store): the
+    * tombstone-masked union of the read set at that version, under the
+    * centroids that read set resolves. A tombstone committed AFTER the
+    * version is not part of its read set, so a vector deleted later
+    * still serves in the historical index — the snapshot answers "what
+    * did the index serve at v", not "latest minus nothing". None when
+    * no version ≤ upTo is committed (or the set was swept).
+    */
+  def indexAt(upTo: Long): Option[IvfIndex] =
+    indexFor(VersionedState.readSet(dir, parts, upTo))
+
+  /** `indexAt` over an ALREADY-RESOLVED read set (a `ServeSnapshot.
+    * keyAt`) — the serving path's form: no second listing, and a
+    * compaction sweeping the set between snapshot resolution and this
+    * read yields None (the serving edge's 404), never an index built
+    * from different state.
+    */
+  def indexFor(key: (Option[Long], Seq[Long])): Option[IvfIndex] =
+    try centroidsFor(key).flatMap { cents =>
+      maskedFor(key, "assigned", requireAll = true).map(IvfIndex(cents, _))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** The queryable PQ index at the latest committed version — compose
     * with `latestIndex` into `Similarity.ivfPqTopK` for live IVF-PQ
@@ -157,13 +197,21 @@ class LiveAnnMaintainer(
     }
   }
 
-  private def maskedPart(part: String, requireAll: Boolean = false): Option[DataFrame] = {
-    val ps = VersionedState.readPaths(dir, parts, Some(part), version)
+  private def maskedPart(part: String, requireAll: Boolean = false): Option[DataFrame] =
+    maskedFor(VersionedState.readSet(dir, parts, version), part, requireAll)
+
+  /** Tombstone-masked union of one part over an already-resolved read
+    * set — the key-based core behind `maskedPart` (fresh listing at the
+    * recovery pointer) and `indexFor` (serving snapshot, no listing).
+    */
+  private def maskedFor(key: (Option[Long], Seq[Long]), part: String,
+      requireAll: Boolean = false): Option[DataFrame] = {
+    val ps = VersionedState.pathsOf(dir, key, Some(part))
     if (ps.isEmpty ||
         (requireAll && !ps.forall(p => VersionedState.exists(s"$p/_SUCCESS"))))
       None
     else {
-      val tombPs = VersionedState.readPaths(dir, parts, Some("tombstones"), version)
+      val tombPs = VersionedState.pathsOf(dir, key, Some("tombstones"))
       val tombs = VersionedState.tombstoneSet(
         if (tombPs.isEmpty) None else Some(spark.read.parquet(tombPs: _*)), "vec_id")
       Some(VersionedState.maskDeleted(
@@ -283,13 +331,13 @@ class LiveAnnMaintainer(
     * same restart contract as the other maintainers.
     */
   def attach(embStream: Dataset[Row], checkpoint: String): StreamingQuery =
-    embStream.writeStream
+    WriterLease.register(dir, embStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF, batchId)
       }
-      .start()
+      .start())
 }
 
 object LiveAnnMaintainer {

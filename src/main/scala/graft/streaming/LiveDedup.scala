@@ -104,13 +104,13 @@ class LiveNearDupMaintainer(
     * restart contract).
     */
   def attach(docsStream: Dataset[Row], checkpoint: String): StreamingQuery =
-    docsStream.writeStream
+    WriterLease.register(dir, docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF, batchId)
       }
-      .start()
+      .start())
 
   /** One micro-batch of the filtering loop (the `foreachBatch` body,
     * callable directly for tests and backfills).

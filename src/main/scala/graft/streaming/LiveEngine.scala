@@ -330,13 +330,13 @@ class LiveEngineMaintainer(
     * restart contract as the other maintainers (reuse the checkpoint).
     */
   def attach(docsStream: Dataset[Row], checkpoint: String): StreamingQuery =
-    docsStream.writeStream
+    WriterLease.register(dir, docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId)
       }
-      .start()
+      .start())
 }
 
 object LiveEngineMaintainer {

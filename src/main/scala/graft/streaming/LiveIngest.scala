@@ -74,13 +74,13 @@ class LiveIndexMaintainer(
     * is idempotent by construction, no predecessor bookkeeping needed).
     */
   def attach(docsStream: Dataset[Row], checkpoint: String): StreamingQuery =
-    docsStream.writeStream
+    WriterLease.register(dir, docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF, batchId)
       }
-      .start()
+      .start())
 
   /** One micro-batch of the maintenance loop (the `foreachBatch` body,
     * callable directly for tests and backfills).

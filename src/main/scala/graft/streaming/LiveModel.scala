@@ -80,23 +80,47 @@ class LiveDsirModelMaintainer(
 
   /** The merged count table at version `upTo` — union of the read set
     * + one keyed integer sum (distributed; nothing driver-sized about
-    * a vocabulary).
+    * a vocabulary). Maintenance/test path (fresh listing); serving
+    * reads the resolved snapshot's exact set via `modelFor`.
     */
   def countsAt(upTo: Long = Long.MaxValue): Option[DataFrame] = {
     val cap = math.min(upTo, version)
     if (cap < 0) return None
     val paths = VersionedState.readPaths(dir, Nil, None, cap)
     if (paths.isEmpty) return None
-    Some(spark.read.parquet(paths: _*)
-      .groupBy("token")
-      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct")))
+    Some(mergeFrom(paths))
   }
+
+  /** The merged count table over EXACTLY the given read set — the sketch
+    * stores' `cmsFor` contract: no second listing, a swept path is None
+    * (the serving edge's 404). The returned plan is LAZY; the `_SUCCESS`
+    * precheck (and the eager path resolution in `spark.read`) closes the
+    * silent-empty-merge window — a sweep racing the later job surfaces
+    * as a task failure (500), never as a 200 from different state.
+    */
+  def countsFor(key: (Option[Long], Seq[Long])): Option[DataFrame] = {
+    val paths = VersionedState.pathsOf(dir, key, None)
+    if (paths.isEmpty ||
+        !paths.forall(p => VersionedState.exists(s"$p/_SUCCESS"))) None
+    else
+      try Some(mergeFrom(paths))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  private def mergeFrom(paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .groupBy("token")
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
 
   /** The quantized importance model at `upTo` — the SAME derivation the
     * batch operator uses (`Curation.dsirModel`), over the merged table.
     */
   def modelAt(upTo: Long = Long.MaxValue): Option[DataFrame] =
     countsAt(upTo).map(Curation.dsirModel)
+
+  /** The model over EXACTLY the given read set (see `countsFor`). */
+  def modelFor(key: (Option[Long], Seq[Long])): Option[DataFrame] =
+    countsFor(key).map(Curation.dsirModel)
 
   /** Fold every committed version into a `c<latest>` count-table base —
     * one distributed keyed sum, then the standard compact-then-sweep

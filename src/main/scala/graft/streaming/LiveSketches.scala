@@ -76,14 +76,14 @@ class LiveSketchMaintainer(
     */
   def attach(stream: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    WriterLease.register(dir, stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => processBatch(batch.toDF, batchId)
       }
-      .start()
+      .start())
 
   /** Fold one micro-batch into a delta sketch. One partial-aggregable
     * pass over the batch (map-side combined d·w-long buffers are all
@@ -107,19 +107,39 @@ class LiveSketchMaintainer(
     * sum over the read set's partial rows, driver-side over bounded
     * state. Returns the zero sketch for an empty store (no committed
     * version ≤ upTo): estimates are then 0, one-sidedly below nothing.
+    * Maintenance/test path: lists the dir fresh; SERVING must read the
+    * resolved snapshot's exact set via `cmsFor` instead.
     */
   def cmsAt(upTo: Long = Long.MaxValue): Seq[Long] = {
     val cap = math.min(upTo, version)
+    if (cap < 0) return new Array[Long](d * w).toSeq
+    mergeFrom(VersionedState.readPaths(dir, Nil, None, cap))
+  }
+
+  /** The merged sketch over EXACTLY the given read set (a resolved
+    * `ServeSnapshot.keyAt`) — NO second directory listing, so a
+    * compaction sweep landing between snapshot resolution and this read
+    * cannot silently shrink the merge to the zero sketch: a swept path
+    * is None, which the serving edge maps to its 404 (the "never a
+    * silent answer from different state" contract).
+    */
+  def cmsFor(key: (Option[Long], Seq[Long])): Option[Seq[Long]] = {
+    val paths = VersionedState.pathsOf(dir, key, None)
+    if (paths.isEmpty ||
+        !paths.forall(p => VersionedState.exists(s"$p/_SUCCESS"))) None
+    else
+      try Some(mergeFrom(paths))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  private def mergeFrom(paths: Seq[String]): Seq[Long] = {
     val acc = new Array[Long](d * w)
-    if (cap >= 0) {
-      val paths = VersionedState.readPaths(dir, Nil, None, cap)
-      if (paths.nonEmpty)
-        spark.read.parquet(paths: _*).collect().foreach { r =>
-          val sk = r.getSeq[Long](r.fieldIndex("sk"))
-          var i = 0
-          while (i < acc.length) { acc(i) += sk(i); i += 1 }
-        }
-    }
+    if (paths.nonEmpty)
+      spark.read.parquet(paths: _*).collect().foreach { r =>
+        val sk = r.getSeq[Long](r.fieldIndex("sk"))
+        var i = 0
+        while (i < acc.length) { acc(i) += sk(i); i += 1 }
+      }
     acc.toSeq
   }
 
@@ -204,14 +224,14 @@ class LiveQuantileMaintainer(
     */
   def attach(stream: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    WriterLease.register(dir, stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) => processBatch(batch.toDF, batchId)
       }
-      .start()
+      .start())
 
   /** One partial-aggregable pass over the batch: per-group ≤k-pair
     * buffers are all that shuffles; the delta is ≤|groups| rows.
@@ -232,12 +252,32 @@ class LiveQuantileMaintainer(
 
   /** Per-group merged samples at version `upTo`, finished with the
     * rank-rule quantiles — driver-side over |groups|·k·versions pairs.
+    * Maintenance/test path (fresh listing); serving reads the resolved
+    * snapshot's exact set via `quantilesFor`.
     */
   def quantilesAt(upTo: Long = Long.MaxValue): Map[String, Sketches.QsOut] = {
     val cap = math.min(upTo, version)
     if (cap < 0) return Map.empty
     val paths = VersionedState.readPaths(dir, Nil, None, cap)
     if (paths.isEmpty) return Map.empty
+    mergeFrom(paths)
+  }
+
+  /** Per-group quantiles over EXACTLY the given read set — the CMS
+    * store's `cmsFor` contract (no second listing; a swept path is
+    * None → the serving edge's 404, never a silently empty merge).
+    */
+  def quantilesFor(key: (Option[Long], Seq[Long]))
+      : Option[Map[String, Sketches.QsOut]] = {
+    val paths = VersionedState.pathsOf(dir, key, None)
+    if (paths.isEmpty ||
+        !paths.forall(p => VersionedState.exists(s"$p/_SUCCESS"))) None
+    else
+      try Some(mergeFrom(paths))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  private def mergeFrom(paths: Seq[String]): Map[String, Sketches.QsOut] = {
     val partials = spark.read.parquet(paths: _*).collect().map { r =>
       val sk = r.getStruct(r.fieldIndex("sk"))
       (r.getString(r.fieldIndex("g")),

@@ -22,6 +22,20 @@ package graft.streaming
   * exist — for multi-part state (`parts` non-empty) EVERY part must have
   * committed. Maintainers force the marker per write (object-store
   * deployments commonly disable it globally).
+  *
+  * SINGLE-WRITER CONTRACT: the protocol is safe for ONE writer beside
+  * any number of readers — a reader either sees a version's full marker
+  * set or ignores it, and the writer never rewrites a committed dir.
+  * It is NOT safe for two concurrent writers to one store dir: version
+  * numbering comes from each writer's own stream checkpoint, so two
+  * independent streams would both claim `v<k>` and the overwrite-mode
+  * replay path (which exists for crash recovery of an UNCOMMITTED
+  * partial write) would silently clobber the other writer's committed
+  * delta. One maintainer per store dir is the deployment invariant;
+  * [[WriterLease]] enforces it within a JVM (double `attach` to one dir
+  * throws), and across processes it must be held by the orchestration
+  * layer — exactly the "one tablet server owns a tablet" invariant the
+  * reference's Accumulo substrate provides for its tables.
   */
 
 /** One resolved serving snapshot (`VersionedState.serveSnapshot`):
@@ -164,12 +178,25 @@ private[streaming] object VersionedState {
     (base, committed(dir, 'v', parts).filter(v => v > floor && v <= upTo).sorted)
   }
 
-  /** Parquet paths for one part of the read set at `upTo`. */
-  def readPaths(dir: String, parts: Seq[String], part: Option[String], upTo: Long): Seq[String] = {
-    val (base, deltas) = readSet(dir, parts, upTo)
+  /** Parquet paths for one part of an ALREADY-RESOLVED read set — pure
+    * arithmetic over the key, NO directory listing. This is the serving
+    * path's read primitive: a request resolves its snapshot ONCE
+    * (`serveSnapshot`) and then reads exactly that set, so a compaction
+    * sweep landing between resolution and read can only surface as a
+    * missing path (the caller's 404), never as a second listing that
+    * silently yields a smaller — or empty — merge for the same version.
+    */
+  def pathsOf(dir: String, key: (Option[Long], Seq[Long]), part: Option[String]): Seq[String] = {
     val sub = part.map("/" + _).getOrElse("")
-    base.map(k => s"$dir/c$k$sub").toSeq ++ deltas.map(v => s"$dir/v$v$sub")
+    key._1.map(k => s"$dir/c$k$sub").toSeq ++ key._2.map(v => s"$dir/v$v$sub")
   }
+
+  /** Parquet paths for one part of the read set at `upTo` (one fresh
+    * listing — maintenance-path convenience; serving should resolve a
+    * snapshot once and use `pathsOf`).
+    */
+  def readPaths(dir: String, parts: Seq[String], part: Option[String], upTo: Long): Seq[String] =
+    pathsOf(dir, readSet(dir, parts, upTo), part)
 
   /** Recursive delete through the same FileSystem resolution as the
     * listing — sweeps work on any scheme the store dir lives on.
@@ -220,4 +247,43 @@ private[streaming] object VersionedState {
         rows.join(t, rows(key) === t(key) && rows("ver") <= t("tver"), "left_anti")
           .drop("ver")
     }
+}
+
+/** In-JVM guard for the single-writer contract (see the file header):
+  * every maintainer's `attach` registers its streaming query here, and
+  * a second ACTIVE writer on the same store dir is refused before it
+  * can commit anything. A finished/stopped query releases the dir
+  * implicitly (`isActive` goes false), so the restart-recovery pattern —
+  * stop, construct a fresh maintainer, attach again — keeps working.
+  * Cross-process double-writers are out of a JVM registry's reach; that
+  * case is the documented deployment invariant.
+  */
+private[streaming] object WriterLease {
+  private val active = scala.collection.mutable.Map
+    .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+
+  /** Register `q` as the writer for `dir`; when another live query
+    * holds the dir, stops `q` and throws. The refusal is a standing-
+    * writer guard, not a commit-atomic lock: `q`'s very first
+    * micro-batch can race the registration (start() is asynchronous),
+    * so a pathological double-attach might land one batch before being
+    * stopped — the guard's job is that a MISCONFIGURED second writer
+    * cannot keep running, which is where the silent version-numbering
+    * corruption lives.
+    */
+  def register(dir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+    val key = new org.apache.hadoop.fs.Path(dir).toUri.toString
+    active.get(key).filter(old => old.isActive && old.id != q.id) match {
+      case Some(_) =>
+        q.stop()
+        throw new IllegalStateException(
+          s"store dir already has an active streaming writer: $dir " +
+            "(single-writer contract — stop the existing query first)")
+      case None =>
+        active(key) = q
+        q
+    }
+  }
 }

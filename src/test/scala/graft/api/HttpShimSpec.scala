@@ -474,7 +474,7 @@ class HttpShimSpec extends SparkSuite {
     } finally shim3.stop()
   }
 
-  test("/ann serves live IVF top-k around stored ids and raw vectors, delete-aware, latest-only") {
+  test("/ann serves live IVF top-k around stored ids and raw vectors, delete-aware, with asOf time travel") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-shim").toString
@@ -526,15 +526,36 @@ class HttpShimSpec extends SparkSuite {
       val (_, b3) = get4("/ann?id=1&k=3&nprobe=2")
       assert(ids(b3) == Seq(2L, 3L, 4L), s"tombstoned 5 must vanish: $b3")
       assert(get4("/ann?id=5&k=3")._1 == 404)
+      // asOf time travel: at version 1 the tombstone (committed at v2)
+      // does not reach back — 5 still ranks, and still QUERIES
+      val (sAo, bAo) = get4("/ann?id=1&k=3&nprobe=2&asOf=1")
+      assert(sAo == 200 && ids(bAo) == Seq(5L, 2L, 3L),
+        s"v1 snapshot must pre-date the delete: $bAo")
+      assert(get4("/ann?id=5&k=1&nprobe=2&asOf=1")._1 == 200)
+      // at version 0 the vector 5 (committed at v1) does not exist yet
+      val (s00, b00) = get4("/ann?id=1&k=3&nprobe=2&asOf=0")
+      assert(s00 == 200 && ids(b00) == Seq(2L, 3L, 4L), b00)
+      assert(get4("/ann?id=5&k=1&asOf=0")._1 == 404)
+      // unknown/uncommitted version → 404; bad asOf → 400
+      assert(get4("/ann?id=1&k=3&asOf=9")._1 == 404)
+      assert(get4("/ann?id=1&k=3&asOf=x")._1 == 400)
       // error edges: unknown id 404; both/neither/bad params 400;
-      // latest-only (asOf → the liveOnly 400); unconfigured store 400
+      // unconfigured store 400
       assert(get4("/ann?id=99&k=3")._1 == 404)
       assert(get4("/ann?id=1&q=0.1,0.2")._1 == 400)
       assert(get4("/ann?k=3")._1 == 400)
       assert(get4("/ann?q=0.1,zz")._1 == 400)
       assert(get4("/ann?id=1&k=0")._1 == 400)
-      assert(get4("/ann?id=1&asOf=0")._1 == 400)
       assert(get("/ann?id=1&k=3")._1 == 400)
+      // compaction folds v0-v2 into a c2 base and sweeps the deltas:
+      // v0/v1 are gone as RESOURCES (404 — never a silent answer from
+      // the base), v2 itself and latest still serve the masked state
+      assert(graft.streaming.Compaction.compactAnn(spark, dir) == 2L)
+      assert(get4("/ann?id=1&k=3&nprobe=2&asOf=1")._1 == 404)
+      assert(get4("/ann?id=1&k=3&nprobe=2&asOf=0")._1 == 404)
+      val (sC, bC) = get4("/ann?id=1&k=3&nprobe=2&asOf=2")
+      assert(sC == 200 && ids(bC) == Seq(2L, 3L, 4L), bC)
+      assert(ids(get4("/ann?id=1&k=3&nprobe=2")._2) == Seq(2L, 3L, 4L))
     } finally shim4.stop()
   }
 
@@ -607,6 +628,57 @@ class HttpShimSpec extends SparkSuite {
       assert(results.forall(identity),
         "a concurrent request diverged from the sequential answer")
     } finally { pool.shutdown(); () }
+  }
+
+  test("StoreCache: a request holding a value across MULTIPLE generation turnovers is never retired under it (ref-count, not grace)") {
+    import graft.streaming.ServeSnapshot
+    def snap(latest: Long): ServeSnapshot =
+      ServeSnapshot(latest, (None, (0L to latest)), latest, (None, (0L to latest)))
+    val retired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cache = new StoreCache[String](v => { retired.add(v); () })
+    val entered  = new java.util.concurrent.CountDownLatch(1)
+    val proceed  = new java.util.concurrent.CountDownLatch(1)
+    @volatile var got: String = null
+    val slow = new Thread(() =>
+      got = cache.use(snap(0))("A") { v =>
+        entered.countDown(); proceed.await(); v
+      })
+    slow.start()
+    entered.await()
+    // two commits land while the slow request is mid-execution — the
+    // round-11 one-generation grace would have retired "A" at the second
+    cache.use(snap(1))("B")(identity)
+    cache.use(snap(2))("C")(identity)
+    assert(!retired.contains("A"), "value retired under an in-flight request")
+    assert(retired.contains("B"), "idle evicted value must retire at turnover")
+    proceed.countDown()
+    slow.join(30000)
+    assert(got == "A")
+    assert(retired.contains("A"), "released parked value must retire")
+  }
+
+  test("StoreCache: a stale listing delivered late cannot ping-pong the generation backwards") {
+    import graft.streaming.ServeSnapshot
+    var computes = 0
+    var retires  = 0
+    val cache = new StoreCache[String](_ => retires += 1)
+    val newGen   = ServeSnapshot(1, (None, Seq(0L, 1L)), 1, (None, Seq(0L, 1L)))
+    val staleGen = ServeSnapshot(0, (None, Seq(0L)), 0, (None, Seq(0L)))
+    cache.use(newGen) { computes += 1; "v1" }(identity)
+    // a request whose directory listing predates the commit arrives
+    // LATE: it must serve through the current memo (per-version state
+    // is immutable), not regress the generation and burn the eviction
+    val r = cache.use(staleGen) { computes += 1; "v0" }(identity)
+    assert(r == "v0" && retires == 0, "stale listing must not turn the generation over")
+    // and the newer generation's memo survived the interleave
+    cache.use(newGen) { computes += 1; "v1-again" }(identity)
+    assert(computes == 2, s"memo for the current generation was evicted: $computes computes")
+    // compaction at the SAME latest version (base floor rises) IS a new
+    // generation — the memo must turn over and retire the idle values
+    val compacted = ServeSnapshot(1, (Some(1L), Nil), 1, (Some(1L), Nil))
+    cache.use(compacted) { computes += 1; "v1c" }(identity)
+    assert(computes == 3 && retires == 2,
+      s"compaction must turn the generation: $computes computes, $retires retires")
   }
 
   test("QueryService emits well-formed JSON for stored strings with control characters") {

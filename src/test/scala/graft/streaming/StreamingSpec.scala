@@ -1654,4 +1654,39 @@ class StreamingSpec extends SparkSuite {
     val rc = new LiveEngineMaintainer(spark, dir, numPartitions = 2)
     assert(rc.indexAt(1L).isEmpty && ids(rc.latestIndex.get) == Set("2"))
   }
+
+  test("single-writer contract: a second active streaming writer on one store dir is refused; restart-recovery still attaches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-one-writer").toString
+    def ckpt() = java.nio.file.Files.createTempDirectory("graft-ow-ckpt").toString
+    val in1 = MemoryStream[Long]
+    val q1 = new LiveSketchMaintainer(spark, dir, 4, 64)
+      .attach(in1.toDF().toDF("user_id"), ckpt())
+    try {
+      in1.addData(1L, 1L, 1L)
+      q1.processAllAvailable()
+      // a SECOND maintainer attaching to the same store dir (its own
+      // checkpoint — i.e. its own batch numbering) would silently race
+      // the version protocol; the lease refuses it and stops its query
+      val in2 = MemoryStream[Long]
+      val ex = intercept[IllegalStateException](
+        new LiveSketchMaintainer(spark, dir, 4, 64)
+          .attach(in2.toDF().toDF("user_id"), ckpt()))
+      assert(ex.getMessage.contains("active streaming writer"))
+      // the first writer is untouched
+      in1.addData(1L, 1L)
+      q1.processAllAvailable()
+      assert(new LiveSketchMaintainer(spark, dir, 4, 64).latestVersion == 1L)
+    } finally q1.stop()
+    // restart-recovery (the documented pattern): the old query is
+    // stopped, so a fresh maintainer may take the dir over
+    val in3 = MemoryStream[Long]
+    val q3 = new LiveSketchMaintainer(spark, dir, 4, 64)
+      .attach(in3.toDF().toDF("user_id"), ckpt())
+    try {
+      in3.addData(2L)
+      q3.processAllAvailable()
+    } finally q3.stop()
+  }
 }
