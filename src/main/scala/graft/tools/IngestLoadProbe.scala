@@ -22,28 +22,54 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   *     re-merge instead of the map probe).
   *
   * Phases run IDLE first (writer quiescent), then LOADED (writer
-  * committing, ~150 ms between commits), and print per-phase medians +
-  * the degradation factor. Single JVM — writers share the Spark
-  * scheduler with readers, which is the contention the reference's
-  * scenario measures (its ingest MapReduce shares the cluster).
+  * committing back-to-back), and print per-phase medians + the
+  * degradation factor. Single JVM — writers share the Spark scheduler
+  * with readers, which is the contention the reference's scenario
+  * measures (its ingest MapReduce shares the cluster).
   *
-  * Usage: `IngestLoadProbe [sfDir]`.
+  * `fair` runs the session under the FAIR scheduler with the writer in
+  * its own pool ("ingest") and requests in "serving" — the standard
+  * mixed-workload deployment posture. Under default FIFO, one
+  * multi-second index-build job HOLDS the scheduler head and every
+  * sub-second query queues behind it (measured 15× degradation);
+  * FAIR interleaves the two pools' tasks and is what a serving
+  * deployment must configure. Run both to see the difference.
+  *
+  * Usage: `IngestLoadProbe [sfDir] [fair]`.
   */
 object IngestLoadProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val fair  = args.contains("fair")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.builder(s"local[$cpus]")
+    val b = Sessions.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = (if (fair) b.config("spark.scheduler.mode", "FAIR") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println(s"[probe] scheduler=${if (fair) "FAIR (serving/ingest pools)" else "FIFO"}")
+    // per-thread pool assignment: local properties are inherited by the
+    // jobs a thread submits
+    def inPool[T](pool: String)(body: => T): T = {
+      if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      try body
+      finally if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
 
     // ---------------- A. engine store under writer pressure ----------------
     val docs = Tables.load(spark, sfDir, "documents").cache()
     docs.count()
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-load").toString
-    val m = new graft.streaming.LiveEngineMaintainer(spark, dir, numPartitions = 8)
+    // autoCompactEvery bounds the merge-on-read set under sustained
+    // ingest — without it every commit widens the per-query delta union
+    // and "degradation" measures unbounded read amplification, not
+    // scheduler contention (measured: walls 7.5 -> 21 s across one
+    // loaded phase as deltas accumulated). Compaction windows ARE part
+    // of the scenario (the reference's published spikes to ~12 s are
+    // its major compactions); maxq captures them.
+    val m = new graft.streaming.LiveEngineMaintainer(spark, dir,
+      numPartitions = 8, autoCompactEvery = 8)
     // half the corpus pre-committed: queries always have real hits
     (0 until 10).foreach(b =>
       m.processBatch(docs.filter(pmod(col("doc_id"), lit(20)) === b), b.toLong))
@@ -58,7 +84,7 @@ object IngestLoadProbe {
       val t0 = System.nanoTime()
       val fs = workload.map(q => scala.concurrent.Future {
         val s0 = System.nanoTime()
-        latestSvc().query(q, Nil, 20)
+        inPool("serving")(latestSvc().query(q, Nil, 20))
         (System.nanoTime() - s0) / 1e9
       })
       val lats = scala.concurrent.Await.result(
@@ -72,29 +98,41 @@ object IngestLoadProbe {
     println(f"[engine] idle: walls=${idle.map(_._1).map(w => f"$w%.2f").mkString(",")} s  " +
       f"median qps=${40 / median(idle.map(_._1))}%.2f  maxq=${idle.map(_._2).max}%.2f s")
 
-    // writer: keeps committing fresh versions of 1/20th-corpus slices
-    // (ids strictly increasing — the protocol's requirement) until the
-    // loaded passes finish
+    // writer: commits fresh versions of 1/20th-corpus slices
+    // BACK-TO-BACK (ids strictly increasing — the protocol's
+    // requirement; no pause — the reference's scenario is sustained
+    // MapReduce ingest sharing the cluster) until the loaded passes
+    // finish
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val commits = new java.util.concurrent.atomic.AtomicInteger(0)
-    val writer = new Thread(() => {
+    val writer = new Thread(() => inPool("ingest") {
       var id = 10L
       while (!stop.get) {
         m.processBatch(docs.filter(pmod(col("doc_id"), lit(20)) === (id % 20)), id)
         commits.incrementAndGet()
         id += 1
-        Thread.sleep(150)
       }
     })
     writer.start()
-    Thread.sleep(300) // let the first loaded commit land
-    val loaded = (1 to 3).map(_ => pass())
+    while (commits.get < 1) Thread.sleep(50) // first loaded commit landed
+    // run loaded passes until ≥4 commits overlapped (min 3 passes), so
+    // the measurement spans sustained writer pressure, not one in-flight
+    // commit's tail
+    val loadedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    while (loadedBuf.size < 3 || commits.get < 8) loadedBuf += pass()
+    val loaded = loadedBuf.toSeq
     stop.set(true); writer.join()
+    // loaded walls are BIMODAL (sub-second between commits, multi-second
+    // while a build/compaction job shares the scheduler), so the honest
+    // aggregate is total-queries / total-wall over the whole loaded
+    // window — the same aggregate the reference's 2-4× figure reports —
+    // with maxq capturing the compaction-window spikes (their ~12 s)
     val qpsIdle   = 40 / median(idle.map(_._1))
-    val qpsLoaded = 40 / median(loaded.map(_._1))
-    println(f"[engine] loaded: walls=${loaded.map(_._1).map(w => f"$w%.2f").mkString(",")} s  " +
-      f"median qps=$qpsLoaded%.2f  maxq=${loaded.map(_._2).max}%.2f s  commits=${commits.get}")
-    println(f"[engine] degradation ×${qpsIdle / qpsLoaded}%.2f (reference publishes 2-4×)")
+    val aggLoaded = loaded.size * 40 / loaded.map(_._1).sum
+    println(f"[engine] loaded: ${loaded.size} passes over ${loaded.map(_._1).sum}%.1f s  " +
+      f"aggregate qps=$aggLoaded%.2f  best=${40 / loaded.map(_._1).min}%.2f  " +
+      f"maxq=${loaded.map(_._2).max}%.2f s  commits=${commits.get}")
+    println(f"[engine] aggregate degradation ×${qpsIdle / aggLoaded}%.2f (reference publishes 2-4×)")
 
     // ---------------- B. analytics edge under writer pressure --------------
     val ev = Tables.load(spark, sfDir, "events")
@@ -126,7 +164,7 @@ object IngestLoadProbe {
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val fs = (0 until n).map(i => scala.concurrent.Future {
         val t0 = System.nanoTime()
-        req(i)
+        inPool("serving")(req(i))
         lats.add((System.nanoTime() - t0) / 1e6)
         ()
       })
@@ -149,7 +187,7 @@ object IngestLoadProbe {
     phase("idle")
     val stopB = new java.util.concurrent.atomic.AtomicBoolean(false)
     val commitsB = new java.util.concurrent.atomic.AtomicInteger(0)
-    val writerB = new Thread(() => {
+    val writerB = new Thread(() => inPool("ingest") {
       var id = 10L
       while (!stopB.get) {
         cmW.processBatch(ev.filter(pmod(col("user_id"), lit(20)) === (id % 20)), id)
@@ -157,11 +195,10 @@ object IngestLoadProbe {
         anW.processBatch(emb.filter(pmod(col("vec_id"), lit(20)) === (id % 20)), id)
         commitsB.incrementAndGet()
         id += 1
-        Thread.sleep(150)
       }
     })
     writerB.start()
-    Thread.sleep(300)
+    while (commitsB.get < 1) Thread.sleep(50)
     phase("loaded")
     stopB.set(true); writerB.join()
     println(s"[analytics] commits during loaded phase: ${commitsB.get}")
