@@ -76,6 +76,7 @@ object Plans {
       "cu_wsample" -> "Efraimidis-Spirakis weighted sampling: one narrow codegen'd key projection (hash + ln + quantize) over the scan into a bounded TakeOrderedAndProject — no shuffle beyond the top-n merge",
       "cu_live_dsir" -> "live DSIR model serving: the merged count table is ONE distributed keyed sum over the union of committed deltas (merge-on-read — no corpus re-scan anywhere in the plan), the quantized model derives model-sized frames, scoring joins it broadcast",
       "sim_mmr_ivf" -> "IVF-pooled MMR: the candidate pool comes from ivfScored's probe-join-score — a cell-key join between the cached (vec, cell) assignment and each query's nprobe probed cells, so only nprobe/cells of the corpus is scored per query (cell-partitioned PartitionFilters on the saved-index serving path), embedding carried through to the SAME per-query greedy as sim_mmr; the brute broadcast-x-corpus pool stage is gone from the plan",
+      "sim_live_asof" -> "live ANN time travel: the version-1 read set's parquet union (v0+v1 only — later deltas and tombstones absent from the SCAN, not filtered out of it) probe-joined and scored exactly like sim_ivf_topk; snapshot isolation is path selection, zero extra plan nodes",
       "cu_dsir_oov" -> "DSIR OOV scoring: occurrence table LEFT-joins the broadcast half-corpus model with coalesce(lr, floor) — same keyed integer fold as cu_dsir, the floor a plan-time literal from one model-sized aggregate; no extra corpus pass for the OOV branch")
 
     val sb = new StringBuilder
