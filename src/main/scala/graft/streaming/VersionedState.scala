@@ -74,6 +74,16 @@ private[streaming] object VersionedState {
     new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
   }
 
+  /** Fully-qualified form of a store path (scheme + authority resolved
+    * through the active Hadoop conf) — one canonical spelling for
+    * "/x/y" vs "file:/x/y" vs "file:///x/y", used as the WriterLease
+    * key so spelling variants of one dir cannot dodge the guard.
+    */
+  def qualified(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    fs(p).makeQualified(path).toString
+  }
+
   /** Path-exists probe — THE `_SUCCESS`-marker test; every maintainer's
     * replay-skip and carried-part probe routes through here so the
     * commit protocol cannot drift from the version listing's notion of
@@ -274,7 +284,9 @@ private[streaming] object WriterLease {
   def register(dir: String,
       q: org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = synchronized {
-    val key = new org.apache.hadoop.fs.Path(dir).toUri.toString
+    // FileSystem-qualified key: "/x/y" and "file:/x/y" are the SAME
+    // store dir and must hold the same lease
+    val key = VersionedState.qualified(dir)
     active.get(key).filter(old => old.isActive && old.id != q.id) match {
       case Some(_) =>
         q.stop()

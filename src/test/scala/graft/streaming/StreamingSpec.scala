@@ -1674,6 +1674,12 @@ class StreamingSpec extends SparkSuite {
         new LiveSketchMaintainer(spark, dir, 4, 64)
           .attach(in2.toDF().toDF("user_id"), ckpt()))
       assert(ex.getMessage.contains("active streaming writer"))
+      // spelling variants of the same dir hold the SAME lease: a writer
+      // attached on the raw path refuses one on the file: URI form
+      val in2b = MemoryStream[Long]
+      intercept[IllegalStateException](
+        new LiveSketchMaintainer(spark, "file:" + dir, 4, 64)
+          .attach(in2b.toDF().toDF("user_id"), ckpt()))
       // the first writer is untouched
       in1.addData(1L, 1L)
       q1.processAllAvailable()
