@@ -650,6 +650,18 @@ object Dedup {
     * default keeps recall ≥95% at j = 0.3 while baseline-dissimilar pairs
     * (j ≈ 0.005) stay below 1e-3. At 100 TB the only wide ops are the
     * band shuffle and the candidate join — both keyed, both bounded.
+    *
+    * Provisioning note (measured, round-12 sf100 audit): COMPUTE is
+    * linear through three decades, but local shuffle SCRATCH is the
+    * binding resource — Spark retains every stage's shuffle files until
+    * job end, and this pipeline materializes the exploded shingle set
+    * ~3-4× (band stage + both sides of the exact-verify join), so
+    * scratch ≈ several × (corpus tokens × 8 B hashes + ids). A 577 MB
+    * compressed-text corpus (~400M shingles) exceeded 74 GB of scratch;
+    * size executors' local disks accordingly, or pre-materialize the
+    * per-doc element-hash sets to object storage once (`minhashBands`
+    * consumes them directly) so repeated runs re-read instead of
+    * re-shuffling.
     */
   def minhashPairs(docs: DataFrame, tau: Double, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     // element sets are 64-bit hashes end-to-end (same rationale as
