@@ -66,6 +66,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    no-embeddings precedent).
   *  - `GET /health` → 200 "ok" (operational nicety, not in the reference).
   *
+  * Live-latest mode (`HttpShim.live(maintainer)`): the engine routes
+  * re-resolve the latest committed version PER REQUEST from disk, so
+  * the HTTP edge tracks a concurrent (even out-of-process) writer —
+  * the reference's deployment shape, where the web service queries a
+  * live Accumulo table. The fixed-`service` constructor remains the
+  * immutable-corpus form.
+  *
   * Error mapping: bad query syntax / all-negation / bad pointer → 400
   * with the message; unknown path → 404 — the reference surfaces these
   * as WebApplicationException(400) equivalents.
@@ -86,7 +93,20 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       * on `/sketch/…` and `/model/…`; the default carries none, so those
       * routes answer a clean 400 (the /hybrid no-embeddings precedent).
       */
-    analytics: AnalyticsService = new AnalyticsService()) {
+    analytics: AnalyticsService = new AnalyticsService(),
+    /** LIVE-LATEST engine serving: when set, every engine route
+      * re-resolves its QueryService through this thunk per request
+      * instead of the fixed `service` — the reference's posture, where
+      * the web service queries a live Accumulo table and tablet servers
+      * always serve the latest flushed state. `HttpShim.live` builds
+      * the standard one from a `LiveEngineMaintainer` (one directory
+      * listing per request + a memoized per-(version, read-set)
+      * QueryService — the analytics routes' snapshot discipline).
+      */
+    liveResolver: Option[() => QueryService] = None) {
+
+  /** The engine service this request serves from (see `liveResolver`). */
+  private def svc: QueryService = liveResolver.map(_()).getOrElse(service)
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool   = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -120,7 +140,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val params = liveOnly(queryParams(ex))
     val id = params.getOrElse("id",
       throw new IllegalArgumentException("missing required parameter: id"))
-    service.content(id) match {
+    svc.content(id) match {
       case Some(text) => ("text/plain; charset=utf-8", text)
       case None       => throw new NoSuchElementException(s"document not found: $id")
     }
@@ -130,7 +150,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val (q, auths) = queryAndAuths(liveOnly(queryParams(ex)))
     // All-negation is a client error on this route too, but explain is a
     // diagnostic — report the rejection as the BODY, like a planner would
-    ("text/plain; charset=utf-8", service.explain(q, auths))
+    ("text/plain; charset=utf-8", svc.explain(q, auths))
   })
 
   // Beyond-reference search-result surfaces: ranked retrieval and facet
@@ -153,9 +173,9 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(s"bad after_score: $s") }
         ("application/json",
-          service.rankAfter(terms, afterScore, id, limit, authsOf(params)))
+          svc.rankAfter(terms, afterScore, id, limit, authsOf(params)))
       case (None, None) =>
-        ("application/json", service.rank(terms, limit, authsOf(params)))
+        ("application/json", svc.rank(terms, limit, authsOf(params)))
       case _ => throw new IllegalArgumentException(
         "after_score and after_id must be provided together")
     }
@@ -192,7 +212,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     if (depth < limit) throw new IllegalArgumentException(
       s"depth must be >= limit: depth=$depth limit=$limit")
     ("application/json",
-      service.hybrid(terms, vec, limit, depth, kRrf, authsOf(params)))
+      svc.hybrid(terms, vec, limit, depth, kRrf, authsOf(params)))
   })
 
   //  - `GET /fuzzy?term=spark&limit=N` → did-you-mean term suggestions
@@ -203,7 +223,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       throw new IllegalArgumentException("missing required parameter: term"))
     if (term.trim.isEmpty) throw new IllegalArgumentException("term is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 1000)
-    ("application/json", service.fuzzy(term.trim, limit, authsOf(params)))
+    ("application/json", svc.fuzzy(term.trim, limit, authsOf(params)))
   })
 
   //  - `GET /histogram?query=…&field=NCHARS&lo=0&width=100&buckets=10`
@@ -223,7 +243,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val width = longParam("width", 100L)
     if (width <= 0) throw new IllegalArgumentException(s"width must be > 0: $width")
     val buckets = intParam(params, "buckets", default = 10, min = 1, max = 10000)
-    ("application/json", service.histogram(q, field, lo, width, buckets, auths))
+    ("application/json", svc.histogram(q, field, lo, width, buckets, auths))
   })
 
   //  - `GET /mlt?doc=655&limit=N&auths=…` → more-like-this: documents
@@ -235,7 +255,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       throw new IllegalArgumentException("missing required parameter: doc"))
     if (doc.trim.isEmpty) throw new IllegalArgumentException("doc is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 10000)
-    ("application/json", service.moreLikeThis(doc.trim, limit, authsOf(params)))
+    ("application/json", svc.moreLikeThis(doc.trim, limit, authsOf(params)))
   })
 
   server.createContext("/facets", (ex: HttpExchange) => safely(ex) {
@@ -243,7 +263,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val (q, auths) = queryAndAuths(params)
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
-    ("application/json", service.facets(q, field, auths))
+    ("application/json", svc.facets(q, field, auths))
   })
 
   //  - `GET /collapse?query=…&field=SOURCE&auths=…` → one representative
@@ -254,13 +274,13 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val (q, auths) = queryAndAuths(params)
     val field = params.getOrElse("field",
       throw new IllegalArgumentException("missing required parameter: field"))
-    ("application/json", service.collapse(q, field, auths))
+    ("application/json", svc.collapse(q, field, auths))
   })
 
   //  - `GET /stats?auths=…` → per-language index catalog statistics
   //    (docs, vocabulary, postings, tokens) as JSON — the ANALYZE surface
   server.createContext("/stats", (ex: HttpExchange) => safely(ex) {
-    ("application/json", service.stats(authsOf(liveOnly(queryParams(ex)))))
+    ("application/json", svc.stats(authsOf(liveOnly(queryParams(ex)))))
   })
 
   //  - `GET /complete?prefix=sp&limit=N` → top-N indexed terms for the
@@ -272,7 +292,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
       throw new IllegalArgumentException("missing required parameter: prefix"))
     if (prefix.trim.isEmpty) throw new IllegalArgumentException("prefix is empty")
     val limit = intParam(params, "limit", default = 10, min = 1, max = 10000)
-    ("application/json", service.complete(prefix.trim, limit, authsOf(params)))
+    ("application/json", svc.complete(prefix.trim, limit, authsOf(params)))
   })
 
   //  - `GET /snippets?terms=a,b&window=3&limit=N` → per-(doc, term)
@@ -289,9 +309,9 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val auths = authsOf(params)
     (terms.nonEmpty, phrase.nonEmpty) match {
       case (true, false) =>
-        ("application/json", service.snippets(terms, window, limit, auths))
+        ("application/json", svc.snippets(terms, window, limit, auths))
       case (false, true) =>
-        ("application/json", service.phraseSnippets(phrase, window, limit, auths))
+        ("application/json", svc.phraseSnippets(phrase, window, limit, auths))
       case _ => throw new IllegalArgumentException(
         "exactly one of terms= or phrase= is required")
     }
@@ -370,7 +390,7 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     */
   private def serviceFor(params: Map[String, String]): QueryService =
     params.get("asOf") match {
-      case None => service
+      case None => svc
       case Some(v) =>
         val ver =
           try v.toLong
@@ -486,5 +506,49 @@ class HttpShim(service: QueryService, port: Int = 0, poolSize: Int = 8,
     val os = ex.getResponseBody
     try os.write(bytes)
     finally os.close()
+  }
+}
+
+object HttpShim {
+
+  /** A shim whose ENGINE routes serve a live store's LATEST committed
+    * version — the reference's deployment shape (its web service
+    * queries a live Accumulo table; tablet servers always serve the
+    * newest flushed state), closing the gap where a fixed QueryService
+    * would freeze the HTTP edge at construction-time state while
+    * ingest continues.
+    *
+    * Per request: ONE directory listing resolves the store's latest
+    * committed version from disk (`LiveEngineMaintainer.serveSnapshot`
+    * — an out-of-process writer's commits are visible, not just the
+    * in-JVM pointer), then the memoized `QueryService.versioned`
+    * resolver serves it — one QueryService per (version, read-set),
+    * evicted on commit/compaction, so steady-state cost between
+    * commits is the listing plus a map hit. The same resolver backs
+    * `asOf=` on /query and /count, so live-latest and time travel
+    * serve from ONE cache and cannot drift.
+    */
+  def live(m: graft.streaming.LiveEngineMaintainer,
+      port: Int = 0, poolSize: Int = 8,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.tokenizeWs(_),
+      embeddings: Option[org.apache.spark.sql.DataFrame] = None,
+      analytics: AnalyticsService = new AnalyticsService()): HttpShim = {
+    val resolver = QueryService.versioned(m, tokenizer, embeddings)
+    def latest(): QueryService = {
+      val snap = m.serveSnapshot().getOrElse(
+        throw new NoSuchElementException("empty engine store"))
+      resolver(snap.latest).getOrElse(
+        // resolved-then-swept race: by the resolver's own re-listing
+        // the version is gone — a missing resource, the 404 discipline
+        throw new NoSuchElementException(
+          s"snapshot at version ${snap.latest} was compacted away during the request"))
+    }
+    new HttpShim(
+      latest(), // constructor-time resolution doubles as an eager store check
+      port, poolSize,
+      serviceAt = resolver,
+      analytics = analytics,
+      liveResolver = Some(() => latest()))
   }
 }

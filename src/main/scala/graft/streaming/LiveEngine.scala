@@ -133,6 +133,20 @@ class LiveEngineMaintainer(
 
   def latestVersion: Long = version
 
+  /** Serving-path snapshot resolution (ONE directory listing): resolve
+    * `asOf` (None = latest) against the exact on-disk committed
+    * versions and refresh the recovery pointer — the analytics
+    * maintainers' serveSnapshot contract brought to the engine store,
+    * so a serving process beside an out-of-process writer tracks new
+    * commits instead of the constructor-time pointer ([[graft.api
+    * .HttpShim]]'s live mode resolves every request through this).
+    */
+  def serveSnapshot(asOf: Option[Long] = None): Option[ServeSnapshot] = {
+    val r = VersionedState.serveSnapshot(dir, parts, asOf)
+    r.foreach(s => version = math.max(version, s.latest))
+    r
+  }
+
   /** The (base, delta-list) directory set `indexAt(upTo)` would read
     * RIGHT NOW — one driver-side directory listing, no Spark job.
     * Snapshot caches (`QueryService.versioned`) key memoized engines on

@@ -630,6 +630,58 @@ class HttpShimSpec extends SparkSuite {
     } finally { pool.shutdown(); () }
   }
 
+  test("HttpShim.live: the engine routes track a concurrent writer — new commits serve immediately, deletes mask, asOf still time-travels, swept versions 404") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-shim").toString
+    def docs(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val writer = new graft.streaming.LiveEngineMaintainer(spark, dir, numPartitions = 1)
+    writer.processBatch(docs((1L, "alpha beta"), (2L, "alpha gamma")), 0L)
+    // the serving shim holds a FRESH maintainer (separate process in a
+    // real deployment) — its pointer knows nothing of later commits
+    val reader = new graft.streaming.LiveEngineMaintainer(spark, dir, numPartitions = 1)
+    val shim5 = HttpShim.live(reader).start()
+    def get5(path: String): (Int, String) = {
+      val conn = URI.create(s"http://127.0.0.1:${shim5.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      (status, new String(stream.readAllBytes(), UTF_8))
+    }
+    def hitIds(body: String): Set[String] =
+      "\"pointer\":\"DOCUMENT:\\d+/en/(\\d+)\"".r
+        .findAllMatchIn(body).map(_.group(1)).toSet
+    try {
+      val (s0, b0) = get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")
+      assert(s0 == 200 && hitIds(b0) == Set("1", "2"), b0)
+      // the WRITER commits v1 — the SAME shim serves it on the next
+      // request (disk-resolved latest, not the reader's stale pointer)
+      writer.processBatch(docs((3L, "alpha delta")), 1L)
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")._2) ==
+        Set("1", "2", "3"), "new commit must serve immediately")
+      // time travel through the same resolver: asOf=0 pre-dates doc 3
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json&asOf=0")._2) ==
+        Set("1", "2"))
+      // a tombstone delete masks on latest, not on the snapshot
+      writer.processDeletes(Seq(Tuple1(1L)).toDF("doc_id"), 2L)
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")._2) ==
+        Set("2", "3"), "tombstoned doc must vanish from latest")
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json&asOf=1")._2) ==
+        Set("1", "2", "3"), "the delete must not reach back into v1")
+      // compaction folds + sweeps: v0/v1 are gone as resources, latest
+      // serves the identical masked answer through the c-base
+      graft.streaming.Compaction.compactEngine(spark, dir)
+      assert(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json&asOf=0")._1 == 404)
+      assert(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json&asOf=1")._1 == 404)
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")._2) ==
+        Set("2", "3"))
+      // non-query engine routes resolve live too: /count sees the
+      // post-delete corpus
+      assert(get5("/count?query=TEXT+%3D%3D+%27alpha%27")._2.contains("\"count\":2"))
+    } finally shim5.stop()
+  }
+
   test("StoreCache: a request holding a value across MULTIPLE generation turnovers is never retired under it (ref-count, not grace)") {
     import graft.streaming.ServeSnapshot
     def snap(latest: Long): ServeSnapshot =
