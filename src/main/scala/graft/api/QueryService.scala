@@ -366,7 +366,16 @@ object QueryService {
   def versioned(m: graft.streaming.LiveEngineMaintainer,
       tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.functions.TextFunctions.tokenizeWs(_),
-      embeddings: Option[org.apache.spark.sql.DataFrame] = None)
+      embeddings: Option[org.apache.spark.sql.DataFrame] = None,
+      /** Resolver capacity: under LIVE-LATEST serving (`HttpShim.live`)
+        * every commit resolves a NEW version through here, so an
+        * unbounded map would accumulate one engine per version for the
+        * store's lifetime. The oldest versions beyond the bound evict —
+        * safe, because a resolved engine pins no Spark storage (its
+        * state is driver-side LRU maps and lazy plans; eviction is GC)
+        * and a late request for an evicted version just re-resolves.
+        */
+      maxVersions: Int = 16)
       : Long => Option[QueryService] = {
     val cache = new java.util.concurrent.ConcurrentHashMap[
       Long, ((Option[Long], Seq[Long]), QueryService)]()
@@ -385,7 +394,14 @@ object QueryService {
                 new graft.query.WikiSearchEngine(ix.metadata.sparkSession, ix),
                 tokenizer, embeddings)
               cache.putIfAbsent(ver, (key, svc))
-              cache.get(ver)._2
+              // take the winner BEFORE bounding: the eviction below may
+              // remove this very version (an old asOf beyond capacity)
+              val winner = Option(cache.get(ver)).map(_._2).getOrElse(svc)
+              while (cache.size > maxVersions) {
+                import scala.jdk.CollectionConverters._
+                cache.keySet().asScala.minOption.foreach(cache.remove(_))
+              }
+              winner
             }
           }
       }

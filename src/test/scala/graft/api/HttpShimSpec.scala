@@ -682,6 +682,29 @@ class HttpShimSpec extends SparkSuite {
     } finally shim5.stop()
   }
 
+  test("QueryService.versioned is bounded: versions evicted past capacity re-resolve correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vb").toString
+    val m = new graft.streaming.LiveEngineMaintainer(spark, dir, numPartitions = 1)
+    def docs(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    m.processBatch(docs((1L, "alpha")), 0L)
+    m.processBatch(docs((2L, "alpha beta")), 1L)
+    m.processBatch(docs((3L, "alpha gamma")), 2L)
+    // capacity 1: every other resolution evicts the previous version's
+    // engine — an evicted version must re-resolve to the same answer,
+    // never NPE or serve a neighbor's snapshot
+    val r = QueryService.versioned(m, maxVersions = 1)
+    def hits(svc: QueryService) =
+      svc.query("TEXT == 'alpha'", Nil, 10).documents.map(_.id).toSet
+    assert(hits(r(2L).get) == Set("1", "2", "3"))
+    assert(hits(r(0L).get) == Set("1"))          // evicts v2
+    assert(hits(r(2L).get) == Set("1", "2", "3")) // re-resolves
+    assert(hits(r(1L).get) == Set("1", "2"))
+    assert(r(9L).isEmpty) // uncommitted stays a miss
+  }
+
   test("StoreCache: a request holding a value across MULTIPLE generation turnovers is never retired under it (ref-count, not grace)") {
     import graft.streaming.ServeSnapshot
     def snap(latest: Long): ServeSnapshot =
