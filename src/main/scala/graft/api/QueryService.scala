@@ -382,8 +382,13 @@ object QueryService {
     (ver: Long) =>
       // indexAt(v) resolves "everything ≤ v", so an uncommitted future
       // version would silently serve latest — reject it here (a typo'd
-      // asOf must be a 404, not a surprise snapshot)
-      if (ver > m.latestVersion) None
+      // asOf must be a 404, not a surprise snapshot). The reject path
+      // consults DISK before answering: the in-JVM pointer lags an
+      // out-of-process writer, and an asOf request for a freshly
+      // committed version must serve, not 404 until some other request
+      // happens to refresh the pointer (serveSnapshot refreshes it).
+      if (ver > m.latestVersion &&
+          m.serveSnapshot().forall(_.latest < ver)) None
       else {
         val key = m.snapshotKey(ver)
         Option(cache.get(ver)).collect { case (k, svc) if k == key => svc }

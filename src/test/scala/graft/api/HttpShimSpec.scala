@@ -655,9 +655,13 @@ class HttpShimSpec extends SparkSuite {
     try {
       val (s0, b0) = get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")
       assert(s0 == 200 && hitIds(b0) == Set("1", "2"), b0)
-      // the WRITER commits v1 — the SAME shim serves it on the next
-      // request (disk-resolved latest, not the reader's stale pointer)
+      // the WRITER commits v1 — an asOf request for the fresh version
+      // must serve FIRST TRY (the resolver consults disk on its
+      // reject path; the reader's in-JVM pointer still says 0), and
+      // the latest route serves it on the next request too
       writer.processBatch(docs((3L, "alpha delta")), 1L)
+      assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json&asOf=1")._2) ==
+        Set("1", "2", "3"), "fresh-version asOf must not 404 on a stale pointer")
       assert(hitIds(get5("/query?query=TEXT+%3D%3D+%27alpha%27&format=json")._2) ==
         Set("1", "2", "3"), "new commit must serve immediately")
       // time travel through the same resolver: asOf=0 pre-dates doc 3
