@@ -17,6 +17,17 @@ case class UidList(count: Long, uids: Seq[String], ignore: Boolean)
 object UidListAggregator {
   val MAX = 20
 
+  /** Derived ONCE per JVM: `Encoders.product` runs the full
+    * scala-reflect encoder derivation under the runtime universe's
+    * global lock, and `ScalaAggregator` calls `bufferEncoder`/
+    * `outputEncoder` lazily on EVERY deserialized plan instance — i.e.
+    * per task. A thread dump of a verify run showed task workers
+    * serialized inside `missingHook` → `ExecutorClassLoader` RPC
+    * class-miss fetches re-deriving this encoder. The encoder object
+    * itself is immutable, so one shared instance is safe.
+    */
+  private[functions] val uidListEnc: Encoder[UidList] = Encoders.product[UidList]
+
   private[graft] def combine(a: UidList, b: UidList): UidList = {
     val count = a.count + b.count
     if (a.ignore || b.ignore) UidList(count, Nil, ignore = true)
@@ -40,8 +51,8 @@ class UidListAggregator extends Aggregator[String, UidList, UidList] {
   def reduce(b: UidList, uid: String): UidList = combine(b, UidList(1L, Seq(uid), ignore = false))
   def merge(b1: UidList, b2: UidList): UidList = combine(b1, b2)
   def finish(b: UidList): UidList = b
-  def bufferEncoder: Encoder[UidList] = Encoders.product[UidList]
-  def outputEncoder: Encoder[UidList] = Encoders.product[UidList]
+  def bufferEncoder: Encoder[UidList] = uidListEnc
+  def outputEncoder: Encoder[UidList] = uidListEnc
 }
 
 /** Re-aggregation of already-built UidList partials (e.g. merging a delta
@@ -53,8 +64,8 @@ class UidListMergeAggregator extends Aggregator[UidList, UidList, UidList] {
   def reduce(b: UidList, in: UidList): UidList = combine(b, in)
   def merge(b1: UidList, b2: UidList): UidList = combine(b1, b2)
   def finish(b: UidList): UidList = b
-  def bufferEncoder: Encoder[UidList] = Encoders.product[UidList]
-  def outputEncoder: Encoder[UidList] = Encoders.product[UidList]
+  def bufferEncoder: Encoder[UidList] = uidListEnc
+  def outputEncoder: Encoder[UidList] = uidListEnc
 }
 
 /** Per-(token, doc) term weight: summed normalized TF + sorted word
@@ -64,15 +75,22 @@ class UidListMergeAggregator extends Aggregator[UidList, UidList, UidList] {
   */
 case class TermWeight(tf: Float, offsets: Seq[Int])
 
+object TermWeightAggregator {
+  /** Once-per-JVM derivation — see UidListAggregator.uidListEnc. */
+  private[functions] val termWeightEnc: Encoder[TermWeight] =
+    Encoders.product[TermWeight]
+}
+
 class TermWeightAggregator extends Aggregator[TermWeight, TermWeight, TermWeight] {
+  import TermWeightAggregator.termWeightEnc
   def zero: TermWeight = TermWeight(0f, Nil)
   def reduce(b: TermWeight, in: TermWeight): TermWeight =
     TermWeight(b.tf + in.tf, b.offsets ++ in.offsets)
   def merge(b1: TermWeight, b2: TermWeight): TermWeight =
     TermWeight(b1.tf + b2.tf, b1.offsets ++ b2.offsets)
   def finish(b: TermWeight): TermWeight = TermWeight(b.tf, b.offsets.sorted)
-  def bufferEncoder: Encoder[TermWeight] = Encoders.product[TermWeight]
-  def outputEncoder: Encoder[TermWeight] = Encoders.product[TermWeight]
+  def bufferEncoder: Encoder[TermWeight] = termWeightEnc
+  def outputEncoder: Encoder[TermWeight] = termWeightEnc
 }
 
 /** Wrap-around (mod 2⁶⁴) Long sum. JVM `+` wraps by definition — ANSI

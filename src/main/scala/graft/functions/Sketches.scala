@@ -28,6 +28,24 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Sketches {
 
+  // Encoders derived ONCE per JVM: `Encoders.product` runs the full
+  // scala-reflect derivation under the runtime universe's global lock,
+  // and ScalaAggregator re-calls bufferEncoder/outputEncoder on every
+  // deserialized plan instance (per task). See
+  // UidListAggregator.uidListEnc for the measured pathology.
+  private lazy val kmvBufEnc: Encoder[KmvBuf]   = Encoders.product[KmvBuf]
+  private lazy val cmsBufEnc: Encoder[CmsBuf]   = Encoders.product[CmsBuf]
+  private lazy val seqLongEnc: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  private lazy val qsBufEnc: Encoder[QsBuf]     = Encoders.product[QsBuf]
+  private lazy val qsOutEnc: Encoder[QsOut]     = Encoders.product[QsOut]
+
+  /** Shared input encoder for the bottom-k aggregators' `udaf(...)` call
+    * sites (q37, LiveSketches) — same once-per-JVM rationale.
+    */
+  lazy val longDoubleEnc: Encoder[(Long, Double)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]()
+
   /** Normalized hash in [0, 1): top 53 bits of splitmix64, exact in a
     * double (2^53 = 9007199254740992 is a power of two, so the division
     * is exact scaling).
@@ -56,7 +74,7 @@ object Sketches {
       if (b.us.size < k) b.us.size.toDouble
       else (k - 1).toDouble / b.us.last
 
-    def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    def bufferEncoder: Encoder[KmvBuf] = kmvBufEnc
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
     private def insert(us: Seq[Double], u: Double): KmvBuf =
@@ -118,9 +136,8 @@ object Sketches {
 
     def finish(b: CmsBuf): Seq[Long] = b.counts.toSeq
 
-    def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
-    def outputEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def bufferEncoder: Encoder[CmsBuf] = cmsBufEnc
+    def outputEncoder: Encoder[Seq[Long]] = seqLongEnc
   }
 
   /** The estimate read side: min over the d counters the key hashes to.
@@ -217,8 +234,8 @@ object Sketches {
     def reduce(b: QsBuf, row: (Long, Double)): QsBuf = qsReduce(b, row._1, row._2, k)
     def merge(b1: QsBuf, b2: QsBuf): QsBuf = qsMerge(b1, b2, k)
     def finish(b: QsBuf): QsOut = qsFinish(b)
-    def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
-    def outputEncoder: Encoder[QsOut] = Encoders.product[QsOut]
+    def bufferEncoder: Encoder[QsBuf] = qsBufEnc
+    def outputEncoder: Encoder[QsOut] = qsOutEnc
   }
 
   /** The PARTIAL-emitting twin: same fold, but `finish` returns the
@@ -233,7 +250,7 @@ object Sketches {
     def reduce(b: QsBuf, row: (Long, Double)): QsBuf = qsReduce(b, row._1, row._2, k)
     def merge(b1: QsBuf, b2: QsBuf): QsBuf = qsMerge(b1, b2, k)
     def finish(b: QsBuf): QsBuf = b
-    def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
-    def outputEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
+    def bufferEncoder: Encoder[QsBuf] = qsBufEnc
+    def outputEncoder: Encoder[QsBuf] = qsBufEnc
   }
 }

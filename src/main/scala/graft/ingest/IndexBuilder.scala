@@ -355,10 +355,18 @@ object IndexBuilder {
         ("ID", "i", NoOpNormalizer), ("TITLE", "i", LcNormalizer),
         ("TITLE", "i", NoOpNormalizer),
         ("TIMESTAMP", "i", NoOpNormalizer), ("TEXT", "i", LcNormalizer))
-      val langs = articles.select("language").distinct().as[String].collect()
       val p = offsetsUp.toSeq.sorted.map(f => (f, "p", null: String))
-      val static = langs.toSeq.flatMap(l => (e ++ i ++ p).map { case (f, k, n) => (f, k, l, n) })
-        .toDF("fieldName", "kind", "language", "normalizer")
+      // LAZY static rows: the per-language fan-out is a crossJoin of the
+      // distinct-language frame with a literal local relation instead of
+      // an eager `.distinct().collect()` — a builder whose caller never
+      // evaluates `metadata` (e.g. the incremental-merge path consuming
+      // only `globalIndex`) no longer pays a full corpus pass at
+      // construction time. Same rows, same schema; row order is
+      // irrelevant (metadata is a catalog, collected to a map).
+      val fieldsDf = (e ++ i ++ p).toDF("fieldName", "kind", "normalizer")
+      val static = base.select(col("language")).distinct()
+        .crossJoin(fieldsDf)
+        .select(col("fieldName"), col("kind"), col("language"), col("normalizer"))
         .withColumn("frequency", lit(null).cast("bigint"))
       static.unionByName(
         frequencyRows(docsFields.unionByName(
@@ -428,15 +436,20 @@ object IndexBuilder {
     val globalIndex = buildGlobalIndex(documentIndexRows(docs, numPartitions))
 
     val metadata = {
-      val langs = base.select("language").distinct().as[String].collect()
       val fields = Seq(
         ("ID", "e", null: String), ("SOURCE", "e", null: String), ("NCHARS", "e", null: String),
         ("ID", "i", NoOpNormalizer), ("SOURCE", "i", NoOpNormalizer),
         ("NCHARS", "i", NoOpNormalizer), ("TEXT", "i", NoOpNormalizer)) ++
         extraFields.keys.toSeq.sorted.map(n => (n.toUpperCase, "e", null: String)) ++
         offsetsUp.toSeq.sorted.map(f => (f, "p", null: String))
-      val static = langs.toSeq.flatMap(l => fields.map { case (f, k, n) => (f, k, l, n) })
-        .toDF("fieldName", "kind", "language", "normalizer")
+      // LAZY static rows (see fromArticles): no eager distinct+collect —
+      // ws_index_incremental builds two indexes per run and consumes only
+      // their globalIndex, so the eager language collect was two wasted
+      // corpus passes per invocation.
+      val fieldsDf = fields.toDF("fieldName", "kind", "normalizer")
+      val static = base.select(col("language")).distinct()
+        .crossJoin(fieldsDf)
+        .select(col("fieldName"), col("kind"), col("language"), col("normalizer"))
         .withColumn("frequency", lit(null).cast("bigint"))
       static.unionByName(
         frequencyRows(docsFields.unionByName(

@@ -186,8 +186,7 @@ class LiveQuantileMaintainer(
 
   import graft.functions.Sketches
 
-  private val sample = udaf(new Sketches.BottomKSample(k),
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+  private val sample = udaf(new Sketches.BottomKSample(k), Sketches.longDoubleEnc)
 
   @volatile private var version: Long = VersionedState.maxVersion(dir, Nil)
 
