@@ -626,21 +626,30 @@ object SearchQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, score
          |FROM fused ORDER BY rank LIMIT 20""".stripMargin) { (s, dir) =>
-      // callerEngine: the BM25 list must live on the CALLER's session so
-      // it joins the embeddings-table ranking without crossing sessions
-      // (memoized — the index load is not free per invocation).
-      // Each side contributes its top-50 PAGE (rankTopK plans as
+      // r12 optimization: the whole hybrid plan now lives on the
+      // engine's AQE-OFF serving session (the BM25 page's own session),
+      // with the embeddings table loaded there too — previously it ran
+      // on the caller's AQE-on session (callerEngine) and a warm
+      // ProfileQuery measured 9 sequential AQE stage-materialization
+      // jobs summing 1.0 s inside a 2.1 s wall. The serving-path
+      // argument is the engine's own (documented at `engine()`): both
+      // pages are FIXED bounded-result DAGs (TakeOrderedAndProject +
+      // broadcast query set) whose shape AQE cannot improve at any
+      // corpus size, while each query-stage round trip sits on the
+      // latency path. Same plan, same rows — the gate re-proves the
+      // hash. Each side contributes its top-50 PAGE (rankTopK plans as
       // TakeOrderedAndProject — no corpus-wide window), the production
       // hybrid-serving shape; ranks are then numbered over the 50-row
       // page (bounded window).
-      val bmPage = callerEngine(s, dir)
+      val bmPage = engine(s, dir)
         .rankTopK(Seq("spark", "join", "vector"), k = 50,
           tieBreak = col("docId").cast("bigint"))
+      val serving = bmPage.sparkSession
       val bm = bmPage.select(
         col("docId").cast("bigint").as("id"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("docId").cast("bigint"))).as("rank"))
-      val emb = Tables.load(s, dir, "embeddings")
+      val emb = Tables.load(serving, dir, "embeddings")
       val cos = graft.pipeline.Similarity
         .topK(emb, emb.filter(col("vec_id") === 101), k = 50)
         .select(col("neighbor_id").as("id"), col("rank"))
