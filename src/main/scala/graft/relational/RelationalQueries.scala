@@ -394,40 +394,29 @@ object RelationalQueries {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
-      // r12 optimization (guide §2.3/§3): the literal EXISTS/NOT-EXISTS
-      // form planned lineitem three times — a scan for l1 plus TWO more
-      // scans built into broadcast hash relations (semi + anti), which
-      // at fact scale degrade to two fact-fact shuffles. The subqueries
-      // only ask, per orderkey, "is there another supplier?" and "is
-      // there another RETURNING supplier?" — both answerable from ONE
-      // per-orderkey aggregate over distinct (orderkey, suppkey):
-      //   EXISTS l2      ⟺ n_supp > 1        (l1's supplier is in the set)
-      //   NOT EXISTS l3  ⟺ n_rsupp = 1       (l1 itself returns, so the
-      //                                       set of returning suppliers
-      //                                       is exactly {l1.suppkey})
-      // The distinct collapse is a two-level aggregation (no Expand, and
-      // map-side combine applies); orderkey multiplicity of l1 rows is
-      // preserved because `agg` has one row per orderkey. Result-
-      // identical (oracle SQL unchanged, gate re-proven); plan goes from
-      // 3 lineitem scans + 2 fact broadcasts to 2 scans + 1 keyed
-      // aggregation.
-      val li = t(s, dir, "lineitem")
-      val per = li.select(col("l_orderkey"), col("l_suppkey"),
-          when(col("l_returnflag") === "R", lit(1)).otherwise(lit(0)).as("isr"))
-        .groupBy("l_orderkey", "l_suppkey").agg(max("isr").as("isr"))
-      val agg = per.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_supp"), sum("isr").as("n_rsupp"))
-        .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
-      val l1 = li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey")
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderstatus") === "F").select("o_orderkey")
-      l1.join(agg, "l_orderkey")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")),
-          col("s_suppkey") === col("l_suppkey"))
-        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
+      // r12: a per-orderkey-aggregate rewrite of the two correlated
+      // subqueries (EXISTS ⟺ n_supp > 1, NOT EXISTS ⟺ n_rsupp = 1 over
+      // distinct (orderkey, suppkey)) was implemented, proven
+      // result-identical on the gate, and REVERTED: interleaved A/B and
+      // three full bench runs measured the replacement's full-fact keyed
+      // aggregation costlier than this form's broadcast semi/anti pair
+      // at bench scale (~2.2 s vs ~1.0 s official), while at fact scale
+      // the planner already degrades these joins to shuffle joins on its
+      // own once lineitem passes the broadcast threshold — the rewrite
+      // bought one fewer fact shuffle at 100 TB for a measured local
+      // regression. OPTIMIZATION_r12.md §5 records the experiment.
+      Seq("supplier", "lineitem", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
     },
 
     // -- q22: TPC-H Q22 shape — uncorrelated scalar-subquery threshold +

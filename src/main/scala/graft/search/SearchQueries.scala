@@ -72,12 +72,14 @@ object SearchQueries {
     engine(s, dir); cache(dir)._1
   }
 
-  /** Memoized `engineOn`: a caller-session engine for entries that must
-    * JOIN engine output with caller-session tables (ws_hybrid). Cached
-    * per dir like `engine` — the index load (parquet footers + metadata
-    * collect) is not free per invocation; unlike `engineOn` the conf is
-    * whatever the caller's session has, so profiling tools keep using
-    * the uncached variant.
+  /** Memoized `engineOn`: a caller-session engine for callers that must
+    * JOIN engine output with caller-session tables. Cached per dir like
+    * `engine` — the index load (parquet footers + metadata collect) is
+    * not free per invocation; unlike `engineOn` the conf is whatever the
+    * caller's session has, so profiling tools keep using the uncached
+    * variant. (ws_hybrid used this through round 11; r12 moved it onto
+    * the engine's own AQE-off serving session — kept for library
+    * callers that genuinely hold caller-session state.)
     */
   private val callerCache = TrieMap.empty[String, WikiSearchEngine]
   def callerEngine(s: SparkSession, dir: String): WikiSearchEngine =
