@@ -404,7 +404,7 @@ object RelationalQueries {
       // the planner already degrades these joins to shuffle joins on its
       // own once lineitem passes the broadcast threshold — the rewrite
       // bought one fewer fact shuffle at 100 TB for a measured local
-      // regression. OPTIMIZATION_r12.md §5 records the experiment.
+      // regression. OPTIMIZATION_r12.md §3 records the experiment.
       Seq("supplier", "lineitem", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
         """SELECT s_name, count(*) AS numwait
