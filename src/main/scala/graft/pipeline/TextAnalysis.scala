@@ -252,7 +252,6 @@ object TextAnalysis {
     */
   def nbClassify(train: DataFrame, test: DataFrame,
       labelCol: String = "lang", broadcastModel: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scale = lit(1000000.0)
     val tokTrain = train.select(col(labelCol).as("label"),
       explode(toks(col("text"))).as("token"))
@@ -290,12 +289,19 @@ object TextAnalysis {
       .join(broadcast(priors), "label")
       .select(col("doc_id"), col("actual"), col("label"),
         (col("ll") + col("prior")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))
+    // r12: per-doc argmax as a struct-min AGGREGATION instead of a
+    // row_number window — partial-aggregable (map-side combined, no
+    // per-partition sort), same shuffle key. Exact because scores are
+    // quantized BIGINTs: min(struct(-score, label)) picks the highest
+    // score, ties to the LEXICOGRAPHICALLY SMALLEST label — precisely
+    // the window's (score DESC, label ASC) rank-1 row. The negation
+    // cannot overflow: scores are sums of ~1e6-scaled log-likelihoods,
+    // far inside the Long range.
     scores
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy("doc_id", "actual")
+      .agg(min(struct((-col("score")).as("ns"), col("label").as("lb"))).as("best"))
       .select(col("doc_id"), col("actual"),
-        col("label").as("predicted"), col("score"))
+        col("best.lb").as("predicted"), (-col("best.ns")).as("score"))
       .orderBy("doc_id")
   }
 }
