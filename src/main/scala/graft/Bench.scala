@@ -167,6 +167,20 @@ object Bench {
     finalMap.getOrElse(c2, c2)
   }
 
+  /** 1-minute load average from /proc/loadavg, printed compactly ("0.4",
+    * "33.1"). Captured BEFORE any Spark work (ambient load — near 0 on a
+    * quiet host) and again right before the JSON prints (our own local[N]
+    * run contributes ~N; substantially above N = external contention).
+    * Together they let a reader separate ambient host noise from code:
+    * the r12 official 32-core run regressed 0.75 geomean purely on a
+    * loaded host, and nothing in the artifact could prove it.
+    */
+  private def loadAvg1m(): String =
+    try {
+      val s = scala.io.Source.fromFile("/proc/loadavg")
+      try s.mkString.split("\\s+")(0) finally s.close()
+    } catch { case _: Throwable => "-1" }
+
   def main(args: Array[String]): Unit = {
     // Short-name uniqueness is knowable before ANY work — registry-only,
     // so check it before the SparkSession even exists: a future name
@@ -180,6 +194,7 @@ object Bench {
         "bench short-name collision: " +
           shorts.diff(shorts.distinct).distinct.mkString(","))
     }
+    val loadBefore = loadAvg1m() // ambient host load, before ANY work
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]")
@@ -326,6 +341,19 @@ object Bench {
     val qs = shortResults.filter(kv => headline(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
+    // "qm" = MIN-across-passes for the headline set, same compact
+    // encoding as qd. The qd/queries medians vote out one contaminated
+    // pass; when the whole run window is contaminated (r12's official
+    // 32-core run) the min is the least-contaminated estimate of the
+    // code itself — the per-query analogue of the concurrent block's
+    // "best". "ib" is single-measured (one build), so it has no min.
+    val qmins = names.map { name =>
+      val runs = passes.flatMap(_(name))
+      shortName(name) -> (if (runs.isEmpty) -1.0 else runs.min)
+    }
+    val qm = qmins.filter(kv => headline(kv._1))
+      .map { case (k, v) => k + ":" + fqs(v) }
+      .mkString(" ")
     val total = results.map(_._2).filter(_ >= 0).sum
     // resultsCnt is still computed (the workload must produce hits to
     // measure anything) but not reported: every concurrent key competes
@@ -334,7 +362,11 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // "best" = best-of-five-passes qps (named "qps_best" through round
     // 9's BENCH_r json; shortened for line budget).
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"qd":"$qd","sf":"$sfName","concurrent":{"n":$nQueries,"qps":${f2(nQueries / concWall)},"best":${f2(nQueries / concWallBest)}}}"""
+    // "ld" = [1-min loadavg before any work, same right before print]:
+    // ambient-vs-during host load, the contention self-identification
+    // VERDICT r12 demanded (before ≈ 0 and after ≲ cpus on a quiet host).
+    val loadAfter = loadAvg1m()
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"qd":"$qd","qm":"$qm","ld":[$loadBefore,$loadAfter],"sf":"$sfName","concurrent":{"n":$nQueries,"qps":${f2(nQueries / concWall)},"best":${f2(nQueries / concWallBest)}}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     // Headroom report + alarm, BEFORE the JSON: anything printed after

@@ -49,15 +49,18 @@ class VectorExpressionsSpec extends SparkSuite {
 
   test("spark.sql.extensions entry point registers functions at session build") {
     import org.apache.spark.sql.SparkSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
     try {
       // withExtensions drives the same class the spark.sql.extensions
       // conf loads (that conf is read from the SparkContext at context
-      // creation, which the shared test context predates)
+      // creation, which the shared test context predates).
+      // create() (not getOrCreate) builds a session with fresh session
+      // state on the shared test SparkContext WITHOUT requiring the JVM
+      // default session to be cleared first — clearing it opened a global
+      // window in which concurrently-planning suites observed a null
+      // default session (NPE in InsertIntoHadoopFsRelationCommand.run).
       val s2 = SparkSession.builder()
         .withExtensions(new GraftExtensions().apply(_))
-        .getOrCreate() // reuses the test SparkContext; fresh session state
+        .create()
       val r = s2.sql(
         """SELECT graft_normalize('Ábacus') AS n,
           |  graft_dot(array(cast(1.0 as float), cast(2.0 as float)),
@@ -66,7 +69,9 @@ class VectorExpressionsSpec extends SparkSuite {
       assert(r.getString(0) == "abacus")
       assert(r.getDouble(1) == 11.0)
     } finally {
-      SparkSession.setDefaultSession(spark)
+      // create() sets the thread-local active session to s2; restore it for
+      // the rest of this suite. The JVM-global default session was never
+      // touched, so no other suite can observe a null session.
       SparkSession.setActiveSession(spark)
     }
   }
