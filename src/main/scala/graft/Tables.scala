@@ -116,4 +116,25 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Parquet codec for everything the engine WRITES (saved search
+      // index, live stores, verify dumps): zstd over the snappy default
+      // (guide §6 — markedly smaller at similar read speed). Measured at
+      // sf0.1 (OPTIMIZATION_r13.md): saved index −19% bytes (2.31→1.86
+      // MB, dominated by per-file overhead at this tiny scale — the
+      // ratio gap widens with real row groups), build and warm read
+      // times at parity across alternating A/B windows. At 100 TB the
+      // size delta is storage AND scan I/O. Env-overridable for A/Bs;
+      // the driver-provided INPUT tables are whatever the driver wrote —
+      // this only governs our own artifacts.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+      // Shuffle/spill/broadcast codec (guide §2.3: zstd trades CPU for
+      // ratio — "no universal answer, measure"). Alternating A/B at
+      // sf0.1 over the shuffle-heaviest registry queries measured
+      // parity-to-noise (OPTIMIZATION_r13.md), so the default stays
+      // lz4: at local bench scale shuffle blocks are KBs and the zstd
+      // CPU buys nothing. At 100 TB network-bound shuffles the ratio
+      // wins — flip via env and re-measure there.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
 }

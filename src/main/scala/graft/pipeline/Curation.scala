@@ -395,7 +395,18 @@ object Curation {
   def contaminationBloom(
       docs: DataFrame, evalDocs: DataFrame, n: Int = 3, fpp: Double = 0.01): DataFrame = {
     val evalSh = Dedup.shingleHashes(evalDocs, n).select("sh").distinct()
-    val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+    // r13: the two plan-build actions (sizing count + filter aggregate)
+    // each re-shingled the whole eval corpus — no cross-action reuse
+    // without an explicit storage level (§5). Persist the DISTINCT hash
+    // set (bounded by construction) across them and release it before
+    // returning: 3 eval-corpus shingling passes per call become 2 (the
+    // in-plan exact-verify side still recomputes at execution — keeping
+    // the cache alive past this call would leak it into the session).
+    val bf =
+      try {
+        evalSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+      } finally evalSh.unpersist(blocking = false)
     val bfB   = docs.sparkSession.sparkContext.broadcast(bf)
     val might = udf((sh: Long) => bfB.value.mightContainLong(sh))
     val hits = Dedup.shingleHashes(docs, n)
@@ -742,6 +753,19 @@ object Curation {
     * nbClassify's for a web-scale vocabulary (false → shuffled hash
     * join, same rows, no memory ceiling).
     */
+  // r13 note: a one-pass rewrite (single corpus explode into a
+  // (doc, tgt, token, occ) table feeding BOTH the count-table
+  // re-aggregation and the scoring join) was implemented and measured
+  // against this composition (tools/AbCuration, 5 interleaved warm
+  // passes at sf0.1): medians 0.635 s vs 0.629 s — parity. The second
+  // explode here partial-aggregates map-side straight to vocabulary
+  // size, so it costs one tokenization pass but no corpus-scale
+  // shuffle, while the one-pass shape must shuffle the corpus-sized
+  // (doc_id, token) occurrence table for BOTH consumers. Kept the
+  // two-explode composition: same speed, shares the live-maintainer
+  // contract, and cu_dsir's duplicated model-subtree exchanges are
+  // already deduplicated at runtime by AQE's stage cache
+  // (ReusedExchange in plans/r13/cu_dsir_after.txt).
   def dsirScore(docs: DataFrame, isTarget: Column,
       broadcastModel: Boolean = true): DataFrame =
     dsirScoreWith(docs, dsirModel(dsirCounts(docs, isTarget)), broadcastModel)

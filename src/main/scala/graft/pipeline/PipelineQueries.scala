@@ -1870,6 +1870,13 @@ object PipelineQueries {
       "cu_dsir_oov",
       dsirOovOracleSql) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      // r13 note: a one-pass rewrite (single corpus explode feeding
+      // both the count table and the scoring join, OOV floor derived
+      // in-plan instead of this eager driver action) was measured 25%
+      // SLOWER (tools/AbCuration medians 0.804 vs 0.636 s) — the extra
+      // corpus-scale occurrence shuffle costs more than the saved
+      // tokenization pass and the floor's one 3-long driver fetch.
+      // Kept the composition below; see OPTIMIZATION_r13.md.
       val cnt = Curation.dsirCounts(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("lang") === "en")
       dsirTop(docs, Curation.dsirScoreWith(docs, Curation.dsirModel(cnt),
