@@ -508,15 +508,29 @@ object Curation {
       .groupBy(domain.as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
-    val totalRow = per.agg(sum("n_tokens")).collect()(0)
-    // empty corpus / all-empty texts → sum is null / 0: weights are 0,
-    // not an NPE or a null-producing division
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    // `div`, not `/`: Spark's `/` on longs is double division — the
-    // integer quotient keeps the table exact at any token count
-    val weight =
-      if (total == 0L) lit(0L) else expr(s"n_tokens * 1000L div ${total}L")
-    per.withColumn("weight_permille", weight)
+    // r13: the total derives IN-PLAN as an unpartitioned window over
+    // the aggregated per-source rows, instead of the old eager
+    // `per.agg(sum).collect()` — which ran the corpus-scale
+    // tokenize+aggregate subtree TWICE per invocation (once for the
+    // collect, once in the returned plan; separate executions, no
+    // cross-action reuse). ONE corpus pass now; the single-partition
+    // WindowExec is over ≤|sources| rows (a bounded label domain — the
+    // engine's documented bounded-window class, like the ≤1001-row
+    // histogram), never corpus-sized. A crossJoin(broadcast(agg))
+    // variant was also measured: column pruning makes the total's copy
+    // of `per` non-identical, so AQE cannot reuse the exchange and the
+    // corpus aggregates twice (concurrently — still 2.4× slower than
+    // this). A/B medians (tools/AbCuration): 0.710 eager / 0.292
+    // crossJoin / 0.151 window. Weight arithmetic is unchanged integer
+    // math (n_tokens·1000 div total); the `when` guard keeps the
+    // empty/all-empty contract (weight 0, no ANSI divide-by-zero),
+    // which the old driver-side `if` provided.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    per.withColumn("tot", sum("n_tokens").over(w))
+      .withColumn("weight_permille",
+        when(col("tot").isNull || col("tot") === 0L, lit(0L))
+          .otherwise(expr("n_tokens * 1000L div tot")))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
   }
 
@@ -821,6 +835,56 @@ object Curation {
     def q(x: Double): Long =
       BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     q(math.log(1.0 / (tt + v))) - q(math.log(1.0 / (tr + v)))
+  }
+
+  /** The add-one OOV floor as a ONE-ROW IN-PLAN frame derived from the
+    * count table — `dsirOovFloor`'s number without its eager driver
+    * action, which executes the corpus-scale `cnt` subtree once more
+    * per invocation ON TOP of the model subtree's own evaluation
+    * (cu_dsir_oov paid the corpus tokenize+aggregate three times per
+    * call; with the floor in-plan it is twice, and the floor/model
+    * copies of `cnt` share one exchange via AQE stage reuse —
+    * plans/r13/cu_dsir_oov_after.txt). A/B medians (tools/AbCuration,
+    * two runs): 0.851→0.699 s and 0.873→0.742 s.
+    *
+    * Bit-identical to `dsirOovFloor`: Spark's `round()` on a double is
+    * the same BigDecimal.valueOf(d).setScale(0, HALF_UP) path q() uses
+    * (scala BigDecimal(d) = BigDecimal.decimal(d) since 2.11), and
+    * ln/÷ are the same java.lang.Math double ops — so
+    * `coalesce(lr, oov_lr)` folds the exact Longs the driver-side
+    * constant would. `dsirOovFloor` (the eager Long) remains the
+    * live-serving contract, where the floor must be computable from a
+    * persisted count table without the corpus.
+    */
+  def dsirOovFloorFrame(cnt: DataFrame): DataFrame = {
+    val scale = lit(1000000.0)
+    cnt
+      .agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+        count(lit(1)).as("v"))
+      .select((round(log(lit(1.0) / (col("tt") + col("v")).cast("double")) * scale)
+          .cast("bigint") -
+        round(log(lit(1.0) / (col("tr") + col("v")).cast("double")) * scale)
+          .cast("bigint")).as("oov_lr"))
+  }
+
+  /** `dsirScoreWith(docs, dsirModel(cnt), oovLr = Some(dsirOovFloor(cnt)))`
+    * with the floor IN-PLAN (`dsirOovFloorFrame`) — same rows, same
+    * hash, one less eager corpus pass per invocation. The scoring join
+    * and fold are dsirScoreWith's, with the floor broadcast-crossed in
+    * as a column instead of a literal.
+    */
+  def dsirScoreWithFloor(docs: DataFrame, cnt: DataFrame,
+      broadcastModel: Boolean = true): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+    val model = dsirModel(cnt)
+    val modelSide = if (broadcastModel) broadcast(model) else model
+    occ.join(modelSide, Seq("token"), "left")
+      .crossJoin(broadcast(dsirOovFloorFrame(cnt)))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(col("occ") * coalesce(col("lr"), col("oov_lr"))).as("dsir_score"))
   }
 
   /** Score `docs` against a (token, lr) model — the serving side:

@@ -1870,17 +1870,15 @@ object PipelineQueries {
       "cu_dsir_oov",
       dsirOovOracleSql) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      // r13 note: a one-pass rewrite (single corpus explode feeding
-      // both the count table and the scoring join, OOV floor derived
-      // in-plan instead of this eager driver action) was measured 25%
-      // SLOWER (tools/AbCuration medians 0.804 vs 0.636 s) — the extra
-      // corpus-scale occurrence shuffle costs more than the saved
-      // tokenization pass and the floor's one 3-long driver fetch.
-      // Kept the composition below; see OPTIMIZATION_r13.md.
-      val cnt = Curation.dsirCounts(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("lang") === "en")
-      dsirTop(docs, Curation.dsirScoreWith(docs, Curation.dsirModel(cnt),
-        oovLr = Some(Curation.dsirOovFloor(cnt))))
+      // r13: same two-explode composition, floor IN-PLAN
+      // (dsirScoreWithFloor doc for the A/B and bit-exactness
+      // argument). A full one-pass rewrite (single corpus explode
+      // feeding both the count table and the scoring join) was also
+      // measured and is ~25% SLOWER — the extra corpus-scale occurrence
+      // shuffle costs more than the saved tokenization pass; see
+      // OPTIMIZATION_r13.md.
+      dsirTop(docs, Curation.dsirScoreWithFloor(docs, Curation.dsirCounts(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("lang") === "en")))
     },
 
     // Exact corpus-quantile quality gate (drop the worst quartile by

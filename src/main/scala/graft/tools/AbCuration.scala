@@ -65,6 +65,30 @@ object AbCuration {
         .agg(sum(col("occ")).as("n_tokens"),
           sum(col("occ") * coalesce(col("lr"), col("oov_lr"))).as("dsir_score"))
     }
+    // oovMid: keeps the old two-explode composition (the part the A/B
+    // showed is fine) but derives the OOV floor IN-PLAN from the count
+    // table instead of dsirOovFloor's eager driver action — which
+    // executes the corpus-scale cnt subtree a THIRD time per invocation.
+    def oovMid() = {
+      val cnt = Curation.dsirCounts(docs.filter(half), en)
+      val scale = lit(1000000.0)
+      val floor = cnt
+        .agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+          count(lit(1)).as("v"))
+        .select((round(log(lit(1.0) / (col("tt") + col("v")).cast("double")) * scale)
+            .cast("bigint") -
+          round(log(lit(1.0) / (col("tr") + col("v")).cast("double")) * scale)
+            .cast("bigint")).as("oov_lr"))
+      val occ = docs.select(col("doc_id"),
+          explode(TextAnalysis.toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+      occ.join(broadcast(Curation.dsirModel(cnt)), Seq("token"), "left")
+        .crossJoin(broadcast(floor))
+        .groupBy("doc_id")
+        .agg(sum(col("occ")).as("n_tokens"),
+          sum(col("occ") * coalesce(col("lr"), col("oov_lr"))).as("dsir_score"))
+    }
+
     val corpus = docs.filter(col("doc_id") % 89 =!= 0)
     val evalD  = docs.filter(col("doc_id") % 89 === 0)
     // bloomOld = contaminationBloom WITHOUT the r13 persist of the
@@ -87,10 +111,46 @@ object AbCuration {
     }
     def bloomNew() = Curation.contaminationBloom(corpus, evalD)
 
+    // mixOld = mixtureWeights with the pre-r13 eager total: the
+    // corpus-scale per-source aggregation runs once for the collect and
+    // again in the returned plan (separate executions, no reuse).
+    def mixOld() = {
+      val per = docs
+        .groupBy(col("source").as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+      val totalRow = per.agg(sum("n_tokens")).collect()(0)
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val weight =
+        if (total == 0L) lit(0L) else expr(s"n_tokens * 1000L div ${total}L")
+      per.withColumn("weight_permille", weight)
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
+    }
+    def mixNew() = Curation.mixtureWeights(docs, col("source"))
+    // mixWin: ONE corpus aggregation; the total as an unpartitioned
+    // window over the aggregated per-source rows (bounded by source
+    // cardinality, the documented ≤small-row single-partition pattern).
+    def mixWin() = {
+      val per = docs
+        .groupBy(col("source").as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      per.withColumn("tot", sum("n_tokens").over(w))
+        .withColumn("weight_permille",
+          when(col("tot").isNull || col("tot") === 0L, lit(0L))
+            .otherwise(expr("n_tokens * 1000L div tot")))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_permille"))
+    }
+
     val variants = Seq[(String, () => org.apache.spark.sql.DataFrame)](
       "dsir_old" -> (() => dsirOld()), "dsir_new" -> (() => dsirNew()),
       "oov_old" -> (() => oovOld()), "oov_new" -> (() => oovNew()),
-      "bloom_old" -> (() => bloomOld()), "bloom_new" -> (() => bloomNew()))
+      "oov_mid" -> (() => oovMid()),
+      "bloom_old" -> (() => bloomOld()), "bloom_new" -> (() => bloomNew()),
+      "mix_old" -> (() => mixOld()), "mix_new" -> (() => mixNew()),
+      "mix_win" -> (() => mixWin()))
     // warm both sides once
     variants.foreach { case (_, f) => f().count() }
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -703,6 +703,36 @@ class PipelineSpec extends SparkSuite {
     assert(m("s2") == (("s2", 1L, 2L, 250L)))
   }
 
+  test("mixture weights: all-empty-text corpus yields zero weights, not a divide-by-zero") {
+    // r13 edge guard: the in-plan total is 0 when every text tokenizes
+    // empty — the `when` must short-circuit the ANSI `div` (the old
+    // eager-total code guarded this driver-side)
+    val d = Seq((1L, "", "s1"), (2L, "", "s2")).toDF("doc_id", "text", "source")
+    val m = Curation.mixtureWeights(d, col("source"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("s1") == (("s1", 1L, 0L, 0L)))
+    assert(m("s2") == (("s2", 1L, 0L, 0L)))
+  }
+
+  test("dsirScoreWithFloor equals the eager-floor composition, bit-for-bit, with OOV present") {
+    // r13: the in-plan floor (dsirOovFloorFrame broadcast into the
+    // scoring join) must reproduce dsirOovFloor's driver-side Long
+    // exactly — same BigDecimal HALF_UP quantization path — including
+    // on documents whose vocabulary is entirely out-of-model
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 5} w${i % 9} u$i", if (i % 4 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val cnt = Curation.dsirCounts(
+      docs.filter(col("doc_id") % 2 === 0), col("lang") === "en")
+    val eager = Curation.dsirScoreWith(docs, Curation.dsirModel(cnt),
+        oovLr = Some(Curation.dsirOovFloor(cnt)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inPlan = Curation.dsirScoreWithFloor(docs, cnt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inPlan == eager)
+    assert(inPlan.nonEmpty)
+  }
+
   test("PII redaction: counts and redacts emails and IPv4s, edge cases match the oracle dialect") {
     val d = Seq(
       (1L, "write to a.b+c@ex-1.org or x@y.co from 10.0.3.7 and 192.168.1.255 done"),
