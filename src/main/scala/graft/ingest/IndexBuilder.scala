@@ -363,6 +363,12 @@ object IndexBuilder {
       // only `globalIndex`) no longer pays a full corpus pass at
       // construction time. Same rows, same schema; row order is
       // irrelevant (metadata is a catalog, collected to a map).
+      // EVALUATE-ONCE expectation: the distinct-language scan is now
+      // part of this plan, so every evaluation of an uncached metadata
+      // frame re-runs it (and needs `base`'s session alive). save()
+      // writes it once; the serving path caches it (engine() does
+      // ix.metadata.cache()) — a caller evaluating metadata repeatedly
+      // should do the same.
       val fieldsDf = (e ++ i ++ p).toDF("fieldName", "kind", "normalizer")
       val static = base.select(col("language")).distinct()
         .crossJoin(fieldsDf)

@@ -238,6 +238,13 @@ object TextAnalysis {
     * dropped (the standard NB contract); a test document with NO seen
     * tokens yields no row.
     *
+    * Grouping contract (r12 argmax rewrite): predictions group by
+    * (doc_id, `labelCol`) — one row per distinct (doc_id, actual) pair.
+    * For the intended shape (doc_id unique per test row) that is
+    * exactly one prediction per document; a caller passing duplicate
+    * doc_ids under DIFFERENT actual labels gets one row per pair, not
+    * per doc_id.
+    *
     * Scale posture: the model is (TRAINING vocabulary × labels) rows —
     * bounded by the curated training corpus, not the classified one, so
     * the default broadcasts it into the scoring join; training is one

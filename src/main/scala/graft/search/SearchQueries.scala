@@ -629,8 +629,14 @@ object SearchQueries {
          |  doc_id, score
          |FROM fused ORDER BY rank LIMIT 20""".stripMargin) { (s, dir) =>
       // r12 optimization: the whole hybrid plan now lives on the
-      // engine's AQE-OFF serving session (the BM25 page's own session),
-      // with the embeddings table loaded there too — previously it ran
+      // engine's AQE-OFF serving session (the BM25 page's own session)
+      // — and so does the RETURNED frame: like the other engine-backed
+      // entries (ws_facets, ws_complete_q), collect/show is fine from
+      // anywhere, but registering it as a temp view or joining it with
+      // caller-session frames is a cross-session analysis error; use
+      // callerEngine for callers that must hold caller-session state.
+      // The embeddings table is loaded on the serving session too —
+      // previously the whole query ran
       // on the caller's AQE-on session (callerEngine) and a warm
       // ProfileQuery measured 9 sequential AQE stage-materialization
       // jobs summing 1.0 s inside a 2.1 s wall. The serving-path
