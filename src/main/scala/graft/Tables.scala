@@ -110,6 +110,25 @@ object Sessions {
       .builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // Shuffle-width dial for corpora far beyond the local fixture
+      // (guide §2.2/§2.5): shuffles START at initialPartitionNum and
+      // AQE coalesces DOWN to advisory-sized partitions from the
+      // actual map output. Measured both ways at both scales
+      // (SCALE.md round-13 appendix, OPTIMIZATION_r13.md §9): at sf100
+      // q3's 600M-row orders⋈lineitem sort-merge join on the default
+      // 32 partitions ran as spilling ~GB sorts — 939 s cold; started
+      // at 512 and AQE-coalesced it is 404 s cold / 84 s warm. But a
+      // FIXED 512 is a cluster constant: at sf0.1 it regressed the
+      // bench 78→95 s (hundreds of near-empty map buckets per tiny
+      // shuffle — cu_live_dsir 0.9→8.3 s), so the LOCAL default stays
+      // = cpus (identical to spark.sql.shuffle.partitions — no
+      // behavioral change at bench scale) and deployments size it from
+      // data (≈ expected shuffle bytes / advisory size; the sf100 runs
+      // set SPARK_GRAFT_INITIAL_PARTITIONS=512 ≈ 24 GB / 64 MB).
+      // Serving sessions run AQE off and keep the fixed cpus count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
