@@ -756,23 +756,34 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      // Pass 1: bucket-width from a min/max pre-pass CAPPING the bucket
-      // count (≤4096 per group) — a fixed width would let a wide or
-      // heavy-tailed value domain blow the driver-side histogram
-      // collect up unboundedly; with the cap the collect is
-      // ≤ |G|·4096 rows at ANY domain, and exactness depends on
-      // neither the width nor the cap (bucket order is value order for
-      // any W > 0). The min/max agg is one map-side-combined pass over
-      // the narrow column. Prefix sums, target ranks and bracketing
-      // buckets resolve in plain integer arithmetic here; chaining them
-      // as DataFrames instead costs ~8 extra AQE stage round-trips on
-      // the latency path to move ~3k rows.
-      val bounds = base.agg(min(col("v")), max(col("v"))).collect().head
-      val width =
-        if (bounds.isNullAt(0)) 1.0 // empty input: any W, nothing buckets
-        else math.max((bounds.getDouble(1) - bounds.getDouble(0)) / 4096.0,
-          1e-6)
-      val bucketed = base.withColumn("b", floor(col("v") / lit(width)).cast("long"))
+      // Pass 1 (r13: was TWO passes — a min/max pre-pass deriving an
+      // even bucket width W, then the histogram): the bucket function is
+      // now DATA-INDEPENDENT, so the histogram is the first and only
+      // plan-build scan and the whole operator runs 2 corpus passes
+      // instead of 3 (guide §1.2 — remove passes outright). The bucket
+      // is the top 20 bits of the IEEE-754 total-order pattern
+      // (bits ^ ((bits >> 63) | Long.MinValue), the standard sortable-
+      // bits transform — EXACT integer math, monotone in v by
+      // construction, unlike any log/width arithmetic): sign + 11
+      // exponent bits + 8 mantissa bits, i.e. 256 slices per binade.
+      // Exactness needs ONLY monotonicity (bucket order = value order
+      // for ANY monotone bucketing — the same argument as the old
+      // floor(v/W), where it held for any W > 0); equal values have
+      // equal bits, so no tie ever splits across buckets. The driver
+      // collect is ≤ |G| · occupied buckets, occupied ≤ 256·binades
+      // present (≤ 2^20 hard at any domain; ~2k for a price-like
+      // column spanning ~8 binades — same order as the old |G|·4096
+      // cap), and the boundary bucket pass 2 ranks holds ≤ 1/256 of a
+      // binade's rows — magnitude-adaptive where the even-width grid
+      // was density-blind. Prefix sums, target ranks and bracketing
+      // buckets still resolve in plain integer arithmetic here;
+      // chaining them as DataFrames instead costs ~8 extra AQE stage
+      // round-trips on the latency path to move ~3k rows.
+      val bucketOf = udf { v: Double =>
+        val b = java.lang.Double.doubleToLongBits(v)
+        (b ^ ((b >> 63) | Long.MinValue)) >>> 44
+      }
+      val bucketed = base.withColumn("b", bucketOf(col("v")))
       val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       // per (group, p, targetRank): the bucket covering the rank and the

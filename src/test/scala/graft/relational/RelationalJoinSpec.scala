@@ -171,18 +171,24 @@ class RelationalJoinSpec extends SparkSuite {
     // The bucketed two-pass plan (histogram → bracketing buckets →
     // within-bucket ranking) must select EXACTLY the full sort's order
     // statistics. Random trials are deliberately adversarial for the
-    // bucketing: half the values sit on exact bucket boundaries
-    // (multiples of the W=100 width, incl. repeated ties), so target
-    // ranks land on bucket edges and lo/lo+1 straddle buckets; group
-    // sizes vary so frac=0 and lo+1 > n both occur.
+    // r13 sortable-bits bucketing (top bits of the IEEE total-order
+    // pattern): values sit ON binade boundaries (exact powers of two,
+    // incl. repeated ties — the first value of a bucket), NEGATIVE
+    // values exercise the sign-flip branch of the transform, and dense
+    // clusters inside one mantissa-prefix bucket force the boundary
+    // bucket's within-bucket ranking to do real work; group sizes vary
+    // so frac=0 and lo+1 > n both occur.
     import spark.implicits._
     val rnd = new scala.util.Random(19)
     for (trial <- 0 until 3) {
       val flags = Vector("A", "N", "R")
       val rows = (0 until 300 + rnd.nextInt(100)).map { _ =>
-        val v =
-          if (rnd.nextBoolean()) (rnd.nextInt(30) * 100).toDouble // bucket boundary
-          else rnd.nextInt(3000) + rnd.nextInt(100) / 100.0
+        val v = rnd.nextInt(4) match {
+          case 0 => math.pow(2, rnd.nextInt(12)) // exact binade boundary
+          case 1 => -(rnd.nextInt(2000) + rnd.nextInt(100) / 100.0) // negative
+          case 2 => 1024.0 + rnd.nextInt(4) / 2.0 // one-bucket dense cluster
+          case _ => rnd.nextInt(3000) + rnd.nextInt(100) / 100.0
+        }
         (flags(rnd.nextInt(3)), v)
       } :+ ("A", 0.0) // a group guaranteed non-empty with a zero value
       val d = java.nio.file.Files.createTempDirectory(s"graft_q30_rand$trial").toString
